@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the
+DuckDB-equivalent SQL. Column names AND types are aligned on both sides;
+all floating-point score arithmetic is written so Spark and DuckDB
+produce bit-identical doubles (in-order double accumulation — see
+gamma_spark/functions/vector.py), and money-style aggregates go through
+DECIMAL so sums are order-independent and exact.
 """
 
 from __future__ import annotations
@@ -12,27 +14,409 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from gamma_spark import filters as GF
+from gamma_spark.functions import vector as V
+from gamma_spark.operators import knn
+from gamma_spark.operators.fusion import fuse
+from gamma_spark.table import GammaTable
+
+# ---------------------------------------------------------------------------
+# shared constants (Spark + oracle must agree)
+# ---------------------------------------------------------------------------
+KNN_K = 10
+KNN_NQ = 8  # query vectors = embeddings with vec_id < KNN_NQ
+FUSE_K_PER_FIELD = 20
+FUSE_K = 5
+FUSE_B1, FUSE_B2 = 0.7, 0.3
+BAND_LO, BAND_HI = 0.0, 0.5
+LOOKUP_ID = 123
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "_docid")
+
+
+def _queries_df(spark, sf_dir) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KNN_NQ)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN family (SURVEY K1/F7/F8/R5)
+# ---------------------------------------------------------------------------
+
+def q_knn_ip(spark, sf_dir):
+    return knn.knn_join(_docs(spark, sf_dir), _queries_df(spark, sf_dir), k=KNN_K, metric="IP")
+
+
+def q_knn_l2(spark, sf_dir):
+    return knn.knn_join(_docs(spark, sf_dir), _queries_df(spark, sf_dir), k=KNN_K, metric="L2")
+
+
+def q_knn_cosine(spark, sf_dir):
+    return knn.knn_join(_docs(spark, sf_dir), _queries_df(spark, sf_dir), k=KNN_K, metric="COSINE")
+
+
+def q_knn_ip_filtered(spark, sf_dir):
+    return knn.knn_join(
+        _docs(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=KNN_K,
+        metric="IP",
+        predicate=F.col("label") == 1,
+    )
+
+
+def q_knn_ip_banded(spark, sf_dir):
+    return knn.knn_join(
+        _docs(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=KNN_K,
+        metric="IP",
+        min_score=BAND_LO,
+        max_score=BAND_HI,
+    )
+
+
+def q_knn_hamming(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "_docid", V.sign_bits("embedding").alias("sig")
+    )
+    queries = _queries_df(spark, sf_dir).select(
+        "qid", V.sign_bits("qvec").alias("qsig")
+    )
+    return knn.knn_join(
+        docs, queries, k=KNN_K, metric="HAMMING", doc_vec="sig", query_vec="qsig"
+    ).withColumn("score", F.col("score").cast("double"))
+
+
+def q_knn_fusion(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("emb2", F.reverse(F.col("embedding")))
+    q = _queries_df(spark, sf_dir)
+    q2 = q.select("qid", F.reverse(F.col("qvec")).alias("qvec"))
+    r1 = knn.knn_join(docs, q, k=FUSE_K_PER_FIELD, metric="IP", doc_vec="embedding")
+    r2 = knn.knn_join(docs, q2, k=FUSE_K_PER_FIELD, metric="IP", doc_vec="emb2")
+    return fuse([r1, r2], boosts=[FUSE_B1, FUSE_B2], metric="IP", k=FUSE_K)
+
+
+def _sql_knn(score_expr: str, order: str, where: str = "", band: str = "") -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+s AS (
+  SELECT q.qid, e.vec_id AS _docid, {score_expr} AS score
+  FROM embeddings e CROSS JOIN q {where}
+)
+SELECT qid, _docid, score, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score {order}, _docid ASC) AS rank
+  FROM s {band}
+) t WHERE rank <= {KNN_K}
+"""
+
+
+SQL_KNN_IP = _sql_knn(V.sql_dot("e.embedding", "q.qvec"), "DESC")
+SQL_KNN_L2 = _sql_knn(V.sql_l2_squared("e.embedding", "q.qvec"), "ASC")
+SQL_KNN_COSINE = _sql_knn(V.sql_cosine("e.embedding", "q.qvec"), "DESC")
+SQL_KNN_IP_FILTERED = _sql_knn(
+    V.sql_dot("e.embedding", "q.qvec"), "DESC", where="WHERE e.label = 1"
+)
+SQL_KNN_IP_BANDED = _sql_knn(
+    V.sql_dot("e.embedding", "q.qvec"),
+    "DESC",
+    band=f"WHERE score >= {BAND_LO} AND score <= {BAND_HI}",
+)
+SQL_KNN_HAMMING = f"""
+WITH d AS (SELECT vec_id AS _docid, {V.sql_sign_bits('embedding')} AS sig FROM embeddings),
+q AS (SELECT vec_id AS qid, {V.sql_sign_bits('embedding')} AS qsig FROM embeddings WHERE vec_id < {KNN_NQ}),
+s AS (SELECT q.qid, d._docid, {V.sql_hamming('d.sig', 'q.qsig')} AS score FROM d CROSS JOIN q)
+SELECT qid, _docid, score::DOUBLE AS score, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score ASC, _docid ASC) AS rank FROM s
+) t WHERE rank <= {KNN_K}
+"""
+SQL_KNN_FUSION = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+r1 AS (
+  SELECT qid, _docid, score FROM (
+    SELECT q.qid, e.vec_id AS _docid, {V.sql_dot('e.embedding', 'q.qvec')} AS score,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {V.sql_dot('e.embedding', 'q.qvec')} DESC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q) t WHERE rn <= {FUSE_K_PER_FIELD}
+),
+r2 AS (
+  SELECT qid, _docid, score FROM (
+    SELECT q.qid, e.vec_id AS _docid,
+           {V.sql_dot('list_reverse(e.embedding)', 'list_reverse(q.qvec)')} AS score,
+           row_number() OVER (PARTITION BY q.qid ORDER BY {V.sql_dot('list_reverse(e.embedding)', 'list_reverse(q.qvec)')} DESC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN q) t WHERE rn <= {FUSE_K_PER_FIELD}
+),
+fused AS (
+  SELECT r1.qid, r1._docid, (r1.score * {FUSE_B1}) + (r2.score * {FUSE_B2}) AS score
+  FROM r1 JOIN r2 ON r1.qid = r2.qid AND r1._docid = r2._docid
+)
+SELECT qid, _docid, score, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, _docid ASC) AS rank FROM fused
+) t WHERE rank <= {FUSE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# filter engine (SURVEY F2-F9)
+# ---------------------------------------------------------------------------
+
+def q_filter_range_term(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fs = [
+        GF.RangeFilter("n_chars", 100, 400, include_lower=False, include_upper=True),
+        GF.TermFilter("lang", ("en", "fr"), GF.TERM_OR),
+        GF.TermFilter("source", ("src3",), GF.TERM_NOT_IN),
+    ]
+    return docs.filter(GF.combine(fs, docs)).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_FILTER_RANGE_TERM = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE n_chars > 100 AND n_chars <= 400 AND lang IN ('en','fr') AND source NOT IN ('src3')
+"""
+
+
+def q_filter_only_topn(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn("_docid", F.col("doc_id"))
+    fs = [GF.TermFilter("lang", ("en",), GF.TERM_OR), GF.RangeFilter("n_chars", lower=200)]
+    res = GF.filter_only_query(docs, fs, topn=20)
+    return res.select("doc_id", "lang", "n_chars", "total")
+
+
+SQL_FILTER_ONLY_TOPN = """
+WITH m AS (SELECT * FROM documents WHERE lang = 'en' AND n_chars >= 200)
+SELECT doc_id, lang, n_chars, (SELECT count(*) FROM m) AS total
+FROM m ORDER BY doc_id LIMIT 20
+"""
+
+
+def q_point_lookup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    table = GammaTable(spark, docs, id_col="doc_id")
+    return table.get_doc_by_id(LOOKUP_ID).drop("_docid")
+
+
+SQL_POINT_LOOKUP = f"SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = {LOOKUP_ID}"
+
+
+# ---------------------------------------------------------------------------
+# DML (SURVEY S2-S4, F10) — simulated on the read-only testdata
+# ---------------------------------------------------------------------------
+
+def q_upsert_last_wins(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    table = GammaTable(spark, docs, id_col="doc_id")
+    updates_stale = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.lit("stale").alias("text"),
+        "lang",
+        "source",
+        F.col("n_chars"),
+    )
+    updates_final = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("updated:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    inserts = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        F.col("doc_id").alias("n_chars"),
+    )
+    # batch order: stale rows first, final rows later -> last write wins
+    batch = updates_stale.unionByName(updates_final).unionByName(inserts).coalesce(1)
+    merged = table.add_or_update(batch)
+    return merged.df.select("doc_id", "text", "n_chars")
+
+
+SQL_UPSERT_LAST_WINS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'updated:' || doc_id ELSE text END AS text,
+       CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'new:' || doc_id AS text, doc_id AS n_chars
+FROM documents WHERE doc_id < 5
+"""
+
+
+def q_delete_by_filter(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    table = GammaTable(spark, docs, id_col="doc_id")
+    _, deleted = table.delete_by_filter(
+        [
+            GF.TermFilter("lang", ("zh",), GF.TERM_OR),
+            GF.RangeFilter("n_chars", 100, 300),
+        ]
+    )
+    return deleted.select("doc_id")
+
+
+SQL_DELETE_BY_FILTER = """
+SELECT doc_id FROM documents WHERE lang = 'zh' AND n_chars >= 100 AND n_chars <= 300
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-native relational surface (SURVEY §2.6 — free from Spark SQL)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+       (sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + agg with a broadcast dimension (customer is small)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment,
+       (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS total_spent,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+HAVING count(*) >= 5
+"""
+
+
+def _events(spark, sf_dir) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read ts as raw nanos (legacy conf) and derive
+    epoch-second columns explicitly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _t(spark, sf_dir, "events")
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling event-time window over the events table — the batch
+    equivalent of the Structured Streaming path (SURVEY §2.7)."""
+    ev = _events(spark, sf_dir)
+    hour_epoch = (F.col("ts") - F.pmod(F.col("ts"), F.lit(3_600_000_000_000))) / F.lit(
+        1_000_000_000
+    )
+    return (
+        ev.groupBy(
+            hour_epoch.cast("long").alias("hour_epoch"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, event_type,
+       count(*) AS n_events,
+       (sum(value::DECIMAL(18,6)))::DOUBLE AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: filtered exact kNN (pre-filter + top-k + projection) on
+    sf0.001 — gamma's Search hot path end to end."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    queries = _queries_df(spark, sf_dir)
+    hits = knn.knn_join(
+        docs, queries, k=10, metric="IP", predicate=F.col("label").isin(0, 1, 2)
+    )
+    return hits.join(docs.select("_docid", "label"), on="_docid", how="inner")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_ip_topk": q_knn_ip,
+        "knn_l2_topk": q_knn_l2,
+        "knn_cosine_topk": q_knn_cosine,
+        "knn_ip_filtered": q_knn_ip_filtered,
+        "knn_ip_banded": q_knn_ip_banded,
+        "knn_hamming_topk": q_knn_hamming,
+        "knn_fusion_multivector": q_knn_fusion,
+        "filter_range_term": q_filter_range_term,
+        "filter_only_topn": q_filter_only_topn,
+        "point_lookup": q_point_lookup,
+        "upsert_last_wins": q_upsert_last_wins,
+        "delete_by_filter": q_delete_by_filter,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_ip_topk": SQL_KNN_IP,
+        "knn_l2_topk": SQL_KNN_L2,
+        "knn_cosine_topk": SQL_KNN_COSINE,
+        "knn_ip_filtered": SQL_KNN_IP_FILTERED,
+        "knn_ip_banded": SQL_KNN_IP_BANDED,
+        "knn_hamming_topk": SQL_KNN_HAMMING,
+        "knn_fusion_multivector": SQL_KNN_FUSION,
+        "filter_range_term": SQL_FILTER_RANGE_TERM,
+        "filter_only_topn": SQL_FILTER_ONLY_TOPN,
+        "point_lookup": SQL_POINT_LOOKUP,
+        "upsert_last_wins": SQL_UPSERT_LAST_WINS,
+        "delete_by_filter": SQL_DELETE_BY_FILTER,
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "events_hourly": SQL_EVENTS_HOURLY,
+    }

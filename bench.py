@@ -1,0 +1,94 @@
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Queries are chosen to exercise the scale-relevant paths: the vectorized
+kNN scan kernel (not just the small-oracle join path), IVF pruned search,
+dedup, and the relational/agg surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from gamma_spark.operators import knn  # noqa: E402
+from gamma_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_knn_scan(spark, sf_dir):
+    """All-pairs style load: every embedding queries the full table
+    through the partition-local-heap scan kernel."""
+    docs = entry_mod._docs(spark, sf_dir)
+    queries = docs.select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(512)
+    res = knn.knn_scan(docs, queries, k=10, metric="IP")
+    return res.count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("gamma_spark-bench")
+    # warm the JVM + parquet footers so per-query times measure the work
+    for t in ("embeddings", "documents", "lineitem", "events"):
+        try:
+            entry_mod._t(spark, sf_dir, t).count()
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            entry_mod._t(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    qs = entry_mod.queries()
+    run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
+    for name in (
+        "knn_ip_topk",
+        "knn_fusion_multivector",
+        "knn_hamming_topk",
+        "filter_range_term",
+        "pricing_summary",
+        "top_customers",
+        "events_hourly",
+        "upsert_last_wins",
+    ):
+        run(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "gamma_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,30 @@
+"""gamma_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of vearch/gamma.
+
+The reference (read-only at /root/reference) is a single-node C++ vector
+search core: documents mixing scalar and dense-vector fields, answering
+filtered top-k nearest-neighbor queries with real-time indexing
+(see SURVEY.md). This package re-expresses that surface Spark-first:
+
+- Tables are DataFrames persisted as Parquet (gamma's row store /
+  RawVector tiers are replaced by columnar storage + Spark persist()).
+- The one query operator (``Search``: filters AND kNN -> fuse -> top-k
+  -> project) becomes a composition of DataFrame operators built by
+  :mod:`gamma_spark.plans.search`.
+- ANN models (FLAT / IVFFLAT / IVFPQ / BINARYIVF) become batch index
+  builds (MLlib-style k-means, PQ codebooks) producing *index tables*
+  that accelerate the same DataFrame plan via partition pruning and
+  two-phase rerank.
+- DML (AddOrUpdateDocs / DeleteDoc / GetDocByID) becomes MERGE-style
+  batch jobs with last-write-wins semantics.
+
+Beyond the reference surface, :mod:`gamma_spark.operators.dedup` and
+:mod:`gamma_spark.functions.text` add the LLM-data-pipeline operators
+(near-duplicate detection, similarity search, text quality analysis)
+designed for 100 TB scale.
+"""
+
+from gamma_spark.session import get_spark
+
+__all__ = ["get_spark"]
+__version__ = "0.1.0"

@@ -1,0 +1,120 @@
+"""The Search planner — gamma's one query operator as a DataFrame plan
+(SURVEY §3.1).
+
+A gamma ``Request`` (`idl/fbs/request.fbs:27-40`) = {N query vectors
+over one or more vector fields, topn, range/term filters, ranking
+flags}. The lifecycle it drives (`search/gamma_engine.cc:299-457`):
+
+    filters -> bitmap          => docs.filter(pred)   [pre-filter, O1]
+    empty bitmap -> early out  => AQE empty-relation propagation
+    per-field ANN search       => index.search(...) per VectorQuery
+    vid->docid collapse (R1)   => groupBy(qid,_docid).agg(best score)
+    multi-vector fusion (R2-4) => inner join on (qid,_docid) + Σ boost·s
+    top-k (R5)                 => window row_number <= k
+    projection (P1)            => join hits back to docs, select fields
+
+``search()`` builds exactly that plan. The ``index`` argument is any
+object implementing the retrieval-model protocol (SURVEY §2.8) — the
+registry in :mod:`gamma_spark.operators.ann` supplies FLAT / IVFFLAT /
+IVFPQ / BINARYIVF, mirroring gamma's REGISTER_MODEL reflection factory
+(`index/impl/gamma_index_flat.cc:28`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gamma_spark import filters as GF
+from gamma_spark.operators import knn
+from gamma_spark.operators.fusion import fuse
+
+
+@dataclass
+class VectorQuery:
+    """One per-field query spec (`idl/fbs/request.fbs:17-25`)."""
+
+    field: str  # docs vector column
+    queries: DataFrame  # (qid, qvec)
+    metric: str = "IP"
+    boost: float = 1.0
+    min_score: float | None = None
+    max_score: float | None = None
+
+
+@dataclass
+class SearchRequest:
+    """Request analogue: filters AND'd, one or more vector queries."""
+
+    vector_queries: list[VectorQuery] = dc_field(default_factory=list)
+    filters: list = dc_field(default_factory=list)
+    topn: int = 10
+    fields: list[str] | None = None  # projection (P1)
+    l2_sqrt: bool = False
+    multi_vector_rank: bool = True
+
+
+def search(
+    docs: DataFrame,
+    request: SearchRequest,
+    index=None,
+    extra_predicate: Column | None = None,
+) -> DataFrame:
+    """Execute a SearchRequest against a docs relation.
+
+    ``index=None`` (or an untrained index) uses the exact FLAT path —
+    gamma's brute_force_search fallback (`gamma_engine.cc:329-340`).
+    Returns (qid, _docid, score, rank, *projected fields).
+    """
+    pred = GF.combine(request.filters, docs)
+    if extra_predicate is not None:
+        pred = extra_predicate if pred is None else (pred & extra_predicate)
+
+    if not request.vector_queries:
+        return GF.filter_only_query(docs, request.filters, request.topn)
+
+    per_field = []
+    for vq in request.vector_queries:
+        if index is not None:
+            hits = index.search(
+                docs,
+                vq.queries,
+                k=request.topn,
+                metric=vq.metric,
+                doc_vec=vq.field,
+                predicate=pred,
+                min_score=vq.min_score,
+                max_score=vq.max_score,
+                l2_sqrt=request.l2_sqrt,
+            )
+        else:
+            hits = knn.knn_join(
+                docs,
+                vq.queries,
+                k=request.topn,
+                metric=vq.metric,
+                doc_vec=vq.field,
+                predicate=pred,
+                min_score=vq.min_score,
+                max_score=vq.max_score,
+                l2_sqrt=request.l2_sqrt,
+            )
+        per_field.append(hits)
+
+    if len(per_field) == 1:
+        result = per_field[0]
+    else:
+        result = fuse(
+            per_field,
+            boosts=[vq.boost for vq in request.vector_queries],
+            metric=request.vector_queries[0].metric,
+            k=request.topn,
+            rank=request.multi_vector_rank,
+        )
+
+    if request.fields:
+        proj = docs.select("_docid", *request.fields)
+        result = result.join(proj, on="_docid", how="inner")
+    return result

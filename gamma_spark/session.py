@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor case: AQE on (runtime re-plan, skew-join splitting, empty
+relation propagation — gamma's empty-filter short-circuit, SURVEY O2),
+adaptive shuffle partition coalescing, and Arrow for the few pandas-UDF
+kernels (distance/codebook math) so Python crossings are batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Catalyst/AQE: runtime re-planning replaces gamma's hard-coded
+    # physical heuristics (SURVEY §4 O2/O3/O8).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for pandas UDF kernels (distance matmul, PQ encode).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Parquet scans: keep row-group pruning + dictionary filtering on
+    # (these replace gamma's per-field B-tree range index, SURVEY F1).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Broadcast threshold: query/centroid/codebook tables are small and
+    # must broadcast, never shuffle (SURVEY O5/O11).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "gamma_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    when no cluster master is configured; on a real cluster the caller's
+    spark-submit settings win.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    # At 100 TB this would be sized to ~2-3x total executor cores with
+    # AQE coalescing down; locally keep it at the core count.
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf["spark.ui.enabled"] = "false"
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

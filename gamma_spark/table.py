@@ -1,0 +1,231 @@
+"""GammaTable — the document-table abstraction + DML surface (SURVEY §1,
+§2.1).
+
+The reference's table is scalars + vector fields keyed by ``_id`` with a
+dense engine-assigned ``docid`` (`table/table.cc`, cuckoo key map
+`table/table.h:185`), logical deletes via a global bitmap
+(`util/bitmap_manager.cc`), and snapshot Dump/Load persistence with a
+done-marker (`search/gamma_engine.cc:1101-1146`).
+
+Spark mapping (SURVEY §1.4):
+
+- docs live in Parquet; ``_docid`` is a dense long minted at ingest,
+  ``_deleted`` a tombstone column every reader masks.
+- AddOrUpdateDocs = MERGE-style batch job: new keys get fresh docids,
+  existing keys are updated in place (same ``_docid``), duplicate keys
+  *within* a batch resolve last-write-wins
+  (`search/gamma_engine.cc:676-759`).
+- Dump = atomic snapshot directory (write to temp, done-marker rename);
+  Load = newest complete snapshot. Gamma's replay-rebuild of field
+  indexes disappears — Parquet stats are rebuilt by writing.
+
+Scale notes: docid minting uses a per-partition offset scheme (no
+global sort, no driver collect); upsert is a single full-outer-shuffle
+join on ``_id`` — at 100 TB the docs side should be bucketed by ``_id``
+so the join co-locates without shuffling the big side; deletes write
+only tombstones and a compaction job rewrites.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gamma_spark import filters as GF
+
+DOCID = "_docid"
+DELETED = "_deleted"
+DONE_MARKER = "dump.done"
+
+
+def assign_docids(df: DataFrame, start: int = 0, docid_col: str = DOCID) -> DataFrame:
+    """Mint dense monotonically-increasing docids (gamma's ``max_docid_``
+    counter, `search/gamma_engine.cc:656`) without a global sort.
+
+    Two Spark jobs: (1) count rows per partition (cheap, column-pruned),
+    (2) per-partition ``row_number`` + broadcast offset. Unlike
+    ``monotonically_increasing_id`` the result is *dense*, which
+    multi-vector fusion and the delete bitmap analogue rely on.
+    """
+    spark = df.sparkSession
+    with_pid = df.withColumn("_pid", F.spark_partition_id())
+    counts = with_pid.groupBy("_pid").count().collect()
+    if not counts:  # empty input: keep schema, no rows to number
+        return df.withColumn(docid_col, F.lit(start).cast("long"))
+    offsets, acc = {}, start
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offmap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        with_pid.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn(docid_col, (offmap[F.col("_pid")] + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn")
+    )
+
+
+class GammaTable:
+    """A gamma document table backed by a DataFrame (optionally a Parquet
+    snapshot directory). One instance = one table, like one engine
+    instance = one table in the reference (`c_api/gamma_api.h:20-206`).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str = "_id",
+        path: str | None = None,
+    ):
+        self.spark = spark
+        self.id_col = id_col
+        self.path = path
+        if DOCID not in df.columns:
+            df = assign_docids(df)
+        if DELETED not in df.columns:
+            df = df.withColumn(DELETED, F.lit(False))
+        self._df = df
+
+    # -- views ---------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """Live view: deleted docs masked (F7)."""
+        return self._df.filter(~F.col(DELETED)).drop(DELETED)
+
+    @property
+    def raw(self) -> DataFrame:
+        return self._df
+
+    def doc_count(self) -> int:
+        """GetDocsNum = max_docid - delete_num (`gamma_engine.cc:1069`)."""
+        return self.df.count()
+
+    def status(self) -> dict:
+        """EngineStatus analogue (`idl/fbs/engine_status.fbs:87-99`)."""
+        agg = self._df.select(
+            F.count(F.lit(1)).alias("max_docid"),
+            F.sum(F.col(DELETED).cast("long")).alias("deleted"),
+        ).collect()[0]
+        return {
+            "max_docid": agg["max_docid"],
+            "deleted": int(agg["deleted"] or 0),
+            "doc_count": agg["max_docid"] - int(agg["deleted"] or 0),
+        }
+
+    # -- point lookup (S4) ----------------------------------------------
+    def get_doc_by_id(self, key) -> DataFrame:
+        """GetDocByID (`search/gamma_engine.cc:951-994`): deleted => miss."""
+        return self.df.filter(F.col(self.id_col) == F.lit(key))
+
+    # -- upsert (S2/S3) --------------------------------------------------
+    def add_or_update(self, batch: DataFrame) -> "GammaTable":
+        """AddOrUpdateDocs (`search/gamma_engine.cc:676-759`).
+
+        - duplicate ``_id`` within the batch: last write wins (batch
+          order = ingestion order);
+        - existing ``_id``: update in place, docid preserved, tombstone
+          cleared (a re-add of a deleted key revives it with its old
+          docid — matches gamma updating rather than re-adding);
+        - new ``_id``: appended with fresh dense docids.
+        """
+        idc = self.id_col
+        w = Window.partitionBy(idc).orderBy(F.col("_batch_pos").desc())
+        deduped = (
+            batch.withColumn("_batch_pos", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_batch_pos")
+        )
+        cur = self._df
+        data_cols = [c for c in deduped.columns if c != idc]
+        joined = cur.alias("t").join(
+            deduped.alias("b"), on=F.col(f"t.{idc}") == F.col(f"b.{idc}"), how="left"
+        )
+        updated = joined.select(
+            F.col(f"t.{idc}").alias(idc),
+            F.col(f"t.{DOCID}").alias(DOCID),
+            F.when(F.col(f"b.{idc}").isNotNull(), F.lit(False))
+            .otherwise(F.col(f"t.{DELETED}"))
+            .alias(DELETED),
+            *[
+                F.when(F.col(f"b.{idc}").isNotNull(), F.col(f"b.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+        max_docid = self._df.select(F.max(DOCID)).collect()[0][0]
+        new_rows = deduped.join(
+            cur.select(idc), on=idc, how="left_anti"
+        )
+        new_rows = assign_docids(new_rows, start=(max_docid or -1) + 1)
+        new_rows = new_rows.withColumn(DELETED, F.lit(False))
+        merged = updated.unionByName(new_rows.select(*updated.columns))
+        return GammaTable(self.spark, merged, id_col=idc, path=self.path)
+
+    # -- delete (F10) -----------------------------------------------------
+    def delete_by_id(self, key) -> "GammaTable":
+        return self.delete_by_filter([], extra_predicate=F.col(self.id_col) == F.lit(key))[0]
+
+    def delete_by_filter(
+        self, filter_list, extra_predicate: Column | None = None
+    ) -> tuple["GammaTable", DataFrame]:
+        """DelDocByFilter (`search/gamma_engine.cc:873-949`): tombstone
+        matching live docs and return their ids (the reference returns a
+        JSON array of deleted ``_id``s)."""
+        pred = GF.combine(filter_list, self._df)
+        full = F.lit(True) if pred is None else pred
+        if extra_predicate is not None:
+            full = full & extra_predicate
+        hit = full & ~F.col(DELETED)
+        deleted_ids = self._df.filter(hit).select(self.id_col)
+        new_df = self._df.withColumn(
+            DELETED, F.when(hit, F.lit(True)).otherwise(F.col(DELETED))
+        )
+        return GammaTable(self.spark, new_df, id_col=self.id_col, path=self.path), deleted_ids
+
+    # -- snapshot persistence (S5) ---------------------------------------
+    def dump(self, root: str) -> str:
+        """Dump (`search/gamma_engine.cc:1101-1146`): timestamped snapshot
+        dir; the done-marker write is last, so readers only ever load
+        complete snapshots."""
+        ts = time.strftime("%Y%m%d%H%M%S") + f"_{int(time.time()*1000)%1000:03d}"
+        snap = os.path.join(root, ts)
+        self._df.write.mode("overwrite").parquet(os.path.join(snap, "docs"))
+        meta = {"id_col": self.id_col, "created": ts, "columns": self._df.columns}
+        with open(os.path.join(snap, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(snap, DONE_MARKER), "w") as fh:
+            fh.write("done\n")
+        return snap
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "GammaTable":
+        """Load the newest snapshot carrying a done-marker
+        (`search/gamma_engine.cc:1175-1285`)."""
+        snaps = sorted(
+            d
+            for d in os.listdir(root)
+            if os.path.exists(os.path.join(root, d, DONE_MARKER))
+        )
+        if not snaps:
+            raise FileNotFoundError(f"no complete snapshot under {root}")
+        snap = os.path.join(root, snaps[-1])
+        with open(os.path.join(snap, "meta.json")) as fh:
+            meta = json.load(fh)
+        df = spark.read.parquet(os.path.join(snap, "docs"))
+        return cls(spark, df, id_col=meta["id_col"], path=snap)
+
+    def compact(self) -> "GammaTable":
+        """Physically drop tombstoned rows (gamma leaves this to index
+        compaction, `index/impl/gamma_index_ivfpq.cc:420`)."""
+        return GammaTable(
+            self.spark, self._df.filter(~F.col(DELETED)), id_col=self.id_col, path=self.path
+        )

@@ -1,0 +1,85 @@
+"""Multi-vector fusion (SURVEY R2-R4) + the search planner end to end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark import filters as GF
+from gamma_spark.operators import knn
+from gamma_spark.operators.fusion import fuse
+from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+
+@pytest.fixture(scope="module")
+def docs(embeddings):
+    # fabricate a second vector field: reversed embedding (independent order)
+    return (
+        embeddings.withColumnRenamed("vec_id", "_docid")
+        .withColumn("emb2", F.reverse(F.col("embedding")))
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, docs):
+    rows = docs.orderBy("_docid").limit(5).collect()
+    q1 = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    q2 = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.emb2]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    return q1, q2
+
+
+def test_fusion_intersects_and_sums(docs, queries):
+    q1, q2 = queries
+    k = 20
+    r1 = knn.knn_join(docs, q1, k=k, metric="IP", doc_vec="embedding")
+    r2 = knn.knn_join(docs, q2, k=k, metric="IP", doc_vec="emb2")
+    fused = fuse([r1, r2], boosts=[0.7, 0.3], metric="IP", k=5)
+    rows = fused.collect()
+    s1 = {(r.qid, r._docid): r.score for r in r1.collect()}
+    s2 = {(r.qid, r._docid): r.score for r in r2.collect()}
+    for r in rows:
+        key = (r.qid, r._docid)
+        assert key in s1 and key in s2  # intersection on docid (R2)
+        assert abs(r.score - (0.7 * s1[key] + 0.3 * s2[key])) < 1e-9  # R3
+    # self-match should fuse to top rank per query
+    for r in rows:
+        if r.rank == 1:
+            assert r._docid == r.qid
+
+
+def test_planner_single_field(docs, queries):
+    q1, _ = queries
+    req = SearchRequest(
+        vector_queries=[VectorQuery(field="embedding", queries=q1, metric="IP")],
+        filters=[GF.RangeFilter("label", lower=0)],
+        topn=3,
+        fields=["label"],
+    )
+    res = search(docs, req).collect()
+    assert len(res) == 15
+    assert {c for c in res[0].asDict()} == {"qid", "_docid", "score", "rank", "label"}
+
+
+def test_planner_multi_field_fusion(docs, queries):
+    q1, q2 = queries
+    req = SearchRequest(
+        vector_queries=[
+            VectorQuery(field="embedding", queries=q1, metric="IP", boost=0.7),
+            VectorQuery(field="emb2", queries=q2, metric="IP", boost=0.3),
+        ],
+        topn=5,
+    )
+    res = search(docs, req).collect()
+    assert all(r.rank <= 5 for r in res)
+
+
+def test_planner_filter_only(documents):
+    docs = documents.withColumn("_docid", F.col("doc_id"))
+    req = SearchRequest(filters=[GF.TermFilter("lang", ("de",), GF.TERM_OR)], topn=7)
+    res = search(docs, req).collect()
+    assert len(res) == 7
+    assert all(r.lang == "de" for r in res)

@@ -1,0 +1,71 @@
+"""GammaTable DML parity (SURVEY §2.1 S2-S5, F10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark import filters as GF
+from gamma_spark.table import GammaTable, assign_docids
+
+
+@pytest.fixture()
+def table(spark, documents):
+    return GammaTable(spark, documents, id_col="doc_id")
+
+
+def test_assign_docids_dense(spark):
+    df = spark.range(0, 1000).repartition(7).select(F.col("id").alias("x"))
+    out = assign_docids(df)
+    ids = sorted(r._docid for r in out.collect())
+    assert ids == list(range(1000))
+
+
+def test_get_doc_by_id(table):
+    row = table.get_doc_by_id(42).collect()
+    assert len(row) == 1 and row[0].doc_id == 42
+
+
+def test_upsert_last_wins_within_batch(spark, table):
+    n0 = table.doc_count()
+    batch = spark.createDataFrame(
+        [
+            (42, "updated first", "en", "srcX", 1),
+            (42, "updated last", "en", "srcX", 2),   # same key later in batch wins
+            (10**9, "brand new", "zz", "srcN", 3),
+        ],
+        table.df.drop("_docid").schema,
+    )
+    t2 = table.add_or_update(batch)
+    assert t2.doc_count() == n0 + 1
+    got = t2.get_doc_by_id(42).collect()[0]
+    assert got.text == "updated last"
+    # updated doc keeps its docid
+    old_docid = table.get_doc_by_id(42).collect()[0]._docid
+    assert got._docid == old_docid
+    new = t2.get_doc_by_id(10**9).collect()[0]
+    assert new._docid == n0  # dense continuation
+
+
+def test_delete_by_filter_returns_ids(table):
+    t2, deleted = table.delete_by_filter([GF.TermFilter("lang", ("zh",), GF.TERM_OR)])
+    dels = sorted(r.doc_id for r in deleted.collect())
+    assert len(dels) > 0
+    assert t2.doc_count() == table.doc_count() - len(dels)
+    # deleted => point lookup miss (S4 semantics)
+    assert t2.get_doc_by_id(dels[0]).count() == 0
+    # re-add revives with same docid
+    revive = table.df.filter(F.col("doc_id") == dels[0]).drop("_docid")
+    t3 = t2.add_or_update(revive)
+    assert t3.get_doc_by_id(dels[0]).count() == 1
+
+
+def test_dump_load_roundtrip(tmp_path, spark, table):
+    t2, _ = table.delete_by_filter([GF.RangeFilter("n_chars", upper=50)])
+    t2.dump(str(tmp_path))
+    loaded = GammaTable.load(spark, str(tmp_path))
+    assert loaded.doc_count() == t2.doc_count()
+    assert loaded.status() == t2.status()
+
+
+def test_status(table):
+    st = table.status()
+    assert st["doc_count"] == st["max_docid"] - st["deleted"]
