@@ -108,6 +108,46 @@ def q_knn_fusion(spark, sf_dir):
     return fuse([r1, r2], boosts=[FUSE_B1, FUSE_B2], metric="IP", k=FUSE_K)
 
 
+IVF_NCENT = 16
+
+
+def q_knn_ivfflat_exact(spark, sf_dir):
+    """IVFFLAT with nprobe == ncentroids degenerates to exact brute force
+    (SURVEY §5) — the oracle-checkable configuration; pruned-nprobe recall
+    is covered by tests/test_ann.py."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = _docs(spark, sf_dir)
+    idx = IvfFlatIndex.build(docs, ncentroids=IVF_NCENT, seed=42)
+    return idx.search(None, _queries_df(spark, sf_dir), k=KNN_K, metric="L2", nprobe=IVF_NCENT)
+
+
+def q_knn_ivfpq_rerank_exact(spark, sf_dir):
+    """IVFPQ with full probes + recall_num = N + exact rerank: the ADC
+    stage orders candidates, the rerank recomputes exact distances for
+    all of them, so the result equals exact brute force while exercising
+    the whole codes->ADC->rerank pipeline."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
+    return pq.search(
+        docs, _queries_df(spark, sf_dir), k=KNN_K, metric="L2",
+        nprobe=IVF_NCENT, recall_num=n, has_rank=True,
+    )
+
+
+def q_knn_binaryivf_exact(spark, sf_dir):
+    """BINARYIVF with full probes == exact Hamming top-k."""
+    from gamma_spark.operators.ann import BinaryIvfIndex
+
+    docs = _docs(spark, sf_dir)
+    idx = BinaryIvfIndex.build(docs, ncentroids=IVF_NCENT, seed=42)
+    res = idx.search(None, _queries_df(spark, sf_dir), k=KNN_K, nprobe=IVF_NCENT)
+    return res.withColumn("score", F.col("score").cast("double"))
+
+
 def _sql_knn(score_expr: str, order: str, where: str = "", band: str = "") -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
@@ -391,6 +431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ip_banded": q_knn_ip_banded,
         "knn_hamming_topk": q_knn_hamming,
         "knn_fusion_multivector": q_knn_fusion,
+        "knn_ivfflat_exact": q_knn_ivfflat_exact,
+        "knn_ivfpq_rerank_exact": q_knn_ivfpq_rerank_exact,
+        "knn_binaryivf_exact": q_knn_binaryivf_exact,
         "filter_range_term": q_filter_range_term,
         "filter_only_topn": q_filter_only_topn,
         "point_lookup": q_point_lookup,
@@ -411,6 +454,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ip_banded": SQL_KNN_IP_BANDED,
         "knn_hamming_topk": SQL_KNN_HAMMING,
         "knn_fusion_multivector": SQL_KNN_FUSION,
+        "knn_ivfflat_exact": SQL_KNN_L2,
+        "knn_ivfpq_rerank_exact": SQL_KNN_L2,
+        "knn_binaryivf_exact": SQL_KNN_HAMMING,
         "filter_range_term": SQL_FILTER_RANGE_TERM,
         "filter_only_topn": SQL_FILTER_ONLY_TOPN,
         "point_lookup": SQL_POINT_LOOKUP,

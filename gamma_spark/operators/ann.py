@@ -1,0 +1,129 @@
+"""Retrieval-model registry (SURVEY §2.8).
+
+The reference's only extension point is ``REGISTER_MODEL(name, class)``
+reflection (`index/reflector.h`; e.g. `index/impl/gamma_index_flat.cc:28`,
+`gamma_index_ivfpq.cc:50`). Here: a plain dict of model classes sharing
+the {build, search} protocol; ``get_model`` mirrors the factory lookup.
+
+Models:
+- FLAT      exact brute force (K1) — always available, no build step;
+            also the fallback for untrained indexes
+            (`search/gamma_engine.cc:329-340`)
+- IVFFLAT   coarse k-means + nprobe-pruned exact scan (K2)
+- IVFPQ     IVF + product quantization + exact rerank (K3)
+- BINARYIVF IVF over packed sign bits, Hamming scoring (K6)
+
+HNSW / ScaNN / GPU (K5/K7/K8) are documented non-goals: graph-traversal
+ANN does not map to DataFrame execution; the capability (filtered
+approximate kNN) is covered by the IVF family (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gamma_spark.functions import vector as V
+from gamma_spark.operators import knn
+from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
+from gamma_spark.operators.pq import IvfPqIndex
+
+
+class FlatIndex:
+    """K1 — stateless; search() is the exact kernel (join path for small
+    query batches / oracle parity, scan path for throughput)."""
+
+    name = "FLAT"
+
+    def __init__(self, use_scan_kernel: bool = True):
+        self.use_scan_kernel = use_scan_kernel
+
+    @classmethod
+    def build(cls, docs: DataFrame, **kw) -> "FlatIndex":
+        return cls()
+
+    def search(self, docs: DataFrame, queries: DataFrame, **kw) -> DataFrame:
+        kw.pop("nprobe", None)
+        fn = knn.knn_scan if self.use_scan_kernel else knn.knn_join
+        return fn(docs, queries, **kw)
+
+
+class BinaryIvfIndex:
+    """K6 — binary vectors (packed sign bits in a BIGINT), Hamming
+    distance, IVF bucketing by the float-space coarse quantizer.
+
+    The reference trains binary IVF with faiss k-means over binary
+    codes (`index/impl/gamma_index_binary_ivf.cc:57`); we bucket by the
+    float-vector quantizer (same recall intent: nearby vectors share
+    buckets) and score with XOR+popcount, which stays in codegen.
+    """
+
+    name = "BINARYIVF"
+
+    def __init__(self, ivf: IvfFlatIndex, sig_col: str):
+        self.ivf = ivf
+        self.sig_col = sig_col
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        doc_vec: str = "embedding",
+        ncentroids: int = 256,
+        sample_size: int = 100_000,
+        seed: int = 42,
+        path: str | None = None,
+    ) -> "BinaryIvfIndex":
+        sig = f"{doc_vec}_sig"
+        with_sig = docs.withColumn(sig, V.sign_bits(doc_vec))
+        ivf = IvfFlatIndex.build(
+            with_sig, doc_vec=doc_vec, ncentroids=ncentroids,
+            sample_size=sample_size, seed=seed, path=path,
+        )
+        return cls(ivf, sig)
+
+    def search(
+        self,
+        docs: DataFrame,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 10,
+        predicate: Column | None = None,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        **kw,
+    ) -> DataFrame:
+        """Queries carry float vectors; they are binarized here with the
+        same sign_bits packing used at build."""
+        qsig = queries.select(
+            F.col(query_id).alias("qid"), V.sign_bits(query_vec).alias("qsig"),
+            F.col(query_vec).alias("_probe_vec"),
+        )
+        return self.ivf.search(
+            None,
+            qsig,
+            k=k,
+            metric="HAMMING",
+            doc_vec=self.sig_col,
+            nprobe=nprobe,
+            predicate=predicate,
+            query_id="qid",
+            query_vec="qsig",
+            probe_vec="_probe_vec",
+        )
+
+
+MODELS = {
+    "FLAT": FlatIndex,
+    "IVFFLAT": IvfFlatIndex,
+    "IVFPQ": IvfPqIndex,
+    "BINARYIVF": BinaryIvfIndex,
+}
+
+
+def get_model(name: str):
+    try:
+        return MODELS[name.upper()]
+    except KeyError:
+        raise ValueError(f"unknown retrieval model {name!r}; one of {sorted(MODELS)}") from None

@@ -1,0 +1,213 @@
+"""IVFFLAT — inverted-file ANN index (SURVEY K2, O5).
+
+Reference behavior (`index/impl/gamma_index_ivfflat.cc:111,392-540`):
+train a coarse k-means quantizer on the first ``indexing_size`` vectors,
+assign every vector to its nearest centroid's inverted list, and at
+search time scan only the ``nprobe`` lists whose centroids are nearest
+to the query — exact distances within the probed lists.
+
+Spark design:
+
+- **Train**: MLlib KMeans over a bounded sample (the reference also
+  trains on a bounded prefix, `search/gamma_engine.cc:659-664`), seeded
+  for determinism.
+- **Assign**: one vectorized ``mapInPandas`` pass computes
+  ``cluster_id = argmin ||v - c||`` against the broadcast centroid
+  matrix (numpy matmul per Arrow batch) — no shuffle.
+- **Store**: the index table is the docs relation + ``cluster_id``,
+  written ``partitionBy("cluster_id")`` so a probe reads only its
+  buckets — gamma's nprobe pruning becomes **Parquet partition
+  pruning** (SURVEY O5). At 100 TB each bucket is further split by
+  Parquet's own file sizing; no bucket ever needs to fit in memory.
+- **Search**: nearest-nprobe-centroids per query is a driver-side
+  numpy matmul over the (tiny) query batch x centroid matrix; probed
+  ``cluster_id`` literals turn into a pushed-down ``isin`` filter; the
+  exact scan within the pruned buckets reuses the FLAT kernels.
+
+With ``nprobe == ncentroids`` the plan degenerates to exact brute force
+— that degeneracy is our oracle-checkable configuration (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import knn
+
+DEFAULT_NCENTROIDS = 256  # reference test default (`tests/test.h:51-66`)
+DEFAULT_NPROBE = 10
+
+
+def _train_centroids(
+    docs: DataFrame,
+    doc_vec: str,
+    ncentroids: int,
+    sample_size: int,
+    seed: int,
+) -> np.ndarray:
+    """MLlib KMeans on a bounded sample; returns (ncentroids, d)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = docs.select(array_to_vector(F.col(doc_vec).cast("array<double>")).alias("features"))
+    total = docs.count()
+    if total > sample_size:
+        sample = sample.sample(fraction=min(1.0, 1.2 * sample_size / total), seed=seed).limit(
+            sample_size
+        )
+    model = KMeans(k=ncentroids, seed=seed, initMode="k-means||").fit(sample)
+    return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+
+def assign_clusters(
+    docs: DataFrame, centroids: np.ndarray, doc_vec: str = "embedding"
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment (map-only, no shuffle)."""
+    cents = centroids.astype(np.float64)
+    cnorm = (cents * cents).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+            # argmin over ||v-c||^2 = v.v - 2 v.c + c.c; v.v constant per row
+            d = -2.0 * (mat @ cents.T) + cnorm[None, :]
+            pdf = pdf.copy()
+            pdf["cluster_id"] = d.argmin(axis=1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # copy the fields: df.schema returns the DataFrame's cached StructType
+    # and StructType.add mutates in place
+    schema = StructType(list(docs.schema.fields) + [StructField("cluster_id", IntegerType())])
+    return docs.mapInPandas(assign, schema=schema)
+
+
+class IvfFlatIndex:
+    """RetrievalModel analogue (`index/retrieval_model.h:218-310`):
+    build() trains + materializes the index table, search() executes the
+    nprobe-pruned exact scan."""
+
+    name = "IVFFLAT"
+
+    def __init__(self, centroids: np.ndarray, index_df: DataFrame, path: str | None = None):
+        self.centroids = centroids
+        self.index_df = index_df
+        self.path = path
+
+    # -- build -----------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        doc_vec: str = "embedding",
+        ncentroids: int = DEFAULT_NCENTROIDS,
+        sample_size: int = 100_000,
+        seed: int = 42,
+        path: str | None = None,
+    ) -> "IvfFlatIndex":
+        centroids = _train_centroids(docs, doc_vec, ncentroids, sample_size, seed)
+        assigned = assign_clusters(docs, centroids, doc_vec)
+        if path:
+            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
+                os.path.join(path, "index")
+            )
+            np.save(os.path.join(path, "centroids.npy"), centroids)
+            with open(os.path.join(path, "meta.json"), "w") as fh:
+                json.dump({"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec}, fh)
+            spark = docs.sparkSession
+            assigned = spark.read.parquet(os.path.join(path, "index"))
+        return cls(centroids, assigned, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfFlatIndex":
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        return cls(centroids, spark.read.parquet(os.path.join(path, "index")), path)
+
+    # -- search ----------------------------------------------------------
+    def probe_clusters(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
+        """(Q, nprobe) nearest centroid ids per query — driver-side numpy
+        over the tiny query batch (gamma: quantizer->search,
+        `gamma_index_ivfpq.cc:561`)."""
+        cents = self.centroids
+        d = (
+            (qmat * qmat).sum(axis=1)[:, None]
+            - 2.0 * (qmat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        nprobe = min(nprobe, len(cents))
+        return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+
+    def search(
+        self,
+        docs: DataFrame,  # unused: index_df already carries the docs; kept for protocol
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "IP",
+        doc_vec: str = "embedding",
+        nprobe: int = DEFAULT_NPROBE,
+        predicate: Column | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        l2_sqrt: bool = False,
+        use_scan_kernel: bool = False,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        probe_vec: str | None = None,
+    ) -> DataFrame:
+        """``probe_vec`` names the float query column used for centroid
+        probing when ``query_vec`` itself isn't in centroid space (the
+        BINARYIVF case scores packed signatures but probes floats)."""
+        spark = self.index_df.sparkSession
+        qrows = queries.select(query_id, probe_vec or query_vec).collect()
+        qids = [int(r[0]) for r in qrows]
+        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        probes = self.probe_clusters(qmat, nprobe)
+
+        # (qid, cluster_id) probe pairs — broadcast side of the pruning join
+        pairs = spark.createDataFrame(
+            [(q, int(c)) for q, row in zip(qids, probes) for c in row],
+            "qid long, cluster_id int",
+        )
+        # literal isin over the union of probed clusters prunes parquet
+        # partitions at scan time (partition pruning / pushed filter);
+        # the per-query restriction happens in the pairs join.
+        wanted = sorted({int(c) for row in probes for c in row})
+        pruned = self.index_df.filter(F.col("cluster_id").isin(wanted))
+        if predicate is not None:
+            pruned = pruned.filter(predicate)
+        if "_deleted" in pruned.columns:
+            pruned = pruned.filter(~F.col("_deleted"))
+
+        candidates = pruned.join(F.broadcast(pairs), on="cluster_id", how="inner")
+        # exact scoring within probed lists == FLAT on the candidate set,
+        # restricted per query: score rows where (qid, doc) candidate pair
+        from gamma_spark.functions import vector as V
+        from gamma_spark.operators.topk import topk
+
+        qdf = queries.select(
+            F.col(query_id).alias("_qid2"), F.col(query_vec).alias("_qvec")
+        )
+        scored = candidates.join(
+            F.broadcast(qdf), on=F.col("qid") == F.col("_qid2"), how="inner"
+        ).select(
+            "qid",
+            F.col("_docid").alias("_docid"),
+            V.score(metric, doc_vec, "_qvec", l2_sqrt=l2_sqrt).alias("score"),
+        )
+        if min_score is not None:
+            scored = scored.filter(F.col("score") >= min_score)
+        if max_score is not None:
+            scored = scored.filter(F.col("score") <= max_score)
+        return topk(
+            scored, ["qid"], "score", k, ascending=V.metric_ascending(metric),
+            tiebreak_cols=["_docid"],
+        )

@@ -1,0 +1,124 @@
+"""ANN index family (SURVEY K2/K3/K6): exact degeneracy + recall
+methodology mirroring the reference (`benchs/README.md`, SURVEY §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import knn
+from gamma_spark.operators.ann import BinaryIvfIndex, FlatIndex, get_model
+from gamma_spark.operators.ivf import IvfFlatIndex
+from gamma_spark.operators.pq import IvfPqIndex
+
+NCENT = 16
+
+
+@pytest.fixture(scope="module")
+def docs(embeddings):
+    return embeddings.withColumnRenamed("vec_id", "_docid")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, docs):
+    rows = docs.orderBy("_docid").limit(8).collect()
+    return spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def exact(docs, queries):
+    return {
+        (r.qid, r.rank): (r._docid, r.score)
+        for r in knn.knn_join(docs, queries, k=10, metric="L2").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def ivf(docs):
+    return IvfFlatIndex.build(docs, ncentroids=NCENT, seed=42)
+
+
+def recall_at_k(result_rows, exact_map, k=10):
+    exact_sets = {}
+    for (qid, _), (docid, _) in exact_map.items():
+        exact_sets.setdefault(qid, set()).add(docid)
+    got = {}
+    for r in result_rows:
+        got.setdefault(r.qid, set()).add(r._docid)
+    recs = [len(got.get(q, set()) & s) / len(s) for q, s in exact_sets.items()]
+    return sum(recs) / len(recs)
+
+
+def test_ivfflat_exact_when_nprobe_full(docs, queries, ivf, exact):
+    """nprobe == ncentroids degenerates to exact brute force (SURVEY §5)."""
+    res = ivf.search(None, queries, k=10, metric="L2", nprobe=NCENT)
+    got = {(r.qid, r.rank): (r._docid, r.score) for r in res.collect()}
+    assert got == exact
+
+
+def test_ivfflat_recall_with_pruning(docs, queries, ivf, exact):
+    res = ivf.search(None, queries, k=10, metric="L2", nprobe=4).collect()
+    rec = recall_at_k(res, exact)
+    assert rec >= 0.5, f"recall@10 {rec} too low for nprobe=4/{NCENT}"
+    # self-hit must survive pruning: the query's own cluster is probed first
+    top1 = {r.qid: r._docid for r in res if r.rank == 1}
+    assert all(top1[q] == q for q in top1)
+
+
+def test_ivfflat_prefilter(docs, queries, ivf):
+    res = ivf.search(
+        None, queries, k=5, metric="L2", nprobe=NCENT, predicate=F.col("label") == 2
+    ).collect()
+    allowed = {r._docid for r in docs.filter(F.col("label") == 2).collect()}
+    assert res and {r._docid for r in res} <= allowed
+
+
+def test_ivfpq_exact_degenerate(docs, queries, exact):
+    """nprobe=ncentroids + recall_num=N + rerank: identical to exact."""
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42)
+    res = pq.search(
+        docs, queries, k=10, metric="L2", nprobe=NCENT, recall_num=n, has_rank=True
+    )
+    got = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in res.collect()}
+    want = {k_: (d, round(s, 9)) for k_, (d, s) in exact.items()}
+    assert got == want
+
+
+def test_ivfpq_recall_adc(docs, queries, exact):
+    """ADC + rerank at practical settings reaches usable recall on the
+    small table (reference methodology: recall@k vs exact)."""
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42)
+    res = pq.search(
+        docs, queries, k=10, metric="L2", nprobe=8, recall_num=64, has_rank=True
+    ).collect()
+    rec = recall_at_k(res, exact)
+    assert rec >= 0.6, f"IVFPQ recall@10 {rec}"
+
+
+def test_ivfpq_no_rank_uses_adc_order(docs, queries):
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42)
+    res = pq.search(docs, queries, k=5, metric="L2", nprobe=NCENT, has_rank=False)
+    rows = res.collect()
+    assert len(rows) == 5 * queries.count()
+    assert all(r.rank <= 5 for r in rows)
+
+
+def test_binaryivf_hamming(docs, queries):
+    idx = BinaryIvfIndex.build(docs, ncentroids=NCENT, seed=42)
+    res = idx.search(None, queries, k=5, nprobe=NCENT).collect()
+    # self-query has hamming distance 0 to itself -> must be rank 1
+    # (ties broken by docid; qid==docid here and 0 is the minimum)
+    top1 = {r.qid: (r._docid, r.score) for r in res if r.rank == 1}
+    for q, (d, s) in top1.items():
+        assert s == 0
+    assert len(res) == 5 * queries.count()
+
+
+def test_registry():
+    assert get_model("flat") is FlatIndex
+    assert get_model("IVFFLAT") is IvfFlatIndex
+    with pytest.raises(ValueError):
+        get_model("HNSW")
