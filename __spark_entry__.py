@@ -32,6 +32,7 @@ FUSE_K = 5
 FUSE_B1, FUSE_B2 = 0.7, 0.3
 BAND_LO, BAND_HI = 0.0, 0.5
 LOOKUP_ID = 123
+EMB_NEARDUP_T = 0.35  # synthetic vectors: max pairwise cosine ~0.51
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -407,6 +408,107 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# LLM-pipeline operators (north-star extensions): text analysis + dedup
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    from gamma_spark.functions import text as T
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("n_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+        T.fingerprint("text").alias("fp"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+
+
+def _sql_text_stats() -> str:
+    from gamma_spark.functions import text as T
+
+    return f"""
+SELECT doc_id,
+       {T.sql_token_count('text')} AS n_tokens,
+       {T.sql_avg_token_len('text')} AS avg_token_len,
+       {T.sql_stopword_ratio('text')} AS stopword_ratio,
+       {T.sql_quality_score('text')} AS quality,
+       {T.sql_fingerprint('text')} AS fp,
+       {T.sql_lang_id('text')} AS lang_pred
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from gamma_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "doc_id", F.substring(F.col("text"), 1, 40))
+
+
+def _sql_dedup_exact() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_exact_dedup("documents", "doc_id", "substr(text, 1, 40)")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from gamma_spark.operators import dedup as D
+
+    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    from gamma_spark.operators import dedup as D
+
+    sig = D.sql_minhash_signatures(
+        D.sql_shingles("documents", "doc_id", "text", 3), "doc_id"
+    )
+    return D.sql_lsh_candidate_pairs(sig, "doc_id")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from gamma_spark.operators import dedup as D
+
+    return D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
+def _sql_dedup_jaccard() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_jaccard_pairs("documents", "doc_id", "text", 3, 0.3)
+
+
+def q_simhash_signatures(spark, sf_dir):
+    from gamma_spark.operators import dedup as D
+
+    return D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_simhash_signatures() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_simhash("documents", "doc_id", "text")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from gamma_spark.operators import dedup as D
+
+    return D.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=EMB_NEARDUP_T
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_embedding_neardup_pairs("embeddings", "vec_id", "embedding", EMB_NEARDUP_T)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -442,6 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_jaccard": q_dedup_jaccard,
+        "simhash_signatures": q_simhash_signatures,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -465,4 +573,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "text_stats": _sql_text_stats(),
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_jaccard": _sql_dedup_jaccard(),
+        "simhash_signatures": _sql_simhash_signatures(),
+        "embedding_neardup": _sql_embedding_neardup(),
     }

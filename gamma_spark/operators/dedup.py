@@ -1,0 +1,358 @@
+"""Deduplication & near-duplicate detection for LLM data pipelines
+(north-star extension, BASELINE.json).
+
+Five strategies, each a DataFrame-in/DataFrame-out operator designed
+for 100 TB inputs, each with a DuckDB-SQL twin for the oracle gate:
+
+- exact:      hash-groupBy on a normalized key; one shuffle, fully
+              map-side-combinable.
+- minhash:    shingle -> k parametric min-hashes -> banded LSH;
+              candidate pairs come from a self-join on (band, signature)
+              buckets — the standard shuffle-on-bucket design whose join
+              fan-out is bounded by bucket size, not corpus size.
+- simhash:    32-bit sign-aggregate fingerprint; near-dup = small
+              Hamming distance.
+- ngram-jaccard: exact Jaccard over word n-gram shingle sets via a
+              shingle-inverted self-join (the verify stage after LSH).
+- embedding:  cosine near-dup pairs over the embeddings table; exact
+              pairs via block matmul, or LSH-banded sign-bit prefilter.
+
+All hash arithmetic is md5-derived + mod-P bounded so Spark and DuckDB
+agree bit-for-bit (see gamma_spark.functions.text.hash60).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gamma_spark.functions import text as T
+from gamma_spark.functions import vector as V
+
+P = T.HASH_P
+
+#: parametric minhash family h_i(x) = (A[i] * (x % P) + B[i]) % P —
+#: fixed constants shared verbatim with the SQL twin.
+MINHASH_A = (
+    1103515245, 12345679, 962271285, 423338069, 752877437, 286293355,
+    429496729, 1013904223, 1664525013, 22695477, 214013151, 134775813,
+    65793017, 1229782938, 1865811235, 1291394886,
+)
+MINHASH_B = (
+    12345, 67891, 28411, 10429, 44497, 86243,
+    110503, 132049, 20996011, 24036583, 25964951, 30402457,
+    32582657, 37156667, 42643801, 43112609,
+)
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Assign every row its group keeper (min id per identical key) —
+    one hash aggregation, map-side combinable; `filter(id == keeper)`
+    yields the deduplicated corpus."""
+    keyed = df.select(F.col(id_col), key.alias("_key"))
+    groups = keyed.groupBy("_key").agg(
+        F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        keyed.join(groups, on="_key", how="inner")
+        .select(id_col, "keeper_id", "group_size")
+    )
+
+
+def sql_exact_dedup(table: str, id_col: str, key_sql: str) -> str:
+    return f"""
+SELECT {id_col},
+       min({id_col}) OVER (PARTITION BY {key_sql}) AS keeper_id,
+       count(*) OVER (PARTITION BY {key_sql}) AS group_size
+FROM {table}
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = T.tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def sql_shingles(table: str, id_col: str, text_col: str, n: int = 3) -> str:
+    toks = T.sql_tokens(text_col)
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+SELECT DISTINCT {id_col},
+       unnest([{parts} for i in generate_series(1, len(t) - {n - 1})]) AS shingle
+FROM (SELECT {id_col}, {toks} AS t FROM {table}) s
+WHERE len(t) >= {n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, h0..h15): minhash over the doc's shingle set."""
+    x = F.pmod(T.hash60("shingle"), F.lit(P))
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def sql_minhash_signatures(shingles_sql: str, id_col: str) -> str:
+    x = f"({T.sql_hash60('shingle')} % {P})"
+    aggs = ", ".join(
+        f"min(({a} * {x} + {b}) % {P}) AS h{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"SELECT {id_col}, {aggs} FROM ({shingles_sql}) GROUP BY {id_col}"
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band signature.
+    The self-join shuffles on (band, signature) — bucket-bounded fan-out."""
+    rows_per_band = N_HASHES // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bsig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def sql_lsh_candidate_pairs(signatures_sql: str, id_col: str) -> str:
+    rows_per_band = N_HASHES // N_BANDS
+    selects = []
+    for b in range(N_BANDS):
+        cols = " || ':' || ".join(
+            f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+        )
+        selects.append(f"SELECT {id_col}, {b} AS band, {cols} AS bsig FROM sig")
+    banded = " UNION ALL ".join(selects)
+    return f"""
+WITH sig AS ({signatures_sql}),
+banded AS ({banded})
+SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.{id_col} < b.{id_col}
+"""
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col)
+    return lsh_candidate_pairs(sig, id_col)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram jaccard (the LSH verify stage)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets for every pair sharing
+    >= 1 shingle; emits (id_a, id_b, jaccard >= threshold). The shared-
+    shingle inverted join bounds the candidate space the same way the
+    reference's posting intersections do for filters (SURVEY F6)."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=(F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sql_jaccard_pairs(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    sh = sql_shingles(table, id_col, text_col, n)
+    return f"""
+WITH sh AS ({sh}),
+sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
+common AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       (common)::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jaccard
+FROM common
+JOIN sizes sa ON sa.{id_col} = id_a
+JOIN sizes sb ON sb.{id_col} = id_b
+WHERE (common)::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit simhash over distinct tokens: bit j set iff
+    sum over tokens of (2*bit_j(hash60(tok)) - 1) > 0."""
+    tok = (
+        df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+        .distinct()
+        .withColumn("h", T.hash60("tok"))
+    )
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+                for j in range(SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def sql_simhash(table: str, id_col: str, text_col: str) -> str:
+    h = T.sql_hash60("tok")
+    sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT {id_col}, unnest({T.sql_tokens(text_col)}) AS tok FROM {table}
+),
+hashed AS (SELECT {id_col}, {h} AS h FROM tok),
+sums AS (SELECT {id_col}, {sums} FROM hashed GROUP BY {id_col})
+SELECT {id_col}, {bits} AS simhash FROM sums
+"""
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance. Exact pair scan —
+    the scale path buckets on simhash bytes first (same LSH shape)."""
+    sig = simhash(df, id_col, text_col)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            V.hamming(F.col("a.simhash"), F.col("b.simhash")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    prefilter_bits: int | None = None,
+) -> DataFrame:
+    """(id_a < id_b, cosine) pairs with cosine >= threshold.
+
+    prefilter_bits=None: exact all-pairs (quadratic — correctness/oracle
+    mode). prefilter_bits=b: only pairs agreeing on a b-bit sign-band
+    are scored (LSH mode; recall < 1, tested separately)."""
+    base = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if prefilter_bits:
+        base = base.withColumn(
+            "_band", V.sign_bits("_v", n_bits=prefilter_bits)
+        )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    if prefilter_bits:
+        cond = cond & (F.col("a._band") == F.col("b._band"))
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            V.cosine(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def sql_embedding_neardup_pairs(
+    table: str, id_col: str, vec_col: str, threshold: float
+) -> str:
+    cos = V.sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos} AS cosine
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE {cos} >= {threshold}
+"""

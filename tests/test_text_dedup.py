@@ -1,0 +1,165 @@
+"""Text analysis + dedup operators: DuckDB parity (the same arithmetic
+must produce identical values) and semantic checks."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.functions import text as T
+from gamma_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    return c
+
+
+def test_hash60_parity(spark, con):
+    vals = ["hello", "the quick brown fox", "", "Ünïcödé test"]
+    sdf = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", T.hash60("s").alias("h")
+    )
+    got = {r.s: r.h for r in sdf.collect()}
+    for v in vals:
+        want = con.execute(f"SELECT {T.sql_hash60('?')}", [v]).fetchone()[0] if False else \
+            con.execute("SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [v]).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_text_stats_parity(documents, con):
+    sdf = documents.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.stopword_ratio("text").alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+        T.fingerprint("text").alias("fp"),
+        T.lang_id("text").alias("lang_pred"),
+    )
+    ddf = con.execute(f"""
+        SELECT doc_id,
+               {T.sql_token_count('text')} AS n_tokens,
+               {T.sql_avg_token_len('text')} AS avg_token_len,
+               {T.sql_stopword_ratio('text')} AS stopword_ratio,
+               {T.sql_quality_score('text')} AS quality,
+               {T.sql_fingerprint('text')} AS fp,
+               {T.sql_lang_id('text')} AS lang_pred
+        FROM documents
+    """).fetchdf().set_index("doc_id").sort_index()
+    spdf = sdf.toPandas().set_index("doc_id").sort_index()
+    for col in ["n_tokens", "fp", "lang_pred"]:
+        assert (spdf[col] == ddf[col]).all(), col
+    for col in ["avg_token_len", "stopword_ratio", "quality"]:
+        assert (spdf[col].to_numpy() == ddf[col].to_numpy()).all(), col
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], "id long, t string"
+    )
+    res = {r.id: (r.keeper_id, r.group_size) for r in
+           D.exact_dedup(df, "id", F.col("t")).collect()}
+    assert res == {1: (1, 3), 3: (1, 3), 4: (1, 3), 2: (2, 1)}
+
+
+def test_shingles_parity(documents, con):
+    got = D.shingles(documents.limit(50), "doc_id", "text", n=3)
+    want = con.execute(
+        "SELECT count(*) FROM (" + D.sql_shingles("(SELECT * FROM documents WHERE doc_id < 50)", "doc_id", "text", 3) + ")"
+    ).fetchone()[0]
+    assert got.filter(F.col("doc_id") < 50).count() == con.execute(
+        "SELECT count(*) FROM (" + D.sql_shingles("(SELECT * FROM documents WHERE doc_id < 50)", "doc_id", "text", 3) + ")"
+    ).fetchone()[0]
+    # spot-check identical shingle sets for one doc
+    s_spark = {
+        r.shingle
+        for r in D.shingles(documents.filter(F.col("doc_id") == 7), "doc_id", "text").collect()
+    }
+    s_duck = {
+        r[0]
+        for r in con.execute(
+            "SELECT shingle FROM (" + D.sql_shingles("(SELECT * FROM documents WHERE doc_id = 7)", "doc_id", "text", 3) + ")"
+        ).fetchall()
+    }
+    assert s_spark == s_duck
+
+
+def test_minhash_lsh_parity(documents, con):
+    docs = documents.filter(F.col("doc_id") < 100)
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    sig_sql = D.sql_minhash_signatures(
+        D.sql_shingles("(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text", 3),
+        "doc_id",
+    )
+    want = {
+        (a, b)
+        for a, b in con.execute(D.sql_lsh_candidate_pairs(sig_sql, "doc_id")).fetchall()
+    }
+    assert got == want
+
+
+def test_jaccard_pairs_parity(documents, con):
+    docs = documents.filter(F.col("doc_id") < 100)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    want = {
+        (a, b): j
+        for a, b, j in con.execute(
+            D.sql_jaccard_pairs(
+                "(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text", 3, 0.2
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_simhash_parity_and_selfpairs(spark, documents, con):
+    docs = documents.filter(F.col("doc_id") < 100)
+    got = {r.doc_id: r.simhash for r in D.simhash(docs, "doc_id", "text").collect()}
+    want = dict(
+        con.execute(
+            D.sql_simhash("(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
+    # identical texts must collide at distance 0
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_pairs(dup, "doc_id", "text", max_distance=0).collect()
+    assert [(p.id_a, p.id_b, p.distance) for p in pairs] == [(1, 2, 0)]
+
+
+def test_embedding_neardup(embeddings, con):
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(embeddings, threshold=0.8).collect()
+    }
+    want = {
+        (a, b)
+        for a, b, _ in con.execute(
+            D.sql_embedding_neardup_pairs("embeddings", "vec_id", "embedding", 0.8)
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_embedding_neardup_lsh_is_subset(embeddings):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(embeddings, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            embeddings, threshold=0.8, prefilter_bits=8
+        ).collect()
+    }
+    assert lsh <= exact
