@@ -407,6 +407,106 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_knn_hybrid_exact(spark, sf_dir):
+    """T1 semantics (SURVEY §2.7): half the docs are indexed, half are a
+    pending tail searched exactly; the hybrid union must equal exact
+    brute force over everything — so the exact-kNN oracle applies."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+    from gamma_spark.streaming.incremental import HybridSearcher
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    indexed = docs.filter(F.col("_docid") < n // 2)
+    pending = docs.filter(F.col("_docid") >= n // 2)
+    idx = IvfFlatIndex.build(indexed, ncentroids=IVF_NCENT, seed=42)
+    hybrid = HybridSearcher(idx, pending, doc_vec="embedding")
+    return hybrid.search(_queries_df(spark, sf_dir), k=KNN_K, metric="L2", nprobe=IVF_NCENT)
+
+
+def q_knn_ivfflat_pruned(spark, sf_dir):
+    """Recall-mode IVF (nprobe << ncentroids): not SQL-expressible (the
+    probe set depends on trained centroids) -> rows-only driver check;
+    recall vs exact is asserted in tests/test_ann.py."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = _docs(spark, sf_dir)
+    idx = IvfFlatIndex.build(docs, ncentroids=IVF_NCENT, seed=42)
+    return idx.search(None, _queries_df(spark, sf_dir), k=KNN_K, metric="L2", nprobe=4)
+
+
+def q_knn_ivfpq_adc(spark, sf_dir):
+    """Recall-mode IVFPQ (ADC candidates + rerank) -> rows-only check."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    docs = _docs(spark, sf_dir)
+    pq = IvfPqIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
+    return pq.search(
+        docs, _queries_df(spark, sf_dir), k=KNN_K, metric="L2",
+        nprobe=8, recall_num=64, has_rank=True,
+    )
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Sign-band LSH prefilter near-dup (scale path; subset-of-exact is
+    asserted in tests) -> rows-only check."""
+    from gamma_spark.operators import dedup as D
+
+    return D.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=EMB_NEARDUP_T, prefilter_bits=8,
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> Arrow-batched feature
+    extraction (codec stubbed deterministically) -> rows-only check."""
+    from gamma_spark.operators import multimodal as M
+
+    imgs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("image"),
+        F.struct(
+            F.lit(16).alias("width"), F.lit(12).alias("height"),
+            F.lit("fake").alias("format"),
+        ).alias("image_meta"),
+    )
+    out = M.extract_image_features(imgs, dim=16)
+    return out.select("doc_id", F.size("feat").alias("feat_dim"),
+                      F.round(F.element_at("feat", 1), 6).alias("feat0"))
+
+
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (1h window, 30min slide) — Spark-native
+    capability beyond the reference (SURVEY §2.7); epoch-second window
+    starts keep the oracle type-aligned."""
+    ev = _events(spark, sf_dir)
+    ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    win = F.window(ts, "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH e AS (
+  SELECT epoch_ns(ts) // 1000000000 AS sec, event_type FROM events
+),
+w AS (
+  SELECT unnest([ (sec // 1800) * 1800, (sec // 1800) * 1800 - 1800 ]) AS window_start_epoch,
+         event_type
+  FROM e
+)
+SELECT window_start_epoch, event_type, count(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators (north-star extensions): text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -550,6 +650,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "simhash_signatures": q_simhash_signatures,
         "embedding_neardup": q_embedding_neardup,
+        "knn_hybrid_pending_exact": q_knn_hybrid_exact,
+        "knn_ivfflat_pruned": q_knn_ivfflat_pruned,
+        "knn_ivfpq_adc": q_knn_ivfpq_adc,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "multimodal_features": q_multimodal_features,
+        "events_sliding_window": q_events_sliding_window,
     }
 
 
@@ -579,4 +685,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _sql_dedup_jaccard(),
         "simhash_signatures": _sql_simhash_signatures(),
         "embedding_neardup": _sql_embedding_neardup(),
+        "knn_hybrid_pending_exact": SQL_KNN_L2,
+        "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+        # knn_ivfflat_pruned / knn_ivfpq_adc / embedding_neardup_lsh /
+        # multimodal_features: intentionally no oracle (trained-index /
+        # LSH / stub-codec paths) -> driver rows-only check; recall and
+        # subset properties are asserted in tests/.
     }

@@ -1,0 +1,155 @@
+"""Incremental indexing + event-time analytics (SURVEY §2.7 T1-T4).
+
+The reference's real-time story: docs are searchable immediately after
+Add via brute force, a background thread appends new vectors to the
+trained index every second (`search/gamma_engine.cc:1012-1043`,
+`vector/vector_manager.cc:280-382`), and deletes are masked lazily.
+BASELINE.json scopes us to micro-batch semantics, which map exactly:
+
+- T1 (searchable before indexed)  -> HybridSearcher: index search over
+  the indexed set UNION exact scan over the pending tail, one top-k.
+- T2 (background index append)    -> Structured Streaming
+  ``foreachBatch``: assign cluster ids for the micro-batch with the
+  *already trained* centroids (map-only) and append to the
+  cluster-partitioned index table.
+- T3 (bucket compaction)          -> periodic rewrite job
+  (:func:`compact_index`).
+- T4 (lazy delete masking)        -> `_deleted` tombstones checked at
+  scan time, physically dropped by compaction.
+
+Event-time windows (watermarks, tumbling/sliding) are *new* Spark-native
+capability beyond the reference (gamma is arrival-time only — SURVEY
+§2.7), exposed here for the ``events`` stream table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
+from gamma_spark.operators.topk import topk
+
+
+def index_append_batch(index: IvfFlatIndex, batch_df: DataFrame, path: str) -> None:
+    """T2: assign the micro-batch to inverted lists with the trained
+    quantizer and append — the Spark analogue of AddRTVecsToIndex's
+    <=1000-vector chunked appends. Map-only + partitioned append; no
+    retrain, no shuffle."""
+    meta_vec = _index_vec_col(path)
+    assigned = assign_clusters(batch_df, index.centroids, meta_vec)
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(
+        os.path.join(path, "index")
+    )
+
+
+def _index_vec_col(path: str) -> str:
+    import json
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        return json.load(fh)["doc_vec"]
+
+
+def stream_index_appender(stream_df: DataFrame, index: IvfFlatIndex, path: str):
+    """Attach a foreachBatch writer that keeps the index table growing
+    as micro-batches arrive. Returns the DataStreamWriter (caller picks
+    trigger/checkpoint and calls .start())."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index_append_batch(index, batch_df, path)
+
+    return stream_df.writeStream.foreachBatch(handle)
+
+
+def compact_index(spark, path: str) -> None:
+    """T3: rewrite the index table (drops tombstoned rows if a
+    ``_deleted`` column exists, coalesces small append files)."""
+    idx_path = os.path.join(path, "index")
+    df = spark.read.parquet(idx_path)
+    if "_deleted" in df.columns:
+        df = df.filter(~F.col("_deleted"))
+    tmp = idx_path + ".compact"
+    df.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(idx_path)
+    os.rename(tmp, idx_path)
+
+
+class HybridSearcher:
+    """T1: answer queries over indexed + not-yet-indexed docs.
+
+    ``pending`` is the tail the background appender hasn't processed —
+    searched exactly (gamma searches raw vectors brute-force until the
+    index covers them, `search/gamma_engine.cc:329-340`). Both branches
+    produce (qid, _docid, score); one final top-k merges them.
+    """
+
+    def __init__(self, index: IvfFlatIndex, pending: DataFrame | None, doc_vec: str):
+        self.index = index
+        self.pending = pending
+        self.doc_vec = doc_vec
+
+    def search(self, queries: DataFrame, k: int = 10, metric: str = "IP",
+               nprobe: int = 10, predicate=None) -> DataFrame:
+        from gamma_spark.functions.vector import metric_ascending
+        from gamma_spark.operators import knn
+
+        parts = [
+            self.index.search(
+                None, queries, k=k, metric=metric, doc_vec=self.doc_vec,
+                nprobe=nprobe, predicate=predicate,
+            ).select("qid", "_docid", "score")
+        ]
+        if self.pending is not None:
+            parts.append(
+                knn.knn_join(
+                    self.pending, queries, k=k, metric=metric,
+                    doc_vec=self.doc_vec, predicate=predicate,
+                ).select("qid", "_docid", "score")
+            )
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        return topk(merged, ["qid"], "score", k,
+                    ascending=metric_ascending(metric), tiebreak_cols=["_docid"])
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (Spark-native capability beyond the reference)
+# ---------------------------------------------------------------------------
+
+def windowed_event_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding) window counts/sums per event_type. Works on
+    both batch and streaming inputs; pass ``watermark`` on streams so
+    state is bounded and late data beyond it is dropped."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(F.col(ts_col), window_duration, slide) if slide else F.window(
+        F.col(ts_col), window_duration
+    )
+    return (
+        df.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

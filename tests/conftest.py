@@ -13,6 +13,7 @@ def spark():
         "gamma_spark-tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_conf={"spark.sql.legacy.parquet.nanosAsLong": "true"},
     )
     yield s
     s.stop()

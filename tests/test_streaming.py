@@ -1,0 +1,125 @@
+"""Incremental indexing (SURVEY T1-T4) + event-time windows via real
+Structured Streaming micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import knn
+from gamma_spark.operators.ivf import IvfFlatIndex
+from gamma_spark.streaming.incremental import (
+    HybridSearcher,
+    compact_index,
+    stream_index_appender,
+    windowed_event_stats,
+)
+
+NCENT = 8
+
+
+@pytest.fixture(scope="module")
+def docs(embeddings):
+    return embeddings.withColumnRenamed("vec_id", "_docid")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, docs):
+    rows = docs.orderBy("_docid").limit(4).collect()
+    return spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+
+
+def test_stream_append_then_search(tmp_path, spark, docs, queries):
+    """Train on the first half, stream the second half in as parquet
+    micro-batches via foreachBatch, verify full-probe search over the
+    grown index equals exact brute force over everything (T2)."""
+    path = str(tmp_path / "ivf")
+    n = docs.count()
+    first = docs.filter(F.col("_docid") < n // 2)
+    rest = docs.filter(F.col("_docid") >= n // 2)
+
+    idx = IvfFlatIndex.build(first, ncentroids=NCENT, seed=42, path=path)
+
+    src_dir = str(tmp_path / "incoming")
+    rest.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(rest.schema).parquet(src_dir)
+    q = (
+        stream_index_appender(stream, idx, path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    grown = IvfFlatIndex.load(spark, path)
+    assert grown.index_df.count() == n
+
+    got = grown.search(None, queries, k=10, metric="L2", nprobe=NCENT)
+    want = knn.knn_join(docs, queries, k=10, metric="L2")
+    g = {(r.qid, r.rank): r._docid for r in got.collect()}
+    w = {(r.qid, r.rank): r._docid for r in want.collect()}
+    assert g == w
+
+
+def test_hybrid_search_covers_pending(spark, docs, queries):
+    """T1: docs not yet in the index must still be searchable (exact
+    tail union), and results must equal full exact search."""
+    n = docs.count()
+    indexed = docs.filter(F.col("_docid") < n // 2)
+    pending = docs.filter(F.col("_docid") >= n // 2)
+    idx = IvfFlatIndex.build(indexed, ncentroids=NCENT, seed=42)
+    hybrid = HybridSearcher(idx, pending, doc_vec="embedding")
+    got = hybrid.search(queries, k=10, metric="L2", nprobe=NCENT)
+    want = knn.knn_join(docs, queries, k=10, metric="L2")
+    g = {(r.qid, r.rank): r._docid for r in got.collect()}
+    w = {(r.qid, r.rank): r._docid for r in want.collect()}
+    assert g == w
+
+
+def test_compaction_drops_tombstones(tmp_path, spark, docs):
+    path = str(tmp_path / "ivf")
+    flagged = docs.withColumn("_deleted", F.col("_docid") % 5 == 0)
+    IvfFlatIndex.build(flagged, ncentroids=NCENT, seed=42, path=path)
+    compact_index(spark, path)
+    kept = spark.read.parquet(str(tmp_path / "ivf" / "index"))
+    assert kept.filter(F.col("_docid") % 5 == 0).count() == 0
+    assert kept.count() == docs.filter(F.col("_docid") % 5 != 0).count()
+
+
+def test_windowed_event_stats_stream_matches_batch(tmp_path, spark, events):
+    """The same windowed plan on a real stream (availableNow micro-
+    batches + watermark) must produce the batch answer."""
+    ev = events.withColumn(
+        "ts2", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ).drop("ts").withColumnRenamed("ts2", "ts")
+    src = str(tmp_path / "events_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    batch = windowed_event_stats(spark.read.parquet(src))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = windowed_event_stats(stream, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winstats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql("SELECT * FROM winstats").collect()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in got_rows
+    }
+    # append mode only emits windows closed by the watermark; every
+    # emitted window must match the batch result, and most windows close
+    assert got, "stream produced no closed windows"
+    for k, v in got.items():
+        assert want[k] == v
