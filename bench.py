@@ -43,6 +43,22 @@ def bench_knn_scan(spark, sf_dir):
     return res.count()
 
 
+def bench_ivf(spark, sf_dir):
+    """Index build (train + assign) and a 512-query nprobe-pruned search
+    — the gamma hot path at its production shape (SURVEY O5)."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = IvfFlatIndex.build(docs, ncentroids=32, seed=42)
+    idx.index_df.cache().count()
+    queries = docs.select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(512)
+    n = idx.search(None, queries, k=10, metric="L2", nprobe=4).count()
+    idx.index_df.unpersist()
+    return n
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gamma_spark-bench")
@@ -56,13 +72,19 @@ def main():
 
     timings: dict[str, float] = {}
 
-    def run(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def run(name, fn, repeats: int = 2):
+        # best-of-N: single-machine runs at toy SFs have +-50% noise
+        # from GC/AQE; the min is the stable signal
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     qs = entry_mod.queries()
     run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
+    run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
     for name in (
         "knn_ip_topk",
         "knn_fusion_multivector",
@@ -72,6 +94,10 @@ def main():
         "top_customers",
         "events_hourly",
         "upsert_last_wins",
+        "text_stats",
+        "dedup_minhash_lsh",
+        "simhash_signatures",
+        "embedding_neardup_lsh",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
 

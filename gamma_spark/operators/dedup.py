@@ -85,11 +85,10 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    from gamma_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(df.filter(F.size(toks) >= n))
+    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
 def sql_shingles(table: str, id_col: str, text_col: str, n: int = 3) -> str:
@@ -108,13 +107,19 @@ WHERE len(t) >= {n}
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
-    """(id, h0..h15): minhash over the doc's shingle set."""
-    x = F.pmod(T.hash60("shingle"), F.lit(P))
+    """(id, h0..h15): minhash over the doc's shingle set.
+
+    The md5-derived shingle hash is projected ONCE before the aggregate
+    (16 min() aggs each referencing the raw expression would recompute
+    the md5 16x per row)."""
+    hashed = sh.select(
+        F.col(id_col), F.pmod(T.hash60("shingle"), F.lit(P)).alias("_x")
+    )
     aggs = [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(P)).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(P)).alias(f"h{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def sql_minhash_signatures(shingles_sql: str, id_col: str) -> str:
@@ -250,8 +255,11 @@ SIMHASH_BITS = 32
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit simhash over distinct tokens: bit j set iff
     sum over tokens of (2*bit_j(hash60(tok)) - 1) > 0."""
+    from gamma_spark.session import ensure_parallelism
+
     tok = (
-        df.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn("h", T.hash60("tok"))
     )

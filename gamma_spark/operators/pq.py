@@ -42,23 +42,7 @@ from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
 from gamma_spark.operators.topk import topk
 
 
-def _kmeans_np(data: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
-    """Deterministic Lloyd k-means (numpy) for subspace codebooks."""
-    rng = np.random.default_rng(seed)
-    k = min(k, len(data))
-    cents = data[rng.choice(len(data), size=k, replace=False)].copy()
-    for _ in range(iters):
-        d = (
-            (data * data).sum(axis=1)[:, None]
-            - 2.0 * (data @ cents.T)
-            + (cents * cents).sum(axis=1)[None, :]
-        )
-        assign = d.argmin(axis=1)
-        for j in range(k):
-            members = data[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
-    return cents
+from gamma_spark.operators.ivf import kmeans_lloyd_np as _kmeans_np
 
 
 class IvfPqIndex:

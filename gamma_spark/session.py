@@ -32,6 +32,20 @@ _DEFAULTS = {
 }
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition only when the input arrives with too few partitions
+    for a compute-heavy stage (a single small parquet file -> 1
+    partition -> 1 core). At real scale inputs already have thousands of
+    splits and this is a no-op — the check is metadata-only."""
+    spark = df.sparkSession
+    target = min_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "gamma_spark",
     master: str | None = None,
