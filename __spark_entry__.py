@@ -227,6 +227,85 @@ WHERE n_chars > 100 AND n_chars <= 400 AND lang IN ('en','fr') AND source NOT IN
 """
 
 
+def _tagged_docs(spark, sf_dir):
+    """documents + a multi-valued tag column (gamma's \\x01-delimited
+    term fields are semantically ARRAY<STRING> — SURVEY §1.2); tags are
+    the doc's first three tokens."""
+    from gamma_spark.functions import text as T
+
+    return _t(spark, sf_dir, "documents").withColumn(
+        "tags", F.slice(T.tokens("text"), 1, 3)
+    )
+
+
+SQL_TAGGED = "(SELECT *, string_split(text, ' ')[1:3] AS tags FROM documents)"
+
+
+def q_filter_tags_and(spark, sf_dir):
+    """F4: term AND over a multi-value tag field — doc must carry every
+    requested tag."""
+    docs = _tagged_docs(spark, sf_dir)
+    fs = [GF.TermFilter("tags", ("data", "row"), GF.TERM_AND)]
+    return docs.filter(GF.combine(fs, docs)).select(
+        "doc_id", F.array_join("tags", ",").alias("tags_csv")
+    )
+
+
+SQL_FILTER_TAGS_AND = f"""
+SELECT doc_id, array_to_string(tags, ',') AS tags_csv FROM {SQL_TAGGED}
+WHERE list_contains(tags, 'data') AND list_contains(tags, 'row')
+"""
+
+
+def q_filter_tags_or_notin(spark, sf_dir):
+    """F3 + F5 on tag arrays: overlap with an OR set, excluding a NOT-IN
+    set."""
+    docs = _tagged_docs(spark, sf_dir)
+    fs = [
+        GF.TermFilter("tags", ("data", "row", "key"), GF.TERM_OR),
+        GF.TermFilter("tags", ("slow",), GF.TERM_NOT_IN),
+    ]
+    return docs.filter(GF.combine(fs, docs)).select(
+        "doc_id", F.array_join("tags", ",").alias("tags_csv")
+    )
+
+
+SQL_FILTER_TAGS_OR_NOTIN = f"""
+SELECT doc_id, array_to_string(tags, ',') AS tags_csv FROM {SQL_TAGGED}
+WHERE len(list_intersect(tags, ['data','row','key'])) > 0
+  AND NOT len(list_intersect(tags, ['slow'])) > 0
+"""
+
+
+def q_search_projected_l2sqrt(spark, sf_dir):
+    """The full Search shape (SURVEY §3.1): pre-filter AND kNN with
+    l2_sqrt score presentation (`idl/fbs/request.fbs:39`) AND field
+    projection (P1) through the planner."""
+    from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+    docs = _docs(spark, sf_dir)
+    req = SearchRequest(
+        vector_queries=[VectorQuery(field="embedding", queries=_queries_df(spark, sf_dir), metric="L2")],
+        topn=KNN_K,
+        fields=["label"],
+        l2_sqrt=True,
+    )
+    return search(docs, req, extra_predicate=F.col("label").isin(0, 1, 2))
+
+
+SQL_SEARCH_PROJECTED_L2SQRT = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+s AS (
+  SELECT q.qid, e.vec_id AS _docid, sqrt({{l2sq}}) AS score, e.label
+  FROM embeddings e CROSS JOIN q WHERE e.label IN (0, 1, 2)
+)
+SELECT _docid, qid, score, rank::INT AS rank, label FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score ASC, _docid ASC) AS rank
+  FROM s
+) t WHERE rank <= {KNN_K}
+""".replace("{l2sq}", V.sql_l2_squared("e.embedding", "q.qvec"))
+
+
 def q_filter_only_topn(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn("_docid", F.col("doc_id"))
     fs = [GF.TermFilter("lang", ("en",), GF.TERM_OR), GF.RangeFilter("n_chars", lower=200)]
@@ -637,6 +716,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_rerank_exact": q_knn_ivfpq_rerank_exact,
         "knn_binaryivf_exact": q_knn_binaryivf_exact,
         "filter_range_term": q_filter_range_term,
+        "filter_tags_and": q_filter_tags_and,
+        "filter_tags_or_notin": q_filter_tags_or_notin,
+        "search_projected_l2sqrt": q_search_projected_l2sqrt,
         "filter_only_topn": q_filter_only_topn,
         "point_lookup": q_point_lookup,
         "upsert_last_wins": q_upsert_last_wins,
@@ -672,6 +754,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_rerank_exact": SQL_KNN_L2,
         "knn_binaryivf_exact": SQL_KNN_HAMMING,
         "filter_range_term": SQL_FILTER_RANGE_TERM,
+        "filter_tags_and": SQL_FILTER_TAGS_AND,
+        "filter_tags_or_notin": SQL_FILTER_TAGS_OR_NOTIN,
+        "search_projected_l2sqrt": SQL_SEARCH_PROJECTED_L2SQRT,
         "filter_only_topn": SQL_FILTER_ONLY_TOPN,
         "point_lookup": SQL_POINT_LOOKUP,
         "upsert_last_wins": SQL_UPSERT_LAST_WINS,

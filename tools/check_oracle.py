@@ -21,6 +21,9 @@ TABLES = [
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for col in df.columns:  # lists/arrays aren't sortable; stringify
+        if df[col].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            df[col] = df[col].map(lambda v: str(list(v)))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
