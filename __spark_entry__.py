@@ -586,6 +586,154 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_events_sessionization(spark, sf_dir):
+    """Gap-based sessionization per user (30-min inactivity gap) via
+    analytic windows — lag + cumulative session counter. Spark-native
+    capability; the streaming twin is session_window/applyInPandasWithState."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    sec = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    with_gap = (
+        ev.select("user_id", "event_id", sec.alias("sec"))
+        .withColumn("prev_sec", F.lag("sec").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800)).cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        with_gap.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("sec") - F.min("sec")).alias("duration_sec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("session_no").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("duration_sec").alias("max_session_sec"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZATION = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec FROM events
+),
+g AS (
+  SELECT user_id, event_id, sec,
+         lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+  FROM e
+),
+s AS (
+  SELECT user_id, sec,
+         sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g
+),
+per_session AS (
+  SELECT user_id, session_no, count(*) AS n_events,
+         max(sec) - min(sec) AS duration_sec
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, max(session_no) AS n_sessions, sum(n_events) AS n_events,
+       max(duration_sec) AS max_session_sec
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_engine_status(spark, sf_dir):
+    """EngineStatus analogue (SURVEY §2.6): doc/deleted counters after a
+    delete-by-filter, as a one-row relation."""
+    docs = _t(spark, sf_dir, "documents")
+    table = GammaTable(spark, docs, id_col="doc_id")
+    t2, _ = table.delete_by_filter([GF.TermFilter("lang", ("es",), GF.TERM_OR)])
+    raw = t2.raw
+    return raw.select(
+        F.count(F.lit(1)).alias("max_docid"),
+        F.sum(F.col("_deleted").cast("long")).alias("deleted"),
+        (F.count(F.lit(1)) - F.sum(F.col("_deleted").cast("long"))).alias("doc_count"),
+    )
+
+
+SQL_ENGINE_STATUS = """
+SELECT count(*) AS max_docid,
+       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS deleted,
+       count(*) - sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS doc_count
+FROM documents
+"""
+
+
+def q_order_priority_ranks(spark, sf_dir):
+    """Window-function breadth (rank within group + date filter) — the
+    relational surface gamma lacks entirely (SURVEY §2.6)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 5)
+        .select("o_orderpriority", "price_rank", "o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"))
+    )
+
+
+SQL_ORDER_PRIORITY_RANKS = """
+SELECT o_orderpriority, price_rank::INT AS price_rank, o_orderkey,
+       (o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+  FROM orders WHERE o_orderstatus <> 'F'
+) t WHERE price_rank <= 5
+"""
+
+
+def q_lineitem_by_region(spark, sf_dir):
+    """3-way join through the star schema with two broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+SQL_LINEITEM_BY_REGION = """
+SELECT r_name,
+       (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline operators (north-star extensions): text analysis + dedup
 # ---------------------------------------------------------------------------
@@ -738,6 +886,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_features": q_multimodal_features,
         "events_sliding_window": q_events_sliding_window,
+        "events_sessionization": q_events_sessionization,
+        "engine_status": q_engine_status,
+        "order_priority_ranks": q_order_priority_ranks,
+        "lineitem_by_region": q_lineitem_by_region,
     }
 
 
@@ -772,6 +924,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "knn_hybrid_pending_exact": SQL_KNN_L2,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
+        "events_sessionization": SQL_EVENTS_SESSIONIZATION,
+        "engine_status": SQL_ENGINE_STATUS,
+        "order_priority_ranks": SQL_ORDER_PRIORITY_RANKS,
+        "lineitem_by_region": SQL_LINEITEM_BY_REGION,
         # knn_ivfflat_pruned / knn_ivfpq_adc / embedding_neardup_lsh /
         # multimodal_features: intentionally no oracle (trained-index /
         # LSH / stub-codec paths) -> driver rows-only check; recall and

@@ -91,7 +91,10 @@ def _train_centroids(
         ).limit(sample_size)
 
     if min(total, sample_size) <= LOCAL_TRAIN_MAX:
-        data = np.asarray([r[0] for r in sample.collect()], dtype=np.float64)
+        # Arrow-path collection (toPandas) is ~10x faster than row
+        # deserialization for array columns
+        pdf = sample.toPandas()
+        data = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         return kmeans_lloyd_np(data, ncentroids, seed)
 
     from pyspark.ml.clustering import KMeans
@@ -154,9 +157,13 @@ class IvfFlatIndex:
         centroids = _train_centroids(docs, doc_vec, ncentroids, sample_size, seed)
         assigned = assign_clusters(docs, centroids, doc_vec)
         if path:
-            assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(
-                os.path.join(path, "index")
-            )
+            # co-locate each inverted list before the partitioned write:
+            # without this, every one of T tasks writes into every one of
+            # C cluster dirs -> T*C tiny files; with it, file count ~ C
+            # (Parquet still splits oversized lists by maxRecordsPerFile)
+            assigned.repartition("cluster_id").write.mode("overwrite").partitionBy(
+                "cluster_id"
+            ).parquet(os.path.join(path, "index"))
             np.save(os.path.join(path, "centroids.npy"), centroids)
             with open(os.path.join(path, "meta.json"), "w") as fh:
                 json.dump({"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec}, fh)
@@ -183,6 +190,11 @@ class IvfFlatIndex:
         nprobe = min(nprobe, len(cents))
         return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
 
+    #: above this query count the BLAS scan kernel beats the expression
+    #: join+window path (measured: 2048 queries x 200k docs, join 131s
+    #: vs flat-scan-style kernel ~25s)
+    SCAN_STRATEGY_MIN_Q = 64
+
     def search(
         self,
         docs: DataFrame,  # unused: index_df already carries the docs; kept for protocol
@@ -195,35 +207,54 @@ class IvfFlatIndex:
         min_score: float | None = None,
         max_score: float | None = None,
         l2_sqrt: bool = False,
-        use_scan_kernel: bool = False,
+        strategy: str = "auto",
         query_id: str = "qid",
         query_vec: str = "qvec",
         probe_vec: str | None = None,
     ) -> DataFrame:
         """``probe_vec`` names the float query column used for centroid
         probing when ``query_vec`` itself isn't in centroid space (the
-        BINARYIVF case scores packed signatures but probes floats)."""
+        BINARYIVF case scores packed signatures but probes floats).
+
+        ``strategy``: 'join' = Catalyst expression scoring + window
+        top-k (bit-reproducible vs the SQL oracle — the correctness
+        path); 'scan' = per-cluster BLAS kernel with partition-local
+        heaps (the throughput path for large query batches); 'auto'
+        picks by query count.
+        """
         spark = self.index_df.sparkSession
         qrows = queries.select(query_id, query_vec, probe_vec or query_vec).collect()
         qids = [int(r[0]) for r in qrows]
         qmat = np.asarray([r[2] for r in qrows], dtype=np.float64)
         probes = self.probe_clusters(qmat, nprobe)
 
-        # (qid, cluster_id) probe pairs — broadcast side of the pruning join
-        pairs = spark.createDataFrame(
-            [(q, int(c)) for q, row in zip(qids, probes) for c in row],
-            "qid long, cluster_id int",
-        )
         # literal isin over the union of probed clusters prunes parquet
         # partitions at scan time (partition pruning / pushed filter);
-        # the per-query restriction happens in the pairs join.
+        # the per-query restriction happens in the pairs join / kernel mask.
         wanted = sorted({int(c) for row in probes for c in row})
-        pruned = self.index_df.filter(F.col("cluster_id").isin(wanted))
+        pruned = self.index_df
+        if len(wanted) < len(self.centroids):
+            pruned = pruned.filter(F.col("cluster_id").isin(wanted))
         if predicate is not None:
             pruned = pruned.filter(predicate)
         if "_deleted" in pruned.columns:
             pruned = pruned.filter(~F.col("_deleted"))
 
+        if strategy == "scan" or (
+            strategy == "auto"
+            and len(qids) > self.SCAN_STRATEGY_MIN_Q
+            and metric.upper() in ("IP", "L2", "COSINE")
+        ):
+            return self._search_scan(
+                pruned, qids, qmat, probes, k, metric, doc_vec,
+                min_score, max_score, l2_sqrt,
+            )
+
+        # (qid, cluster_id) probe pairs — broadcast side of the pruning join
+        pairs = spark.createDataFrame(
+            [(q, int(c)) for q, row in zip(qids, probes) for c in row],
+            "qid long, cluster_id int",
+        )
         candidates = pruned.join(F.broadcast(pairs), on="cluster_id", how="inner")
         # exact scoring within probed lists == FLAT on the candidate set,
         # restricted per query: score rows where (qid, doc) candidate pair
@@ -258,3 +289,94 @@ class IvfFlatIndex:
             scored, ["qid"], "score", k, ascending=V.metric_ascending(metric),
             tiebreak_cols=["_docid"],
         )
+
+    def _search_scan(
+        self, pruned: DataFrame, qids, qmat, probes, k, metric, doc_vec,
+        min_score, max_score, l2_sqrt,
+    ) -> DataFrame:
+        """BLAS scan over the pruned buckets: each Arrow batch (usually a
+        single inverted list, thanks to the cluster-partitioned layout)
+        computes a submatrix product against only the queries that
+        probed that cluster, feeding partition-local top-k heaps. Same
+        shuffle profile as the FLAT scan kernel: k rows per (query,
+        partition), independent of corpus size."""
+        from gamma_spark.functions import vector as V
+        from gamma_spark.operators.topk import topk
+
+        metric_u = metric.upper()
+        asc = V.metric_ascending(metric_u)
+        qarr = np.asarray(qids, dtype=np.int64)
+        pmask = np.zeros((len(qids), len(self.centroids)), dtype=bool)
+        for qi, row in enumerate(probes):
+            pmask[qi, row] = True
+        if metric_u == "COSINE":
+            qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+        else:
+            qn = qmat
+        worst = np.inf if asc else -np.inf
+
+        def scan(batches):
+            best_s = np.full((len(qarr), k), worst)
+            best_i = np.full((len(qarr), k), -1, dtype=np.int64)
+            seen = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                seen += len(pdf)
+                mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+                ids = pdf["_docid"].to_numpy(dtype=np.int64)
+                clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                for c in np.unique(clus):
+                    dmask = clus == c
+                    qsel = np.flatnonzero(pmask[:, c])
+                    if not len(qsel):
+                        continue
+                    sub = mat[dmask]
+                    sub_ids = ids[dmask]
+                    qs = qn[qsel]
+                    if metric_u == "IP":
+                        s = qs @ sub.T  # (q', b')
+                    elif metric_u == "COSINE":
+                        subn = sub / np.maximum(
+                            np.linalg.norm(sub, axis=1, keepdims=True), 1e-30
+                        )
+                        s = qs @ subn.T
+                    else:  # L2
+                        s = (
+                            (qs * qs).sum(axis=1)[:, None]
+                            - 2.0 * (qs @ sub.T)
+                            + (sub * sub).sum(axis=1)[None, :]
+                        )
+                        np.maximum(s, 0.0, out=s)
+                        if l2_sqrt:
+                            np.sqrt(s, out=s)
+                    if min_score is not None:
+                        s = np.where(s >= min_score, s, worst)
+                    if max_score is not None:
+                        s = np.where(s <= max_score, s, worst)
+                    cand_s = np.concatenate([best_s[qsel], s], axis=1)
+                    cand_i = np.concatenate(
+                        [best_i[qsel], np.broadcast_to(sub_ids, (len(qsel), len(sub_ids)))],
+                        axis=1,
+                    )
+                    kk = min(k, cand_s.shape[1])
+                    part = np.argpartition(cand_s if asc else -cand_s, kk - 1, axis=1)[:, :kk]
+                    best_s[qsel, :kk] = np.take_along_axis(cand_s, part, axis=1)
+                    best_i[qsel, :kk] = np.take_along_axis(cand_i, part, axis=1)
+            if not seen:
+                return
+            valid = (best_i.ravel() >= 0) & np.isfinite(best_s.ravel())
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qarr, k)[valid],
+                    "_docid": best_i.ravel()[valid],
+                    "score": best_s.ravel()[valid],
+                }
+            )
+
+        partials = pruned.select("_docid", "cluster_id", doc_vec).mapInPandas(
+            scan, schema="qid long, _docid long, score double"
+        )
+        return topk(partials, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])

@@ -87,13 +87,12 @@ class IvfPqIndex:
             raise ValueError(f"dimension {d} not divisible by nsubvector {nsubvector}")
         dsub, ksub = d // nsubvector, 2**nbits
 
-        sample = np.asarray(
-            [
-                r[0]
-                for r in docs.select(doc_vec).limit(min(sample_size, 100_000)).collect()
-            ],
-            dtype=np.float64,
+        spdf = (
+            docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
+            .limit(min(sample_size, 100_000))
+            .toPandas()
         )
+        sample = np.stack(spdf["_v"].to_numpy()).astype(np.float64)
         codebooks = np.stack(
             [
                 _kmeans_np(sample[:, i * dsub : (i + 1) * dsub], ksub, seed + i)
@@ -132,9 +131,11 @@ class IvfPqIndex:
             encode, schema="_docid long, cluster_id int, codes array<int>"
         )
         if path:
-            codes_df.write.mode("overwrite").partitionBy("cluster_id").parquet(
-                os.path.join(path, "codes")
-            )
+            # co-locate inverted lists before the partitioned write (see
+            # IvfFlatIndex.build: avoids tasks x clusters tiny files)
+            codes_df.repartition("cluster_id").write.mode("overwrite").partitionBy(
+                "cluster_id"
+            ).parquet(os.path.join(path, "codes"))
             np.save(os.path.join(path, "centroids.npy"), centroids)
             np.save(os.path.join(path, "codebooks.npy"), codebooks)
             with open(os.path.join(path, "meta.json"), "w") as fh:
