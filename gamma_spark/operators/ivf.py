@@ -47,21 +47,28 @@ DEFAULT_NPROBE = 10
 def kmeans_lloyd_np(data: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     """Deterministic Lloyd k-means over an in-memory sample (the
     reference trains its quantizer on a bounded ``indexing_size`` buffer
-    the same way — `vector/vector_manager.cc:269-278`)."""
+    the same way — `vector/vector_manager.cc:269-278`).
+
+    Fully vectorized: assignment drops the constant ||x||^2 term and the
+    centroid update is per-dimension bincount (the naive per-cluster
+    masking loop is O(k*n) scans per iteration and dominated training)."""
     rng = np.random.default_rng(seed)
     k = min(k, len(data))
-    cents = data[rng.choice(len(data), size=k, replace=False)].copy()
+    n, dim = data.shape
+    cents = data[rng.choice(n, size=k, replace=False)].copy()
+    prev_assign = None
     for _ in range(iters):
-        d = (
-            (data * data).sum(axis=1)[:, None]
-            - 2.0 * (data @ cents.T)
-            + (cents * cents).sum(axis=1)[None, :]
-        )
+        d = -2.0 * (data @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d.argmin(axis=1)
-        for j in range(k):
-            members = data[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
+        if prev_assign is not None and np.array_equal(assign, prev_assign):
+            break
+        prev_assign = assign
+        counts = np.bincount(assign, minlength=k)
+        sums = np.empty((k, dim))
+        for j in range(dim):
+            sums[:, j] = np.bincount(assign, weights=data[:, j], minlength=k)
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
     return cents
 
 

@@ -87,9 +87,13 @@ class IvfPqIndex:
             raise ValueError(f"dimension {d} not divisible by nsubvector {nsubvector}")
         dsub, ksub = d // nsubvector, 2**nbits
 
+        # cap codebook training points per centroid (faiss caps at 256;
+        # 128 is plenty for 8-dim subspaces) — training cost scales
+        # linearly in this
+        cap = min(sample_size, 100_000, 128 * ksub)
         spdf = (
             docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
-            .limit(min(sample_size, 100_000))
+            .limit(cap)
             .toPandas()
         )
         sample = np.stack(spdf["_v"].to_numpy()).astype(np.float64)

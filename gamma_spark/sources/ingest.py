@@ -1,0 +1,81 @@
+"""Sources: document ingestion into GammaTable-shaped relations
+(SURVEY §2.1).
+
+The reference ingests via its C API (AddOrUpdateDocs over flatbuffers)
+from whatever the caller has; our equivalents are Spark's file sources.
+Three pieces of gamma wire-format compatibility live here:
+
+- ``split_tag_columns``: gamma packs multi-valued term fields into one
+  string with the ``\\x01`` delimiter (`table/field_range_index.cc:1211`)
+  — ingest converts them to honest ``ARRAY<STRING>`` columns.
+- ``read_docs``: format-dispatching reader (parquet/csv/json) that
+  mints ``_docid`` and tombstone columns via GammaTable.
+- ``load_tables``: convenience loader for a TESTDATA-layout directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gamma_spark.filters import TAG_DELIMITER
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def split_tag_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """``\\x01``-delimited term-field shim: one string column carrying
+    multiple tag values becomes ARRAY<STRING> (SURVEY §1.2)."""
+    for c in columns:
+        df = df.withColumn(c, F.split(F.col(c), TAG_DELIMITER))
+    return df
+
+
+def read_docs(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    id_col: str = "_id",
+    tag_columns: list[str] | None = None,
+    schema=None,
+    **options,
+):
+    """Read a document corpus and wrap it as a GammaTable (dense
+    ``_docid`` minting + tombstone column)."""
+    from gamma_spark.table import GammaTable
+
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt == "parquet":
+        df = reader.parquet(path)
+    elif fmt == "csv":
+        df = reader.option("header", options.get("header", "true")).csv(path)
+    elif fmt == "json":
+        df = reader.json(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r} (parquet/csv/json)")
+    if tag_columns:
+        df = split_tag_columns(df, tag_columns)
+    return GammaTable(spark, df, id_col=id_col)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every TESTDATA table present under ``sf_dir``; the events
+    table (TIMESTAMP NANOS parquet) gets the nanos-as-long conf."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(p):
+            continue
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        out[name] = spark.read.parquet(p)
+    return out

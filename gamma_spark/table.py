@@ -223,6 +223,25 @@ class GammaTable:
         df = spark.read.parquet(os.path.join(snap, "docs"))
         return cls(spark, df, id_col=meta["id_col"], path=snap)
 
+    # -- migrate (S8) ------------------------------------------------------
+    def migrate_since(self, snapshot: "GammaTable") -> tuple[DataFrame, DataFrame]:
+        """Incremental export relative to an earlier snapshot
+        (`BeginMigrate/GetMigrageDoc`, `storage/migrate_data.cc`):
+        returns (upserts, deleted_ids) — new or changed live docs, and
+        keys tombstoned since the snapshot. A consumer replaying
+        upserts + deletes onto the snapshot reconstructs this table."""
+        idc = self.id_col
+        cur_live = self.df
+        # exceptAll aligns columns positionally; normalize the snapshot
+        # to this table's column order (upsert reorders data columns)
+        old_live = snapshot.df.select(*cur_live.columns)
+        # changed-or-new = anti-join on full row equality against the old state
+        upserts = cur_live.exceptAll(old_live)
+        deleted = old_live.select(idc).join(
+            cur_live.select(idc), on=idc, how="left_anti"
+        )
+        return upserts, deleted
+
     def compact(self) -> "GammaTable":
         """Physically drop tombstoned rows (gamma leaves this to index
         compaction, `index/impl/gamma_index_ivfpq.cc:420`)."""

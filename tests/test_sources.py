@@ -1,0 +1,70 @@
+"""Sources/ingestion (SURVEY S-family) + migrate export (S8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark import filters as GF
+from gamma_spark.sources import load_tables, read_docs, split_tag_columns
+from gamma_spark.table import GammaTable
+
+
+def test_load_tables(spark, sf_dir):
+    tables = load_tables(spark, sf_dir)
+    assert set(tables) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert tables["documents"].count() > 0
+
+
+def test_read_docs_csv_with_tag_shim(tmp_path, spark):
+    p = str(tmp_path / "docs.csv")
+    with open(p, "w") as fh:
+        fh.write("_id,title,tags\n")
+        fh.write("a,first,x\x01y\n")
+        fh.write("b,second,z\n")
+    table = read_docs(spark, p, fmt="csv", tag_columns=["tags"])
+    rows = {r._id: r for r in table.df.collect()}
+    assert rows["a"].tags == ["x", "y"]
+    assert rows["b"].tags == ["z"]
+    assert sorted(r._docid for r in rows.values()) == [0, 1]
+    # tag filters work on the shimmed column
+    f = GF.TermFilter("tags", ("y",), GF.TERM_OR)
+    assert [r._id for r in table.df.filter(f.to_column(table.df)).collect()] == ["a"]
+
+
+def test_read_docs_json(tmp_path, spark):
+    p = str(tmp_path / "docs.json")
+    with open(p, "w") as fh:
+        fh.write('{"_id": "j1", "n": 1}\n{"_id": "j2", "n": 2}\n')
+    table = read_docs(spark, p, fmt="json")
+    assert table.doc_count() == 2
+
+
+def test_migrate_since(spark, documents):
+    base = GammaTable(spark, documents, id_col="doc_id")
+    # mutate: delete lang=fr, update one doc, add one doc
+    t1, _ = base.delete_by_filter([GF.TermFilter("lang", ("fr",), GF.TERM_OR)])
+    batch = documents.filter(F.col("doc_id") == 3).withColumn(
+        "text", F.lit("rewritten")
+    ).unionByName(
+        documents.filter(F.col("doc_id") == 4).withColumn(
+            "doc_id", F.lit(999_999).cast("long")
+        )
+    )
+    t2 = t1.add_or_update(batch.drop("_docid") if "_docid" in batch.columns else batch)
+    upserts, deleted = t2.migrate_since(base)
+    up_ids = {r.doc_id for r in upserts.select("doc_id").collect()}
+    del_ids = {r.doc_id for r in deleted.collect()}
+    fr_ids = {r.doc_id for r in documents.filter(F.col("lang") == "fr").collect()}
+    assert del_ids == fr_ids - {3, 999_999}
+    assert 3 in up_ids and 999_999 in up_ids
+    # replay check: snapshot + changes == current live table
+    replayed = (
+        base.df.join(deleted, on="doc_id", how="left_anti")
+        .join(upserts.select("doc_id"), on="doc_id", how="left_anti")
+        .unionByName(upserts)
+    )
+    cur = t2.df.select(*replayed.columns)  # exceptAll is positional
+    assert replayed.exceptAll(cur).count() == 0
+    assert cur.exceptAll(replayed).count() == 0
