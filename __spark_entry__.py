@@ -241,6 +241,51 @@ def _tagged_docs(spark, sf_dir):
 SQL_TAGGED = "(SELECT *, string_split(text, ' ')[1:3] AS tags FROM documents)"
 
 
+def q_knn_multivid_collapse(spark, sf_dir):
+    """R1 vid->docid collapse: each doc carries TWO vectors for the same
+    field (gamma's multi-vid case, `vector/vector_manager.cc:38-50`);
+    the doc's score is its best vid score, then top-k over docs."""
+    from gamma_spark.operators.fusion import collapse_vids
+    from gamma_spark.operators.topk import topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vids = emb.select(
+        (F.col("vec_id") * 2).alias("_vid"),
+        F.col("vec_id").alias("_docid"),
+        F.col("embedding").alias("vec"),
+    ).unionByName(
+        emb.select(
+            (F.col("vec_id") * 2 + 1).alias("_vid"),
+            F.col("vec_id").alias("_docid"),
+            F.reverse(F.col("embedding")).alias("vec"),
+        )
+    )
+    q = _queries_df(spark, sf_dir)
+    scored = vids.crossJoin(F.broadcast(q)).select(
+        "qid", "_vid", "_docid", V.dot("vec", "qvec").alias("score")
+    )
+    collapsed = collapse_vids(scored, metric="IP")
+    return topk(collapsed, ["qid"], "score", KNN_K, ascending=False, tiebreak_cols=["_docid"])
+
+
+SQL_KNN_MULTIVID_COLLAPSE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+vids AS (
+  SELECT vec_id AS _docid, embedding AS vec FROM embeddings
+  UNION ALL
+  SELECT vec_id AS _docid, list_reverse(embedding) AS vec FROM embeddings
+),
+collapsed AS (
+  SELECT q.qid, v._docid, max({V.sql_dot('v.vec', 'q.qvec')}) AS score
+  FROM vids v CROSS JOIN q GROUP BY 1, 2
+)
+SELECT qid, _docid, score, rank::INT AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, _docid ASC) AS rank
+  FROM collapsed
+) t WHERE rank <= {KNN_K}
+"""
+
+
 def q_filter_tags_and(spark, sf_dir):
     """F4: term AND over a multi-value tag field — doc must carry every
     requested tag."""
@@ -864,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_rerank_exact": q_knn_ivfpq_rerank_exact,
         "knn_binaryivf_exact": q_knn_binaryivf_exact,
         "filter_range_term": q_filter_range_term,
+        "knn_multivid_collapse": q_knn_multivid_collapse,
         "filter_tags_and": q_filter_tags_and,
         "filter_tags_or_notin": q_filter_tags_or_notin,
         "search_projected_l2sqrt": q_search_projected_l2sqrt,
@@ -906,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_rerank_exact": SQL_KNN_L2,
         "knn_binaryivf_exact": SQL_KNN_HAMMING,
         "filter_range_term": SQL_FILTER_RANGE_TERM,
+        "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,
         "filter_tags_and": SQL_FILTER_TAGS_AND,
         "filter_tags_or_notin": SQL_FILTER_TAGS_OR_NOTIN,
         "search_projected_l2sqrt": SQL_SEARCH_PROJECTED_L2SQRT,

@@ -23,6 +23,27 @@ from gamma_spark.functions.vector import metric_ascending
 from gamma_spark.operators.topk import topk
 
 
+def collapse_vids(
+    hits: DataFrame,
+    metric: str = "IP",
+    vid_col: str = "_vid",
+    docid_col: str = "_docid",
+) -> DataFrame:
+    """R1 (`parse_index_search_result`, `vector/vector_manager.cc:386-429`):
+    gamma permits multiple vectors per doc for one field (multiple vids
+    map to one docid via VIDMgr); after a vid-level kNN, keep only the
+    best-scoring vid per (query, doc).
+
+    Input: (qid, vid_col, docid_col, score); output: (qid, _docid,
+    score) with score = best per doc (max for IP/cosine, min for
+    L2/Hamming) — a map-side-combinable aggregation."""
+    best = F.min("score") if metric_ascending(metric) else F.max("score")
+    return (
+        hits.groupBy("qid", F.col(docid_col).alias("_docid"))
+        .agg(best.alias("score"))
+    )
+
+
 def fuse(
     per_field: list[DataFrame],
     boosts: list[float] | None = None,

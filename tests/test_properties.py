@@ -1,0 +1,88 @@
+"""Property-based checks (hypothesis): filter semantics vs DuckDB on
+random predicates, fusion/topk invariants, hash determinism.
+
+Spark jobs are too slow per-example for full hypothesis loops, so each
+property draws a small batch of examples and checks them in one Spark
+action where possible."""
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from gamma_spark import filters as GF
+from gamma_spark.functions import text as T
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    return c
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lo=st.integers(min_value=0, max_value=600),
+    span=st.integers(min_value=0, max_value=400),
+    inc_lo=st.booleans(),
+    inc_hi=st.booleans(),
+)
+def test_range_filter_matches_duckdb(documents_cached, con, lo, span, inc_lo, inc_hi):
+    hi = lo + span
+    f = GF.RangeFilter("n_chars", lo, hi, include_lower=inc_lo, include_upper=inc_hi)
+    got = documents_cached.filter(f.to_column()).count()
+    ops = (">=" if inc_lo else ">", "<=" if inc_hi else "<")
+    want = con.execute(
+        f"SELECT count(*) FROM documents WHERE n_chars {ops[0]} {lo} AND n_chars {ops[1]} {hi}"
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    langs=st.lists(st.sampled_from(["en", "de", "fr", "es", "zh"]), min_size=1, max_size=3, unique=True),
+    negate=st.booleans(),
+)
+def test_term_filter_matches_duckdb(documents_cached, con, langs, negate):
+    mode = GF.TERM_NOT_IN if negate else GF.TERM_OR
+    f = GF.TermFilter("lang", tuple(langs), mode)
+    got = documents_cached.filter(f.to_column(documents_cached)).count()
+    lits = ", ".join(f"'{la}'" for la in langs)
+    op = "NOT IN" if negate else "IN"
+    want = con.execute(
+        f"SELECT count(*) FROM documents WHERE lang {op} ({lits})"
+    ).fetchone()[0]
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def documents_cached(documents):
+    df = documents.cache()
+    df.count()
+    return df
+
+
+@settings(max_examples=20, deadline=None)
+@given(s=st.text(max_size=40))
+def test_hash60_pure_python_parity(s):
+    """hash60 semantics are reproducible from plain md5 — the contract
+    the oracle SQL twin depends on."""
+    import hashlib
+
+    want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    got = duckdb.sql(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[s]
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_minhash_constants_sane():
+    """Parametric family stays within BIGINT bounds under ANSI mode:
+    max a * (P-1) + b must not overflow 2^63."""
+    from gamma_spark.operators.dedup import MINHASH_A, MINHASH_B, P
+
+    assert len(MINHASH_A) == len(MINHASH_B) == 16
+    for a, b in zip(MINHASH_A, MINHASH_B):
+        assert 0 < a and 0 <= b
+        assert a * (P - 1) + b < 2**63
