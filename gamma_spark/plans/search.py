@@ -34,7 +34,14 @@ from gamma_spark.operators.fusion import fuse
 
 @dataclass
 class VectorQuery:
-    """One per-field query spec (`idl/fbs/request.fbs:17-25`)."""
+    """One per-field query spec (`idl/fbs/request.fbs:17-25`).
+
+    ``retrieval_params`` mirrors the per-request JSON knobs the
+    reference parses per model (`index/impl/gamma_index_ivfpq.cc:
+    222-270`): e.g. {"nprobe": 8, "recall_num": 100, "has_rank": True,
+    "brute_force_search": 1}. ``brute_force_search`` (or a missing/
+    untrained index) forces the exact FLAT path — gamma's fallback
+    guard (`search/gamma_engine.cc:329-340`, SURVEY O7)."""
 
     field: str  # docs vector column
     queries: DataFrame  # (qid, qvec)
@@ -42,6 +49,7 @@ class VectorQuery:
     boost: float = 1.0
     min_score: float | None = None
     max_score: float | None = None
+    retrieval_params: dict = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -77,7 +85,9 @@ def search(
 
     per_field = []
     for vq in request.vector_queries:
-        if index is not None:
+        params = dict(vq.retrieval_params)
+        brute = bool(params.pop("brute_force_search", False))
+        if index is not None and not brute:
             hits = index.search(
                 docs,
                 vq.queries,
@@ -88,6 +98,7 @@ def search(
                 min_score=vq.min_score,
                 max_score=vq.max_score,
                 l2_sqrt=request.l2_sqrt,
+                **params,
             )
         else:
             hits = knn.knn_join(
