@@ -794,6 +794,7 @@ def q_text_stats(spark, sf_dir):
         T.quality_score("text").alias("quality"),
         T.fingerprint("text").alias("fp"),
         T.lang_id("text").alias("lang_pred"),
+        T.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -807,7 +808,8 @@ SELECT doc_id,
        {T.sql_stopword_ratio('text')} AS stopword_ratio,
        {T.sql_quality_score('text')} AS quality,
        {T.sql_fingerprint('text')} AS fp,
-       {T.sql_lang_id('text')} AS lang_pred
+       {T.sql_lang_id('text')} AS lang_pred,
+       {T.sql_bpe_token_count('text')} AS n_bpe_tokens
 FROM documents
 """
 

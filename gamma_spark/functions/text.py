@@ -83,6 +83,21 @@ def sql_stopword_ratio(c: str, words: tuple[str, ...] = STOPWORDS) -> str:
     return f"(({hits})::DOUBLE / ({sql_token_count(c)})::DOUBLE)"
 
 
+#: GPT-style pre-tokenizer approximation: word runs OR single
+#: non-space-non-word symbols — the count proxies BPE token counts far
+#: better than whitespace splitting on punctuated text
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def sql_bpe_token_count(c: str) -> str:
+    return f"len(regexp_extract_all({c}, '{BPE_ISH_PATTERN}'))"
+
+
 # -- quality score -------------------------------------------------------------
 
 def quality_score(c: Column | str) -> Column:

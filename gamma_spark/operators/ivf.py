@@ -199,8 +199,10 @@ class IvfFlatIndex:
 
     #: above this query count the BLAS scan kernel beats the expression
     #: join+window path (measured: 2048 queries x 200k docs, join 131s
-    #: vs flat-scan-style kernel ~25s)
-    SCAN_STRATEGY_MIN_Q = 64
+    #: vs scan 4s; even at 64 queries x 1M docs join loses 26s vs ~6s).
+    #: The join path's value is bit-reproducibility vs the SQL oracle,
+    #: needed only for small correctness batches.
+    SCAN_STRATEGY_MIN_Q = 16
 
     def search(
         self,

@@ -1,30 +1,33 @@
-"""IVFPQ — product quantization with two-phase exact rerank
+"""IVFPQ — residual product quantization with two-phase exact rerank
 (SURVEY K3, O6).
 
 Reference behavior (`index/impl/gamma_index_ivfpq.cc`): coarse IVF
-quantizer (ncentroids) + per-subspace codebooks (nsubvector x 2^nbits);
-search scans ``nprobe`` lists computing approximate distances via a
-per-query ADC lookup table, keeps ``recall_num`` candidates, then
-optionally fetches raw vectors and reranks exactly (``has_rank``,
-`compute_dis` :642-697) before emitting top-k. Defaults: ncentroids
-2048, nsubvector 64, nbits 8, nprobe 80 (`gamma_index_ivfpq.h:676-707`).
+quantizer (ncentroids) + per-subspace codebooks (nsubvector x 2^nbits)
+over the **residual** to the assigned coarse centroid (faiss IVFPQ
+semantics), optional **OPQ** rotation before quantization; search scans
+``nprobe`` lists computing approximate distances via per-(query, list)
+ADC lookup tables, keeps ``recall_num`` candidates, then optionally
+fetches raw vectors and reranks exactly (``has_rank``, `compute_dis`
+:642-697) before emitting top-k. Defaults: ncentroids 2048, nsubvector
+64, nbits 8, nprobe 80 (`gamma_index_ivfpq.h:676-707`).
 
 Spark design:
 
-- **Train**: codebooks are per-subspace k-means over a bounded sample —
-  numpy Lloyd iterations on the driver (the training set is bounded by
-  ``indexing_size`` exactly as in the reference; the *data* never
-  leaves the cluster, only the sample).
+- **Train**: coarse quantizer + per-subspace codebooks over a bounded
+  sample (the reference trains on its ``indexing_size`` buffer the same
+  way); OPQ is a deterministic PCA rotation of the residual space.
 - **Encode**: one ``mapInPandas`` pass writes ``codes: array<int>``
-  (m entries in [0, ksub)) + ``cluster_id``; persisted partitioned by
+  (m entries in [0, ksub)) + ``cluster_id``, persisted partitioned by
   ``cluster_id``. At 100 TB the codes table is ~m bytes/row — the whole
-  point of PQ is that this scan is tiny compared to raw vectors.
-- **ADC search**: per-query lookup tables (m x ksub, numpy) ride into a
-  ``mapInPandas`` kernel that gathers LUT[m, code] and keeps
-  partition-local top-``recall_num`` heaps — same shuffle-light shape
-  as the FLAT scan kernel.
-- **Rerank**: candidates join back to raw vectors (broadcast the
-  candidate ids — they are k-scale), exact distance, final top-k.
+  point of PQ is that this scan is tiny next to raw vectors.
+- **ADC search**: the kernel receives only the (small) centroid matrix,
+  codebooks, rotation, and query matrix; it builds the per-(query,
+  probed-list) residual LUTs on the executor per Arrow batch — LUT
+  memory never scales with |queries| x nprobe on the driver — and keeps
+  partition-local top-``recall_num`` heaps (same shuffle profile as the
+  FLAT scan kernel).
+- **Rerank**: candidates join back to raw vectors, exact distance,
+  final top-k (AQE broadcasts the k-scale candidate side).
 """
 
 from __future__ import annotations
@@ -38,22 +41,38 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gamma_spark.functions import vector as V
-from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
+from gamma_spark.operators.ivf import (
+    IvfFlatIndex,
+    assign_clusters,
+    kmeans_lloyd_np,
+)
 from gamma_spark.operators.topk import topk
 
 
-from gamma_spark.operators.ivf import kmeans_lloyd_np as _kmeans_np
+def opq_rotation_np(residuals: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Deterministic OPQ-lite: PCA eigenbasis of the residual
+    covariance. Decorrelates subspaces, which is most of full OPQ's
+    benefit at a fraction of its cost (no iterative re-training)."""
+    cov = np.cov(residuals, rowvar=False)
+    _, vecs = np.linalg.eigh(cov)
+    # eigh returns ascending order; reverse so high-variance dims lead,
+    # then fix signs deterministically
+    r = vecs[:, ::-1]
+    signs = np.sign(r[np.abs(r).argmax(axis=0), np.arange(r.shape[1])])
+    signs[signs == 0] = 1.0
+    return r * signs[None, :]
 
 
 class IvfPqIndex:
-    """IVF + PQ codes + exact rerank."""
+    """IVF + residual PQ codes (+ optional OPQ) + exact rerank."""
 
     name = "IVFPQ"
 
     def __init__(
         self,
         centroids: np.ndarray,  # (ncentroids, d) coarse quantizer
-        codebooks: np.ndarray,  # (m, ksub, dsub) subspace codebooks
+        codebooks: np.ndarray,  # (m, ksub, dsub) residual-space codebooks
+        rotation: np.ndarray,  # (d, d) OPQ rotation (identity if disabled)
         codes_df: DataFrame,  # (_docid, cluster_id, codes)
         raw_docs: DataFrame,  # docs relation with raw vectors
         doc_vec: str,
@@ -61,6 +80,7 @@ class IvfPqIndex:
     ):
         self.centroids = centroids
         self.codebooks = codebooks
+        self.rotation = rotation
         self.codes_df = codes_df
         self.raw_docs = raw_docs
         self.doc_vec = doc_vec
@@ -75,6 +95,7 @@ class IvfPqIndex:
         ncentroids: int = 256,
         nsubvector: int = 8,
         nbits: int = 8,
+        opq: bool = False,
         sample_size: int = 100_000,
         seed: int = 42,
         path: str | None = None,
@@ -87,9 +108,8 @@ class IvfPqIndex:
             raise ValueError(f"dimension {d} not divisible by nsubvector {nsubvector}")
         dsub, ksub = d // nsubvector, 2**nbits
 
-        # cap codebook training points per centroid (faiss caps at 256;
-        # 128 is plenty for 8-dim subspaces) — training cost scales
-        # linearly in this
+        # bounded training sample for codebooks (cap points/centroid,
+        # standard quantizer practice); Arrow-path collection
         cap = min(sample_size, 100_000, 128 * ksub)
         spdf = (
             docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
@@ -97,36 +117,41 @@ class IvfPqIndex:
             .toPandas()
         )
         sample = np.stack(spdf["_v"].to_numpy()).astype(np.float64)
+        # residuals to the assigned coarse centroid (faiss IVFPQ)
+        a = (
+            -2.0 * (sample @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        ).argmin(axis=1)
+        residuals = sample - centroids[a]
+        rotation = opq_rotation_np(residuals, seed) if opq else np.eye(d)
+        rotated = residuals @ rotation
         codebooks = np.stack(
             [
-                _kmeans_np(sample[:, i * dsub : (i + 1) * dsub], ksub, seed + i)
+                kmeans_lloyd_np(rotated[:, i * dsub : (i + 1) * dsub], ksub, seed + i)
                 for i in range(nsubvector)
             ]
-        )  # (m, ksub_eff, dsub) — ksub_eff may be < 2^nbits on tiny data
-        cls_m, cls_ksub = nsubvector, codebooks.shape[1]
+        )  # note: ksub_eff may be < 2^nbits on tiny data
 
         assigned = assign_clusters(docs, centroids, doc_vec)
-        cb = codebooks
+        cb, cents, rot, m_ = codebooks, centroids, rotation, nsubvector
 
         def encode(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
                 mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
-                codes = np.empty((len(mat), cls_m), dtype=np.int32)
-                for i in range(cls_m):
-                    sub = mat[:, i * dsub : (i + 1) * dsub]
-                    cents = cb[i]
-                    dist = (
-                        (sub * sub).sum(axis=1)[:, None]
-                        - 2.0 * (sub @ cents.T)
-                        + (cents * cents).sum(axis=1)[None, :]
-                    )
+                clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
+                res = (mat - cents[clus]) @ rot
+                codes = np.empty((len(mat), m_), dtype=np.int32)
+                for i in range(m_):
+                    sub = res[:, i * cb.shape[2] : (i + 1) * cb.shape[2]]
+                    c = cb[i]
+                    dist = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)[None, :]
                     codes[:, i] = dist.argmin(axis=1)
                 yield pd.DataFrame(
                     {
                         "_docid": pdf["_docid"].to_numpy(dtype=np.int64),
-                        "cluster_id": pdf["cluster_id"].to_numpy(dtype=np.int32),
+                        "cluster_id": clus,
                         "codes": list(codes),
                     }
                 )
@@ -135,27 +160,30 @@ class IvfPqIndex:
             encode, schema="_docid long, cluster_id int, codes array<int>"
         )
         if path:
-            # co-locate inverted lists before the partitioned write (see
-            # IvfFlatIndex.build: avoids tasks x clusters tiny files)
+            # co-locate inverted lists before the partitioned write
             codes_df.repartition("cluster_id").write.mode("overwrite").partitionBy(
                 "cluster_id"
             ).parquet(os.path.join(path, "codes"))
             np.save(os.path.join(path, "centroids.npy"), centroids)
             np.save(os.path.join(path, "codebooks.npy"), codebooks)
+            np.save(os.path.join(path, "rotation.npy"), rotation)
             with open(os.path.join(path, "meta.json"), "w") as fh:
                 json.dump(
                     {"model": cls.name, "nsubvector": nsubvector, "doc_vec": doc_vec}, fh
                 )
             codes_df = docs.sparkSession.read.parquet(os.path.join(path, "codes"))
-        return cls(centroids, codebooks, codes_df, docs, doc_vec, path)
+        return cls(centroids, codebooks, rotation, codes_df, docs, doc_vec, path)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, raw_docs: DataFrame) -> "IvfPqIndex":
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
+        rot_path = os.path.join(path, "rotation.npy")
+        centroids = np.load(os.path.join(path, "centroids.npy"))
         return cls(
-            np.load(os.path.join(path, "centroids.npy")),
+            centroids,
             np.load(os.path.join(path, "codebooks.npy")),
+            np.load(rot_path) if os.path.exists(rot_path) else np.eye(centroids.shape[1]),
             spark.read.parquet(os.path.join(path, "codes")),
             raw_docs,
             meta["doc_vec"],
@@ -180,11 +208,13 @@ class IvfPqIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
     ) -> DataFrame:
-        """ADC candidate generation + optional exact rerank.
+        """Residual-ADC candidate generation + optional exact rerank.
 
         ``recall_num`` defaults to max(4k, 64) candidates per query
-        (reference keeps recall_num >= k, `gamma_index_ivfpq.cc:762-764`).
-        Without ``has_rank`` the ADC ordering is truncated at k directly.
+        (reference keeps recall_num >= k, `gamma_index_ivfpq.cc:762-764`)
+        — scale it with expected inverted-list sizes on tightly
+        clustered corpora. Without ``has_rank`` the ADC ordering is
+        truncated at k directly.
         """
         doc_vec = doc_vec or self.doc_vec
         raw = docs if docs is not None else self.raw_docs
@@ -198,30 +228,16 @@ class IvfPqIndex:
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
 
-        # per-query ADC lookup tables: (Q, m, ksub)
-        m, ksub, dsub = self.m, self.ksub, self.dsub
-        luts = np.empty((len(qids), m, ksub))
-        for i in range(m):
-            qsub = qmat[:, i * dsub : (i + 1) * dsub]  # (Q, dsub)
-            cb = self.codebooks[i]  # (ksub, dsub)
-            if metric_u == "IP":
-                luts[:, i, :] = qsub @ cb.T
-            else:
-                luts[:, i, :] = (
-                    (qsub * qsub).sum(axis=1)[:, None]
-                    - 2.0 * (qsub @ cb.T)
-                    + (cb * cb).sum(axis=1)[None, :]
-                )
-
         coarse = IvfFlatIndex(self.centroids, self.codes_df)
         probes = coarse.probe_clusters(qmat, nprobe)
         wanted = sorted({int(c) for row in probes for c in row})
-        # (Q, ncentroids) bool: query q probes cluster c
         probe_mask = np.zeros((len(qids), len(self.centroids)), dtype=bool)
         for qi, row in enumerate(probes):
             probe_mask[qi, row] = True
 
-        pruned = self.codes_df.filter(F.col("cluster_id").isin(wanted))
+        pruned = self.codes_df
+        if len(wanted) < len(self.centroids):
+            pruned = pruned.filter(F.col("cluster_id").isin(wanted))
         if predicate is not None or "_deleted" in raw.columns:
             allowed = raw
             if predicate is not None:
@@ -230,13 +246,49 @@ class IvfPqIndex:
                 allowed = allowed.filter(~F.col("_deleted"))
             pruned = pruned.join(allowed.select("_docid"), on="_docid", how="leftsemi")
 
-        qids_l, luts_l, asc_l, rn = qids, luts, asc, recall_num
+        qids_l, asc_l, rn = qids, asc, recall_num
         pmask = probe_mask
+        cb, cents, rot = self.codebooks, self.centroids, self.rotation
+        m_, ksub_, dsub_ = self.m, self.ksub, self.dsub
+        worst = np.inf if asc else -np.inf
 
         def adc_scan(batches):
-            best_s = np.full((len(qids_l), rn), np.inf if asc_l else -np.inf)
+            best_s = np.full((len(qids_l), rn), worst)
             best_i = np.full((len(qids_l), rn), -1, dtype=np.int64)
+            # per-(query, cluster) residual LUTs built lazily in the
+            # kernel: memory scales with clusters seen per partition,
+            # not with |queries| x nprobe on the driver
+            lut_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             seen = 0
+
+            def luts_for(c: int):
+                hit = lut_cache.get(c)
+                if hit is not None:
+                    return hit
+                qsel = np.flatnonzero(pmask[:, c])
+                if metric_u == "IP":
+                    # x = c + code@R^T  =>  <q,x> = <q,c> + <q@R, code>
+                    qres = qmat[qsel] @ rot
+                    base = qmat[qsel] @ cents[c]
+                else:
+                    # ||q-x||^2 = ||(q-c)@R - code||^2 (rotation-invariant)
+                    qres = (qmat[qsel] - cents[c][None, :]) @ rot
+                    base = np.zeros(len(qsel))
+                luts = np.empty((len(qsel), m_, ksub_))
+                for i in range(m_):
+                    qsub = qres[:, i * dsub_ : (i + 1) * dsub_]
+                    cbi = cb[i]
+                    if metric_u == "IP":
+                        luts[:, i, :] = qsub @ cbi.T
+                    else:
+                        luts[:, i, :] = (
+                            (qsub * qsub).sum(axis=1)[:, None]
+                            - 2.0 * (qsub @ cbi.T)
+                            + (cbi * cbi).sum(axis=1)[None, :]
+                        )
+                lut_cache[c] = (qsel, luts, base)
+                return lut_cache[c]
+
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -244,20 +296,33 @@ class IvfPqIndex:
                 codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
                 ids = pdf["_docid"].to_numpy(dtype=np.int64)
                 clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
-                # ADC: s[q, b] = sum_m LUT[q, m, codes[b, m]]
-                s = np.zeros((len(qids_l), len(ids)))
-                for i in range(codes.shape[1]):
-                    s += luts_l[:, i, codes[:, i]]
-                # candidate counts for query q only if its cluster was probed by q
-                s = np.where(pmask[:, clus], s, np.inf if asc_l else -np.inf)
-                cand_s = np.concatenate([best_s, s], axis=1)
-                cand_i = np.concatenate(
-                    [best_i, np.broadcast_to(ids, (len(qids_l), len(ids)))], axis=1
-                )
-                kk = min(rn, cand_s.shape[1])
-                part = np.argpartition(cand_s if asc_l else -cand_s, kk - 1, axis=1)[:, :kk]
-                best_s = np.take_along_axis(cand_s, part, axis=1)
-                best_i = np.take_along_axis(cand_i, part, axis=1)
+                for c in np.unique(clus):
+                    qsel, luts, base = luts_for(int(c))
+                    if not len(qsel):
+                        continue
+                    dmask = clus == c
+                    bcodes = codes[dmask]
+                    bids = ids[dmask]
+                    s = np.broadcast_to(
+                        base[:, None], (len(qsel), len(bids))
+                    ).copy()
+                    for i in range(m_):
+                        s += luts[:, i, bcodes[:, i]]
+                    if min_score is not None:
+                        s = np.where(s >= min_score, s, worst)
+                    if max_score is not None:
+                        s = np.where(s <= max_score, s, worst)
+                    cand_s = np.concatenate([best_s[qsel], s], axis=1)
+                    cand_i = np.concatenate(
+                        [best_i[qsel], np.broadcast_to(bids, (len(qsel), len(bids)))],
+                        axis=1,
+                    )
+                    kk = min(rn, cand_s.shape[1])
+                    part = np.argpartition(
+                        cand_s if asc_l else -cand_s, kk - 1, axis=1
+                    )[:, :kk]
+                    best_s[qsel, :kk] = np.take_along_axis(cand_s, part, axis=1)
+                    best_i[qsel, :kk] = np.take_along_axis(cand_i, part, axis=1)
             if not seen:
                 return
             valid = (best_i.ravel() >= 0) & np.isfinite(best_s.ravel())
@@ -282,9 +347,16 @@ class IvfPqIndex:
             return topk(out, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])
 
         # two-phase rerank (R6): exact distances for the candidate set
-        qdf = queries.select(
-            F.col(query_id).alias("_qid2"), F.col(query_vec).alias("_qvec")
+        spark = self.codes_df.sparkSession
+        from pyspark.sql.types import StructField, StructType
+
+        qschema = StructType(
+            [
+                StructField("_qid2", queries.schema[query_id].dataType),
+                StructField("_qvec", queries.schema[query_vec].dataType),
+            ]
         )
+        qdf = spark.createDataFrame([(r[0], r[1]) for r in qrows], schema=qschema)
         rer = (
             candidates.join(raw.select("_docid", doc_vec), on="_docid", how="inner")
             .join(F.broadcast(qdf), on=F.col("qid") == F.col("_qid2"), how="inner")

@@ -174,6 +174,18 @@ class GammaTable:
     def delete_by_id(self, key) -> "GammaTable":
         return self.delete_by_filter([], extra_predicate=F.col(self.id_col) == F.lit(key))[0]
 
+    def delete_by_query(self, range_filters) -> "GammaTable":
+        """DelDocByQuery (`search/gamma_engine.cc:826-871`): the range-
+        only variant — tombstones matches, does NOT return ids (the
+        reference only sets the bitmap on this path)."""
+        from gamma_spark.filters import RangeFilter
+
+        if not all(isinstance(f, RangeFilter) for f in range_filters):
+            raise TypeError("delete_by_query accepts RangeFilters only "
+                            "(term deletes go through delete_by_filter)")
+        table, _ = self.delete_by_filter(range_filters)
+        return table
+
     def delete_by_filter(
         self, filter_list, extra_predicate: Column | None = None
     ) -> tuple["GammaTable", DataFrame]:

