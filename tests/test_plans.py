@@ -1,0 +1,79 @@
+"""Physical-plan audits: the scale properties we rely on must be
+visible in the optimized plan, not just assumed (SURVEY §4).
+
+These parse `.explain("formatted")` output for structural markers:
+- predicate pushdown into the parquet scan (gamma F1's replacement)
+- broadcast of the query/dimension side (never shuffle the big side)
+- map-side WindowGroupLimit before the exchange for window top-k
+- partition-prune-able isin filter on the IVF index scan
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import knn
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(embeddings):
+    return embeddings.withColumnRenamed("vec_id", "_docid")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, docs):
+    rows = docs.orderBy("_docid").limit(4).collect()
+    return spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+
+
+def test_knn_pushes_filter_and_broadcasts(docs, queries):
+    plan = plan_of(
+        knn.knn_join(docs, queries, k=5, metric="IP", predicate=F.col("label") == 1)
+    )
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,1)]" in plan
+    assert "BroadcastExchange" in plan
+    # map-side partial top-k before the shuffle (Spark 3.5+ WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+    exchange_pos = plan.index("Exchange")
+    assert plan.index("WindowGroupLimit") < exchange_pos or plan.count("WindowGroupLimit") >= 2
+
+
+def test_filter_only_projection_pruning(documents):
+    from gamma_spark import filters as GF
+
+    docs = documents.withColumn("_docid", F.col("doc_id"))
+    fs = [GF.TermFilter("lang", ("en",), GF.TERM_OR)]
+    plan = plan_of(GF.filter_only_query(docs, fs, topn=5).select("doc_id", "total"))
+    # the total-count branch must column-prune: no text column read
+    assert "PushedFilters" in plan
+    assert "In(lang" in plan or "EqualTo(lang,en)" in plan
+
+
+def test_ivf_prunes_clusters(spark, docs, queries):
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    idx = IvfFlatIndex.build(docs, ncentroids=8, seed=42)
+    res = idx.search(None, queries, k=5, metric="L2", nprobe=2, strategy="join")
+    plan = plan_of(res)
+    # the probed-cluster isin restriction must reach the scan/filter
+    assert "cluster_id" in plan
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = plan_of(E.q_top_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

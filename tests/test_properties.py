@@ -80,9 +80,9 @@ def test_hash60_pure_python_parity(s):
 def test_minhash_constants_sane():
     """Parametric family stays within BIGINT bounds under ANSI mode:
     max a * (P-1) + b must not overflow 2^63."""
-    from gamma_spark.operators.dedup import MINHASH_A, MINHASH_B, P
+    from gamma_spark.operators.dedup import MINHASH_A, MINHASH_B, N_HASHES, P
 
-    assert len(MINHASH_A) == len(MINHASH_B) == 16
+    assert len(MINHASH_A) == len(MINHASH_B) == N_HASHES
     for a, b in zip(MINHASH_A, MINHASH_B):
         assert 0 < a and 0 <= b
         assert a * (P - 1) + b < 2**63
