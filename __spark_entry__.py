@@ -139,6 +139,21 @@ def q_knn_ivfpq_rerank_exact(spark, sf_dir):
     )
 
 
+def q_knn_ivfpq_opq_exact(spark, sf_dir):
+    """IVFPQ with OPQ rotation, full probes + full recall + rerank —
+    exercises residual encoding AND the rotation end to end while
+    remaining equal to exact brute force."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42, opq=True)
+    return pq.search(
+        docs, _queries_df(spark, sf_dir), k=KNN_K, metric="L2",
+        nprobe=IVF_NCENT, recall_num=n, has_rank=True,
+    )
+
+
 def q_knn_binaryivf_exact(spark, sf_dir):
     """BINARYIVF with full probes == exact Hamming top-k."""
     from gamma_spark.operators.ann import BinaryIvfIndex
@@ -687,7 +702,7 @@ per_session AS (
          max(sec) - min(sec) AS duration_sec
   FROM s GROUP BY 1, 2
 )
-SELECT user_id, max(session_no) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, max(session_no)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS n_events,
        max(duration_sec) AS max_session_sec
 FROM per_session GROUP BY user_id
 """
@@ -709,8 +724,8 @@ def q_engine_status(spark, sf_dir):
 
 SQL_ENGINE_STATUS = """
 SELECT count(*) AS max_docid,
-       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS deleted,
-       count(*) - sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS doc_count
+       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS deleted,
+       (count(*) - sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END))::BIGINT AS doc_count
 FROM documents
 """
 
@@ -909,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_fusion_multivector": q_knn_fusion,
         "knn_ivfflat_exact": q_knn_ivfflat_exact,
         "knn_ivfpq_rerank_exact": q_knn_ivfpq_rerank_exact,
+        "knn_ivfpq_opq_exact": q_knn_ivfpq_opq_exact,
         "knn_binaryivf_exact": q_knn_binaryivf_exact,
         "filter_range_term": q_filter_range_term,
         "knn_multivid_collapse": q_knn_multivid_collapse,
@@ -952,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_fusion_multivector": SQL_KNN_FUSION,
         "knn_ivfflat_exact": SQL_KNN_L2,
         "knn_ivfpq_rerank_exact": SQL_KNN_L2,
+        "knn_ivfpq_opq_exact": SQL_KNN_L2,
         "knn_binaryivf_exact": SQL_KNN_HAMMING,
         "filter_range_term": SQL_FILTER_RANGE_TERM,
         "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,

@@ -85,6 +85,8 @@ def main():
     qs = entry_mod.queries()
     run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
     run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
+    run("pq_build_search", lambda: qs["knn_ivfpq_adc"](spark, sf_dir).count())
+    run("hybrid_search", lambda: qs["knn_hybrid_pending_exact"](spark, sf_dir).count())
     for name in (
         "knn_ip_topk",
         "knn_fusion_multivector",

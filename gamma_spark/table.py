@@ -51,24 +51,40 @@ def assign_docids(df: DataFrame, start: int = 0, docid_col: str = DOCID) -> Data
     ``monotonically_increasing_id`` the result is *dense*, which
     multi-vector fusion and the delete bitmap analogue rely on.
     """
-    spark = df.sparkSession
     with_pid = df.withColumn("_pid", F.spark_partition_id())
     counts = with_pid.groupBy("_pid").count().collect()
     if not counts:  # empty input: keep schema, no rows to number
         return df.withColumn(docid_col, F.lit(start).cast("long"))
     offsets, acc = {}, start
     for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
+        offsets[int(row["_pid"])] = acc
         acc += row["count"]
-    offmap = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(docid_col, LongType())]
     )
-    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
-    return (
-        with_pid.withColumn("_rn", F.row_number().over(w) - 1)
-        .withColumn(docid_col, (offmap[F.col("_pid")] + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn")
-    )
+    names = [f.name for f in out_schema.fields]
+
+    def number(batches):
+        # shuffle-free numbering: mapInPandas preserves row order within
+        # a partition, so a running counter from the partition's offset
+        # reproduces the dense sequence the count pass promised
+        import pandas as pd  # noqa: F401
+
+        pos = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf[docid_col] = range(pos, pos + len(pdf))
+            pos += len(pdf)
+            yield pdf.drop(columns=["_pid"])
+
+    return with_pid.mapInPandas(number, schema=out_schema)
 
 
 class GammaTable:

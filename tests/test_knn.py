@@ -53,7 +53,7 @@ def test_knn_join_matches_numpy(docs, queries, docs_np, metric):
         assert [d for _, d in sorted(hits)] == expect
 
 
-@pytest.mark.parametrize("metric", ["IP", "L2"])
+@pytest.mark.parametrize("metric", ["IP", "L2", "COSINE"])
 def test_knn_scan_matches_join(docs, queries, metric):
     a = knn.knn_join(docs, queries, k=10, metric=metric)
     b = knn.knn_scan(docs, queries, k=10, metric=metric)

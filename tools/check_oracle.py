@@ -36,6 +36,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         problems.append(f"columns spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}")
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for col in a.columns:  # dtype drift is a driver-hash risk: surface it
+        if str(a[col].dtype) != str(b[col].dtype):
+            problems.append(
+                f"col {col}: dtype spark={a[col].dtype} duck={b[col].dtype} (warning)"
+            )
     if len(a) != len(b):
         return problems
     for col in a.columns:
