@@ -26,5 +26,34 @@ designed for 100 TB scale.
 
 from gamma_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = [
+    "get_spark",
+    "GammaTable",
+    "SearchRequest",
+    "VectorQuery",
+    "search",
+    "RangeFilter",
+    "TermFilter",
+    "get_model",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
+    if name == "GammaTable":
+        from gamma_spark.table import GammaTable
+
+        return GammaTable
+    if name in ("SearchRequest", "VectorQuery", "search"):
+        from gamma_spark.plans import search as _s
+
+        return getattr(_s, name)
+    if name in ("RangeFilter", "TermFilter"):
+        from gamma_spark import filters as _f
+
+        return getattr(_f, name)
+    if name == "get_model":
+        from gamma_spark.operators.ann import get_model
+
+        return get_model
+    raise AttributeError(name)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from gamma_spark.functions import vector as V
 from gamma_spark.operators import knn
-from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
+from gamma_spark.operators.ivf import IvfFlatIndex
 from gamma_spark.operators.pq import IvfPqIndex
 
 

@@ -38,7 +38,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gamma_spark.operators import knn
 
 DEFAULT_NCENTROIDS = 256  # reference test default (`tests/test.h:51-66`)
 DEFAULT_NPROBE = 10

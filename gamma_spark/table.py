@@ -135,6 +135,15 @@ class GammaTable:
             "doc_count": agg["max_docid"] - int(agg["deleted"] or 0),
         }
 
+    # -- search (the user-facing engine.Search) --------------------------
+    def search(self, request, index=None):
+        """Run a SearchRequest against this table's live view — the
+        GammaTable analogue of the reference's ``Search(engine, req)``
+        entry point (`c_api/gamma_api.h`)."""
+        from gamma_spark.plans.search import search as _search
+
+        return _search(self.df, request, index=index)
+
     # -- point lookup (S4) ----------------------------------------------
     def get_doc_by_id(self, key) -> DataFrame:
         """GetDocByID (`search/gamma_engine.cc:951-994`): deleted => miss."""

@@ -1,10 +1,9 @@
 """Sources/ingestion (SURVEY S-family) + migrate export (S8)."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from gamma_spark import filters as GF
-from gamma_spark.sources import load_tables, read_docs, split_tag_columns
+from gamma_spark.sources import load_tables, read_docs
 from gamma_spark.table import GammaTable
 
 

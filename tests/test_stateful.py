@@ -8,7 +8,6 @@ emissions appear instead of waiting for availableNow termination."""
 
 import time
 
-import pytest
 from pyspark.sql import functions as F
 
 from gamma_spark.streaming.stateful import sessionize_stream
