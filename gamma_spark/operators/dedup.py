@@ -96,7 +96,7 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
     from gamma_spark.session import ensure_parallelism
 
-    base = ensure_parallelism(df.filter(F.size(toks) >= n))
+    base = ensure_parallelism(df.filter(F.size(toks) >= n), fanout=50.0)
     return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
@@ -267,7 +267,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from gamma_spark.session import ensure_parallelism
 
     tok = (
-        ensure_parallelism(df)
+        ensure_parallelism(df, fanout=50.0)
         .select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn("h", T.hash60("tok"))

@@ -120,8 +120,12 @@ def knn_scan(
         raise ValueError("query vectors must be fixed-dimension arrays")
     metric_u = metric.upper()
 
-    filtered = _apply_prefilter(docs, predicate).select(
-        F.col(doc_id).alias("_docid"), F.col(doc_vec).alias("_vec")
+    from gamma_spark.session import ensure_parallelism
+
+    filtered = ensure_parallelism(
+        _apply_prefilter(docs, predicate).select(
+            F.col(doc_id).alias("_docid"), F.col(doc_vec).alias("_vec")
+        )
     )
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -32,15 +32,29 @@ _DEFAULTS = {
 }
 
 
-def ensure_parallelism(df, min_partitions: int | None = None):
-    """Repartition only when the input arrives with too few partitions
-    for a compute-heavy stage (a single small parquet file -> 1
-    partition -> 1 core). At real scale inputs already have thousands of
-    splits and this is a no-op — the check is metadata-only."""
+#: below this estimated input size a repartition costs more than the
+#: single-core compute it would parallelize
+_REPARTITION_MIN_BYTES = 32 * 1024 * 1024
+
+
+def ensure_parallelism(df, min_partitions: int | None = None, fanout: float = 1.0):
+    """Repartition only when the input is big enough to matter AND
+    arrives with too few partitions for a compute-heavy stage (a single
+    small parquet file -> 1 partition -> 1 core). ``fanout`` scales the
+    size estimate for stages that multiply their input (shingle/token
+    explodes). At real scale inputs already have thousands of splits and
+    this is a no-op — both checks are metadata-only (optimizer size
+    estimate + partition count)."""
     spark = df.sparkSession
     target = min_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        if size * fanout < _REPARTITION_MIN_BYTES:
+            return df
+    except Exception:  # stats unavailable: fall through to partition check
+        pass
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
