@@ -96,7 +96,9 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
     from gamma_spark.session import ensure_parallelism
 
-    base = ensure_parallelism(df.filter(F.size(toks) >= n), fanout=50.0)
+    # explode to ~50x rows, then 32 hash evals per shingle downstream:
+    # CPU per input byte is ~3 orders over a plain scan
+    base = ensure_parallelism(df.filter(F.size(toks) >= n), fanout=500.0)
     return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
@@ -267,7 +269,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from gamma_spark.session import ensure_parallelism
 
     tok = (
-        ensure_parallelism(df, fanout=50.0)
+        ensure_parallelism(df, fanout=500.0)
         .select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn("h", T.hash60("tok"))
