@@ -59,3 +59,22 @@ def test_adc_selfhit_without_rerank(docs, queries):
     top1 = {r.qid: r._docid for r in res.collect() if r.rank == 1}
     hits = sum(1 for q, d in top1.items() if q == d)
     assert hits >= len(top1) - 1  # tolerate one ADC near-tie miss
+
+
+def test_fastscan_shape_4bit_codes(docs, queries):
+    """K4 IVFPQFastScan parity: the observable property of fast-scan is
+    4-bit codes (ksub=16 per subspace — `index/impl/gamma_index_ivfpqfs.cc:40`);
+    the SIMD register-shuffle scan itself is an execution detail. With
+    rerank + full recall the 4-bit index must still match exact search."""
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, nbits=4, seed=42)
+    # codebooks respect the 4-bit budget
+    cb = pq.codebooks
+    assert all(sub.shape[0] <= 16 for sub in cb)
+    got = pq.search(
+        docs, queries, k=5, metric="L2", nprobe=NCENT, recall_num=n, has_rank=True
+    )
+    want = knn.knn_join(docs, queries, k=5, metric="L2")
+    g = {(r.qid, r.rank): r._docid for r in got.collect()}
+    w = {(r.qid, r.rank): r._docid for r in want.collect()}
+    assert g == w
