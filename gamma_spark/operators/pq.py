@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -125,12 +126,20 @@ class IvfPqIndex:
         residuals = sample - centroids[a]
         rotation = opq_rotation_np(residuals, seed) if opq else np.eye(d)
         rotated = residuals @ rotation
-        codebooks = np.stack(
-            [
-                kmeans_lloyd_np(rotated[:, i * dsub : (i + 1) * dsub], ksub, seed + i)
-                for i in range(nsubvector)
-            ]
-        )  # note: ksub_eff may be < 2^nbits on tiny data
+        # subspaces train independently; numpy BLAS releases the GIL so a
+        # thread pool gets real parallelism. seed+i per subspace keeps the
+        # result identical to the sequential loop.
+        with ThreadPoolExecutor(max_workers=min(nsubvector, os.cpu_count() or 1)) as ex:
+            codebooks = np.stack(
+                list(
+                    ex.map(
+                        lambda i: kmeans_lloyd_np(
+                            rotated[:, i * dsub : (i + 1) * dsub], ksub, seed + i
+                        ),
+                        range(nsubvector),
+                    )
+                )
+            )  # note: ksub_eff may be < 2^nbits on tiny data
 
         assigned = assign_clusters(docs, centroids, doc_vec)
         cb, cents, rot, m_ = codebooks, centroids, rotation, nsubvector
