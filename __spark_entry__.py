@@ -897,6 +897,14 @@ def _sql_embedding_neardup() -> str:
     return D.sql_embedding_neardup_pairs("embeddings", "vec_id", "embedding", EMB_NEARDUP_T)
 
 
+def _sql_embedding_neardup_lsh() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_embedding_neardup_lsh(
+        "embeddings", "vec_id", "embedding", EMB_NEARDUP_T, prefilter_bits=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -988,14 +996,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _sql_dedup_jaccard(),
         "simhash_signatures": _sql_simhash_signatures(),
         "embedding_neardup": _sql_embedding_neardup(),
+        "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "knn_hybrid_pending_exact": SQL_KNN_L2,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessionization": SQL_EVENTS_SESSIONIZATION,
         "engine_status": SQL_ENGINE_STATUS,
         "order_priority_ranks": SQL_ORDER_PRIORITY_RANKS,
         "lineitem_by_region": SQL_LINEITEM_BY_REGION,
-        # knn_ivfflat_pruned / knn_ivfpq_adc / embedding_neardup_lsh /
-        # multimodal_features: intentionally no oracle (trained-index /
-        # LSH / stub-codec paths) -> driver rows-only check; recall and
-        # subset properties are asserted in tests/.
+        # knn_ivfflat_pruned / knn_ivfpq_adc / multimodal_features:
+        # intentionally no oracle (trained-index / stub-codec paths) ->
+        # driver rows-only check; recall and subset properties are
+        # asserted in tests/.
     }
