@@ -451,6 +451,63 @@ SELECT doc_id FROM documents WHERE lang = 'zh' AND n_chars >= 100 AND n_chars <=
 """
 
 
+def q_snapshot_roundtrip(spark, sf_dir):
+    """S5 Dump/Load (`search/gamma_engine.cc:1101-1146,1175-1285`):
+    timestamped snapshot with a done-marker written last; Load picks the
+    newest complete snapshot. Round-trip must reproduce the table
+    exactly -> identity oracle."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    table = GammaTable(spark, docs, id_col="doc_id")
+    root = tempfile.mkdtemp(prefix="gamma_snap_")
+    table.dump(root)
+    loaded = GammaTable.load(spark, root)
+    return loaded.df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+SQL_SNAPSHOT_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def q_migrate_export(spark, sf_dir):
+    """S8 Migrate (`c_api/gamma_api.cc:238-255`, `storage/migrate_data.cc`):
+    after an upsert batch and a delete-by-filter, export the delta vs the
+    original snapshot — changed/new live docs plus tombstoned keys. A
+    consumer replaying both onto the snapshot reconstructs the table."""
+    docs = _t(spark, sf_dir, "documents")
+    base = GammaTable(spark, docs, id_col="doc_id")
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(F.lit("migrated:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    t2 = base.add_or_update(updates)
+    t3, _ = t2.delete_by_filter([GF.RangeFilter("n_chars", lower=450)])
+    ups, dels = t3.migrate_since(base)
+    return ups.select(
+        "doc_id", "text", F.lit("upsert").alias("kind")
+    ).unionByName(
+        dels.select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("delete").alias("kind"),
+        )
+    )
+
+
+SQL_MIGRATE_EXPORT = """
+SELECT doc_id, 'migrated:' || doc_id::VARCHAR AS text, 'upsert' AS kind
+FROM documents WHERE doc_id % 7 = 0 AND n_chars < 450
+UNION ALL
+SELECT doc_id, NULL::VARCHAR AS text, 'delete' AS kind
+FROM documents WHERE n_chars >= 450
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-native relational surface (SURVEY §2.6 — free from Spark SQL)
 # ---------------------------------------------------------------------------
@@ -943,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": q_point_lookup,
         "upsert_last_wins": q_upsert_last_wins,
         "delete_by_filter": q_delete_by_filter,
+        "snapshot_roundtrip": q_snapshot_roundtrip,
+        "migrate_export": q_migrate_export,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -987,6 +1046,8 @@ def oracle_sql() -> dict[str, str]:
         "point_lookup": SQL_POINT_LOOKUP,
         "upsert_last_wins": SQL_UPSERT_LAST_WINS,
         "delete_by_filter": SQL_DELETE_BY_FILTER,
+        "snapshot_roundtrip": SQL_SNAPSHOT_ROUNDTRIP,
+        "migrate_export": SQL_MIGRATE_EXPORT,
         "pricing_summary": SQL_PRICING_SUMMARY,
         "top_customers": SQL_TOP_CUSTOMERS,
         "events_hourly": SQL_EVENTS_HOURLY,
