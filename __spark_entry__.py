@@ -954,6 +954,30 @@ def _sql_embedding_neardup() -> str:
     return D.sql_embedding_neardup_pairs("embeddings", "vec_id", "embedding", EMB_NEARDUP_T)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Pair->group resolution: minhash LSH pairs -> connected components
+    -> keeper per group (longest doc wins, min-id tiebreak) over the
+    whole corpus, singletons included. filter(is_keeper) = deduplicated
+    corpus."""
+    from gamma_spark.operators import dedup as D
+    from gamma_spark.operators import groups as G
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text")
+    return G.resolve_groups(pairs, docs, "doc_id", keeper_order=F.col("n_chars"))
+
+
+def _sql_dedup_groups() -> str:
+    from gamma_spark.operators import dedup as D
+    from gamma_spark.operators import groups as G
+
+    sig = D.sql_minhash_signatures(
+        D.sql_shingles("documents", "doc_id", "text", 3), "doc_id"
+    )
+    pairs = D.sql_lsh_candidate_pairs(sig, "doc_id")
+    return G.sql_resolve_groups(pairs, "documents", "doc_id", "n_chars")
+
+
 def _sql_embedding_neardup_lsh() -> str:
     from gamma_spark.operators import dedup as D
 
@@ -1011,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "simhash_signatures": q_simhash_signatures,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_groups": q_dedup_groups,
         "knn_hybrid_pending_exact": q_knn_hybrid_exact,
         "knn_ivfflat_pruned": q_knn_ivfflat_pruned,
         "knn_ivfpq_adc": q_knn_ivfpq_adc,
@@ -1057,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _sql_dedup_jaccard(),
         "simhash_signatures": _sql_simhash_signatures(),
         "embedding_neardup": _sql_embedding_neardup(),
+        "dedup_groups": _sql_dedup_groups(),
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "knn_hybrid_pending_exact": SQL_KNN_L2,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
