@@ -643,13 +643,14 @@ def q_knn_ivfpq_adc(spark, sf_dir):
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
-    """Sign-band LSH prefilter near-dup (scale path; subset-of-exact is
-    asserted in tests) -> rows-only check."""
+    """Multi-band hyperplane-LSH near-dup (scale path): 16 bands x 8
+    sign bits OR'd, exact cosine verify on candidates. Deterministic
+    baked hyperplanes -> the oracle applies the identical prune."""
     from gamma_spark.operators import dedup as D
 
-    return D.embedding_neardup_pairs(
+    return D.embedding_neardup_banded(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=EMB_NEARDUP_T, prefilter_bits=8,
+        threshold=EMB_NEARDUP_T, dim=64,
     )
 
 
@@ -954,6 +955,38 @@ def _sql_embedding_neardup() -> str:
     return D.sql_embedding_neardup_pairs("embeddings", "vec_id", "embedding", EMB_NEARDUP_T)
 
 
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """Pigeonhole-banded simhash near-dup (scale path) — must equal the
+    all-pairs oracle exactly (banding is lossless by pigeonhole)."""
+    from gamma_spark.operators import dedup as D
+
+    return D.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_distance=3
+    )
+
+
+def _sql_simhash_neardup_pairs() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_simhash_pairs("documents", "doc_id", "text", max_distance=3)
+
+
+def q_dedup_minhash_verified(spark, sf_dir):
+    """Composed dedup pipeline: minhash LSH candidates -> exact Jaccard
+    verify on the candidate relation only (no all-pairs stage)."""
+    from gamma_spark.operators import dedup as D
+
+    return D.minhash_verified_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.3
+    )
+
+
+def _sql_dedup_minhash_verified() -> str:
+    from gamma_spark.operators import dedup as D
+
+    return D.sql_minhash_verified_pairs("documents", "doc_id", "text", 3, 0.3)
+
+
 def q_dedup_groups(spark, sf_dir):
     """Pair->group resolution: minhash LSH pairs -> connected components
     -> keeper per group (longest doc wins, min-id tiebreak) over the
@@ -981,8 +1014,8 @@ def _sql_dedup_groups() -> str:
 def _sql_embedding_neardup_lsh() -> str:
     from gamma_spark.operators import dedup as D
 
-    return D.sql_embedding_neardup_lsh(
-        "embeddings", "vec_id", "embedding", EMB_NEARDUP_T, prefilter_bits=8
+    return D.sql_embedding_neardup_banded(
+        "embeddings", "vec_id", "embedding", EMB_NEARDUP_T, dim=64
     )
 
 
@@ -1036,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
+        "simhash_neardup_pairs": q_simhash_neardup_pairs,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "knn_hybrid_pending_exact": q_knn_hybrid_exact,
         "knn_ivfflat_pruned": q_knn_ivfflat_pruned,
         "knn_ivfpq_adc": q_knn_ivfpq_adc,
@@ -1083,6 +1118,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _sql_simhash_signatures(),
         "embedding_neardup": _sql_embedding_neardup(),
         "dedup_groups": _sql_dedup_groups(),
+        "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),
+        "dedup_minhash_verified": _sql_dedup_minhash_verified(),
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "knn_hybrid_pending_exact": SQL_KNN_L2,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,

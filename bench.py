@@ -59,6 +59,19 @@ def bench_ivf(spark, sf_dir):
     return n
 
 
+def bench_neardup_banded(spark, sf_dir):
+    """Multi-band hyperplane-LSH embedding near-dup on its scale path
+    (Arrow matmul signatures + vectorized verify); the contract query
+    keeps the bit-exact Catalyst fold for the oracle."""
+    from gamma_spark.operators import dedup as D
+
+    embs = entry_mod._t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_banded(
+        embs, "vec_id", "embedding",
+        threshold=entry_mod.EMB_NEARDUP_T, dim=64, kernel=True,
+    ).count()
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gamma_spark-bench")
@@ -99,9 +112,12 @@ def main():
         "text_stats",
         "dedup_minhash_lsh",
         "simhash_signatures",
-        "embedding_neardup_lsh",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
+    run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))
+    run("simhash_neardup_pairs", lambda: qs["simhash_neardup_pairs"](spark, sf_dir).count())
+    run("dedup_minhash_verified", lambda: qs["dedup_minhash_verified"](spark, sf_dir).count())
+    run("dedup_groups", lambda: qs["dedup_groups"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(

@@ -256,6 +256,75 @@ WHERE (common)::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE >= {threshold}
 """
 
 
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard VERIFY stage over a candidate-pair relation (the
+    step after LSH): scores only the given ``(id_a, id_b)`` pairs
+    against the shingle relation — never re-mines the corpus.
+
+    Cost at scale: two joins keyed by doc id (candidate fan-out, not
+    corpus fan-out) + one count per pair. Candidates with zero common
+    shingles are dropped (their Jaccard is 0 — below any positive
+    threshold).
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    expanded = pairs.select("id_a", "id_b").join(
+        sh.select(F.col(id_col).alias("id_a"), "shingle"), on="id_a"
+    )
+    common = (
+        expanded.join(
+            sh.select(F.col(id_col).alias("id_b"), "shingle"),
+            on=["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """The composed scale pipeline: minhash LSH candidate generation ->
+    exact Jaccard verify on candidates only. Result = LSH ∩ (J >= t);
+    total cost is the LSH join + per-candidate verification, with no
+    all-pairs stage anywhere."""
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col)
+    cands = lsh_candidate_pairs(sig, id_col)
+    return jaccard_on_pairs(cands, sh, id_col, threshold)
+
+
+def sql_minhash_verified_pairs(
+    table: str, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin: the LSH candidate set intersected with the exact
+    Jaccard relation at the threshold."""
+    sig = sql_minhash_signatures(sql_shingles(table, id_col, text_col, n), id_col)
+    lsh = sql_lsh_candidate_pairs(sig, id_col)
+    jac = sql_jaccard_pairs(table, id_col, text_col, n, threshold)
+    return f"""
+SELECT p.id_a, p.id_b, j.jaccard
+FROM ({lsh}) p JOIN ({jac}) j USING (id_a, id_b)
+"""
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
@@ -315,8 +384,10 @@ SELECT {id_col}, {bits} AS simhash FROM sums
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance. Exact pair scan —
-    the scale path buckets on simhash bytes first (same LSH shape)."""
+    """Near-dup pairs by simhash Hamming distance via the all-pairs
+    join. ORACLE MODE ONLY — O(N²); the scale path is
+    :func:`simhash_neardup_pairs` (pigeonhole banding), which returns
+    the identical result set."""
     sig = simhash(df, id_col, text_col)
     a, b = sig.alias("a"), sig.alias("b")
     return (
@@ -328,6 +399,76 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_distance: int =
         )
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def _simhash_blocks(max_distance: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(start_bit, width) for max_distance+1 blocks covering the
+    signature. Pigeonhole: a pair within Hamming distance d differs in
+    <= d blocks, so it agrees exactly on >= 1 of the d+1 blocks."""
+    nblocks = max_distance + 1
+    base, rem = divmod(bits, nblocks)
+    out, start = [], 0
+    for i in range(nblocks):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Scale path for simhash near-dup: pigeonhole-banded candidate
+    generation + exact Hamming verify — returns EXACTLY the pairs the
+    all-pairs scan would (recall 1.0 by construction, no LSH loss).
+
+    Shape: explode each signature into d+1 (block_no, block_val) keys,
+    self-join on block equality (shuffle keyed by block bucket, fan-out
+    bounded by bucket size like the minhash LSH join), verify
+    ``hamming <= d`` on the carried signatures, distinct. At 100 TB the
+    join is bucket-bounded instead of O(N²); skewed blocks (e.g. the
+    all-zeros byte) are AQE-splittable."""
+    sig = simhash(df, id_col, text_col)
+    blocks = _simhash_blocks(max_distance)
+    block_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << w) - 1))
+            for start, w in blocks
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(block_arr).alias("block", "bval")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            V.hamming(F.col("a.simhash"), F.col("b.simhash")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )
+
+
+def sql_simhash_pairs(
+    table: str, id_col: str, text_col: str, max_distance: int = 3
+) -> str:
+    """All-pairs DuckDB twin — the banded Spark plan must equal this."""
+    sig = sql_simhash(table, id_col, text_col)
+    ham = V.sql_hamming("a.simhash", "b.simhash")
+    return f"""
+WITH sig AS ({sig})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {ham} AS distance
+FROM sig a JOIN sig b ON a.{id_col} < b.{id_col}
+WHERE {ham} <= {max_distance}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -373,6 +514,226 @@ def sql_embedding_neardup_pairs(
     return f"""
 SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos} AS cosine
 FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE {cos} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multi-band hyperplane LSH (the scale path for embedding near-dup)
+# ---------------------------------------------------------------------------
+
+#: default banding: 16 bands x 8 sign bits, OR semantics. For a
+#: near-dup threshold of cosine 0.9 the per-bit agreement prob is
+#: p = 1 - theta/pi ~ 0.857, so band-hit prob p^8 ~ 0.29 and recall
+#: 1-(1-p^8)^16 ~ 0.996 — vs 0.29 for the single-band prefilter.
+NEARDUP_BANDS = 16
+NEARDUP_BAND_BITS = 8
+NEARDUP_SEED = 7
+
+
+def _hyperplanes(dim: int, bands: int, bits: int, seed: int) -> list[list[list[float]]]:
+    """Seeded Gaussian hyperplanes, rounded to 6 decimals so the SQL
+    literal and the Python float parse to the *identical* double in
+    both engines (correctly-rounded decimal->binary both sides)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    raw = rng.standard_normal((bands, bits, dim))
+    return [
+        [[float(f"{x:.6f}") for x in plane] for plane in band] for band in raw
+    ]
+
+
+def embedding_neardup_banded(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    bands: int = NEARDUP_BANDS,
+    bits: int = NEARDUP_BAND_BITS,
+    seed: int = NEARDUP_SEED,
+    kernel: bool = False,
+) -> DataFrame:
+    """(id_a < id_b, cosine >= threshold) pairs via multi-band
+    hyperplane LSH: ``bands`` independent signatures of ``bits`` sign
+    bits each, OR'd — a pair is a candidate if ANY band matches — then
+    exact cosine verify on candidates only.
+
+    Same 100 TB shape as the minhash LSH join: explode to (band, bval)
+    keys, self-join shuffles on the band bucket (fan-out bounded by
+    bucket size, never O(N²)); the hyperplanes are baked literals so
+    the whole plan is deterministic and ANSI-expressible (the oracle
+    twin applies the identical prune). All sign/dot arithmetic is
+    in-order double accumulation -> bit-identical across engines.
+
+    Parameter guidance (``bits`` controls bucket selectivity, ``bands``
+    recall): buckets per band = 2^bits, so size ``bits`` >= log2(N) to
+    keep bucket fan-out O(1) — e.g. b=32 x r=16 for 1M vectors at
+    threshold 0.9 (recall ~0.998). ``kernel=True`` switches signature
+    computation to an Arrow-batched matmul for large bands*bits (the
+    Catalyst fold is the certified-bit-exact oracle path)."""
+    planes = _hyperplanes(dim, bands, bits, seed)
+    base = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if kernel:
+        from gamma_spark.session import ensure_parallelism
+
+        sigs = _banded_signatures_kernel(
+            ensure_parallelism(base, fanout=8.0), planes, bands, bits
+        )
+        banded = sigs.select(
+            "_id", "_v", F.posexplode("_bvals").alias("band", "bval")
+        )
+    else:
+        band_vals = []
+        for band in planes:
+            val = F.lit(0).cast("long")
+            for plane in band:
+                d = V.dot("_v", F.array(*[F.lit(x) for x in plane]))
+                val = val * F.lit(2).cast("long") + F.when(d > 0, F.lit(1)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            band_vals.append(val)
+        banded = base.select(
+            "_id", "_v", F.posexplode(F.array(*band_vals)).alias("band", "bval")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    # dedupe candidate pairs BEFORE the verify: a pair matching in m
+    # bands would otherwise pay the cosine m times (the vectors are
+    # functionally dependent on the ids, so keeping any copy is exact)
+    pairs = (
+        a.join(
+            b,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if kernel:
+        scored = _cosine_verify_kernel(pairs)
+    else:
+        scored = pairs.select(
+            "id_a", "id_b", V.cosine("_va", "_vb").alias("cosine")
+        )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def _banded_signatures_kernel(
+    base: DataFrame, planes, bands: int, bits: int
+) -> DataFrame:
+    """Arrow-batched band signatures via one numpy matmul per batch —
+    the throughput path when bands*bits is large (512 hyperplanes at
+    b=32 x r=16 would be an oversized Catalyst expression tree).
+
+    Signs from BLAS dots can differ from the in-order fold ONLY on
+    exact-zero ties (measure-zero; asserted equal on test data), so this
+    path matches the Catalyst/oracle path in practice but is not
+    certified bit-exact — same contract as the knn BLAS kernel."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType, LongType, StructField, StructType,
+    )
+
+    H = np.asarray(planes, dtype=np.float64).reshape(bands * bits, -1)
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
+    out_schema = StructType(
+        [
+            base.schema["_id"],
+            base.schema["_v"],
+            StructField("_bvals", ArrayType(LongType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.stack(pdf["_v"].to_numpy())
+            S = (M.astype(np.float64) @ H.T) > 0  # (n, bands*bits)
+            vals = (
+                S.reshape(len(pdf), bands, bits).astype(np.int64) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "_v": pdf["_v"], "_bvals": list(vals)}
+            )
+
+    return base.mapInPandas(kernel, schema=out_schema)
+
+
+def _cosine_verify_kernel(pairs: DataFrame) -> DataFrame:
+    """Arrow-batched exact-cosine verify over a candidate-pair relation
+    (one einsum per batch). BLAS sum order differs from the in-order
+    fold only in the last ulps — fine for the scale path, not for the
+    oracle path (same contract as the knn BLAS kernel)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", pairs.schema["id_a"].dataType),
+            StructField("id_b", pairs.schema["id_b"].dataType),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, num / den, 0.0)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos}
+            )
+
+    return pairs.mapInPandas(kern, schema=out_schema)
+
+
+def sql_embedding_neardup_banded(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int = 64,
+    bands: int = NEARDUP_BANDS,
+    bits: int = NEARDUP_BAND_BITS,
+    seed: int = NEARDUP_SEED,
+) -> str:
+    """DuckDB twin applying the identical multi-band prune (same baked
+    hyperplanes, same fold) then the same cosine verify."""
+    planes = _hyperplanes(dim, bands, bits, seed)
+    selects = []
+    for i, band in enumerate(planes):
+        val = "0::BIGINT"
+        for plane in band:
+            lit = "[" + ", ".join(f"{x:.6f}" for x in plane) + "]::DOUBLE[]"
+            d = f"list_dot_product(({vec_col})::DOUBLE[], {lit})"
+            val = f"(({val}) * 2 + (CASE WHEN {d} > 0 THEN 1 ELSE 0 END))"
+        selects.append(
+            f"SELECT {id_col} AS _id, {vec_col} AS _v, {i} AS band, {val} AS bval FROM {table}"
+        )
+    banded = " UNION ALL ".join(selects)
+    cos = V.sql_cosine("a._v", "b._v")
+    return f"""
+WITH banded AS ({banded})
+SELECT DISTINCT a._id AS id_a, b._id AS id_b, {cos} AS cosine
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
 WHERE {cos} >= {threshold}
 """
 

@@ -76,6 +76,28 @@ def kmeans_lloyd_np(data: np.ndarray, k: int, seed: int, iters: int = 25) -> np.
 LOCAL_TRAIN_MAX = 200_000
 
 
+def _estimate_rows(df: DataFrame, vec_col: str) -> int | None:
+    """Metadata-only row estimate: the optimizer's rowCount when CBO has
+    one, else projected sizeInBytes / per-row width (8*dim + overhead)
+    with the dim probed from a single row. Never scans the relation —
+    at 100 TB a plain ``count()`` just to pick a sampling fraction is a
+    full pass over the data."""
+    try:
+        proj = df.select(vec_col)
+        stats = proj._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    head = df.select(vec_col).head(1)
+    if not head:
+        return 0
+    dim = len(head[0][0])
+    return max(1, size // (8 * dim + 24))
+
+
 def _train_centroids(
     docs: DataFrame,
     doc_vec: str,
@@ -89,12 +111,17 @@ def _train_centroids(
     so for samples under LOCAL_TRAIN_MAX rows we collect and run local
     numpy Lloyd; larger samples go through MLlib KMeans so training
     itself stays distributed."""
-    total = docs.count()
+    total = _estimate_rows(docs, doc_vec)
+    if total is None:
+        total = docs.count()
     sample = docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
     if total > sample_size:
         sample = sample.sample(
-            fraction=min(1.0, 1.2 * sample_size / total), seed=seed
-        ).limit(sample_size)
+            fraction=min(1.0, 1.5 * sample_size / total), seed=seed
+        )
+    # the limit both enforces the bound and insures against a low
+    # estimate (it is a no-op when the stream is already smaller)
+    sample = sample.limit(sample_size)
 
     if min(total, sample_size) <= LOCAL_TRAIN_MAX:
         # Arrow-path collection (toPandas) is ~10x faster than row

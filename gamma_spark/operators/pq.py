@@ -110,13 +110,17 @@ class IvfPqIndex:
         dsub, ksub = d // nsubvector, 2**nbits
 
         # bounded training sample for codebooks (cap points/centroid,
-        # standard quantizer practice); Arrow-path collection
+        # standard quantizer practice); seeded uniform sample — a bare
+        # limit() would take the file-order prefix, underfitting the
+        # tail of sorted/sharded corpora. Arrow-path collection.
+        from gamma_spark.operators.ivf import _estimate_rows
+
         cap = min(sample_size, 100_000, 128 * ksub)
-        spdf = (
-            docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
-            .limit(cap)
-            .toPandas()
-        )
+        svec = docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
+        est = _estimate_rows(docs, doc_vec)
+        if est is not None and est > cap:
+            svec = svec.sample(fraction=min(1.0, 1.5 * cap / est), seed=seed)
+        spdf = svec.limit(cap).toPandas()
         sample = np.stack(spdf["_v"].to_numpy()).astype(np.float64)
         # residuals to the assigned coarse centroid (faiss IVFPQ)
         a = (

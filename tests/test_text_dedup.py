@@ -137,6 +137,52 @@ def test_simhash_parity_and_selfpairs(spark, documents, con):
     assert [(p.id_a, p.id_b, p.distance) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_banded_equals_allpairs(documents):
+    """Pigeonhole banding is lossless: the banded plan must return the
+    identical pair set (ids AND distances) as the all-pairs scan."""
+    docs = documents.filter(F.col("doc_id") < 120)
+    for d in (0, 2, 3):
+        banded = {
+            (r.id_a, r.id_b, r.distance)
+            for r in D.simhash_neardup_pairs(docs, "doc_id", "text", max_distance=d).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b, r.distance)
+            for r in D.simhash_pairs(docs, "doc_id", "text", max_distance=d).collect()
+        }
+        assert banded == exact, f"max_distance={d}"
+
+
+def test_simhash_blocks_cover_signature():
+    for d in range(0, 8):
+        blocks = D._simhash_blocks(d)
+        assert len(blocks) == d + 1
+        assert sum(w for _, w in blocks) == D.SIMHASH_BITS
+        # contiguous, non-overlapping
+        pos = 0
+        for start, w in blocks:
+            assert start == pos and w >= 1
+            pos += w
+
+
+def test_jaccard_on_pairs_matches_full_mine(documents):
+    """Scoring only the LSH candidates must agree with the full-corpus
+    jaccard mine on exactly those pairs."""
+    docs = documents.filter(F.col("doc_id") < 100)
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(sh, "doc_id"), "doc_id")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_on_pairs(cands, sh, "doc_id", threshold=0.2).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.2).collect()
+    }
+    cand_set = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert got == {p: j for p, j in full.items() if p in cand_set}
+
+
 def test_embedding_neardup(embeddings, con):
     got = {
         (r.id_a, r.id_b)
@@ -163,3 +209,64 @@ def test_embedding_neardup_lsh_is_subset(embeddings):
         ).collect()
     }
     assert lsh <= exact
+
+
+def test_embedding_banded_subset_and_sql_parity(embeddings, con):
+    banded = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_neardup_banded(
+            embeddings, threshold=0.3, dim=64
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in D.embedding_neardup_pairs(embeddings, threshold=0.3).collect()
+    }
+    assert set(banded) <= set(exact)
+    assert all(exact[p] == c for p, c in banded.items())  # bit-exact cosines
+    duck = {
+        (a, b): c
+        for a, b, c in con.execute(
+            D.sql_embedding_neardup_banded("embeddings", "vec_id", "embedding", 0.3, dim=64)
+        ).fetchall()
+    }
+    assert banded == duck
+
+
+def test_embedding_banded_kernel_matches_catalyst(embeddings):
+    cat = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(embeddings, threshold=0.3, dim=64).collect()
+    }
+    ker = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(
+            embeddings, threshold=0.3, dim=64, kernel=True
+        ).collect()
+    }
+    assert cat == ker
+
+
+def test_embedding_banded_recall_on_planted_neardups(spark):
+    """The honest near-dup regime (cosine >= 0.9): plant 50 perturbed
+    copies, banded LSH must recover nearly all planted pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 64))
+    near = base + 0.12 * rng.standard_normal((50, 64))  # cosine ~0.97
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)] + [
+        (1000 + i, [float(x) for x in near[i]]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(df, threshold=0.9, dim=64).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(50)}
+    exact_planted = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(df, threshold=0.9).collect()
+    } & planted
+    recall = len(found & exact_planted) / max(1, len(exact_planted))
+    assert recall >= 0.95, recall

@@ -72,14 +72,36 @@ def main():
     found = pairs.join(planted, on=["id_a", "id_b"], how="inner").count()
     results["planted_recall"] = round(found / planted.count(), 4)
 
+    # composed scale pipeline: exact Jaccard scored on the LSH
+    # candidate relation ONLY (no corpus re-mine)
     t0 = time.time()
-    verified = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
-    results["jaccard_verify_pairs"] = verified.count()
-    results["jaccard_verify_sec"] = round(time.time() - t0, 2)
+    sh = D.shingles(docs, "doc_id", "text", 3)
+    verified = D.jaccard_on_pairs(pairs, sh, "doc_id", threshold=0.5).cache()
+    results["verified_pairs"] = verified.count()
+    results["jaccard_on_candidates_sec"] = round(time.time() - t0, 2)
+    found_v = verified.join(planted, on=["id_a", "id_b"], how="inner").count()
+    results["verified_planted_recall"] = round(found_v / planted.count(), 4)
+
+    # pair -> group resolution over the verified pairs
+    from gamma_spark.operators import groups as G
+
+    t0 = time.time()
+    resolved = G.resolve_groups(verified, docs, "doc_id").cache()
+    results["n_groups"] = resolved.filter(F.col("is_keeper")).count()
+    results["n_dropped"] = resolved.filter(~F.col("is_keeper")).count()
+    results["resolve_groups_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     D.simhash(docs, "doc_id", "text").count()
     results["simhash_sec"] = round(time.time() - t0, 2)
+
+    # banded simhash near-dup: pigeonhole candidates + exact verify —
+    # lossless, so no recall row (identity with all-pairs is unit-tested)
+    t0 = time.time()
+    results["simhash_banded_pairs"] = D.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_distance=3
+    ).count()
+    results["simhash_banded_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
     docs.select(
