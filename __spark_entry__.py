@@ -366,6 +366,40 @@ SELECT _docid, qid, score, rank::INT AS rank, label FROM (
 """.replace("{l2sq}", V.sql_l2_squared("e.embedding", "q.qvec"))
 
 
+def q_search_with_total(spark, sf_dir):
+    """R8 result-packing parity: every hit carries ``total`` = the
+    filter-survivor count (`search/gamma_engine.cc:448-449`) and a
+    ``_source`` payload of the stored fields
+    (`c_api/api_data/gamma_response.cc:215-260`)."""
+    from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+    docs = _docs(spark, sf_dir)
+    req = SearchRequest(
+        vector_queries=[VectorQuery(field="embedding", queries=_queries_df(spark, sf_dir), metric="L2")],
+        topn=KNN_K,
+        source_fields=["_docid", "label"],
+        with_total=True,
+    )
+    return search(docs, req, extra_predicate=F.col("label").isin(0, 1))
+
+
+SQL_SEARCH_WITH_TOTAL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+m AS (SELECT * FROM embeddings WHERE label IN (0, 1)),
+s AS (
+  SELECT q.qid, e.vec_id AS _docid, {{l2sq}} AS score,
+         '{{"_docid":' || e.vec_id || ',"label":' || e.label || '}}' AS _source
+  FROM m e CROSS JOIN q
+)
+SELECT _docid, qid, score, rank::INT AS rank, _source,
+       (SELECT count(*) FROM m) AS total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score ASC, _docid ASC) AS rank
+  FROM s
+) t WHERE rank <= {KNN_K}
+""".replace("{l2sq}", V.sql_l2_squared("e.embedding", "q.qvec"))
+
+
 def q_filter_only_topn(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn("_docid", F.col("doc_id"))
     fs = [GF.TermFilter("lang", ("en",), GF.TERM_OR), GF.RangeFilter("n_chars", lower=200)]
@@ -431,6 +465,58 @@ FROM documents
 UNION ALL
 SELECT doc_id + 1000000 AS doc_id, 'new:' || doc_id AS text, doc_id AS n_chars
 FROM documents WHERE doc_id < 5
+"""
+
+
+def q_upsert_chain(spark, sf_dir):
+    """S2/S3 drip-feed shape: three successive AddOrUpdateDocs batches
+    with write-back persistence (``persist_root``) — each merge is
+    dumped and reloaded, so the plan stays a bare Parquet scan instead
+    of stacking three joins of lineage (gamma upserts are durable by
+    construction, `search/gamma_engine.cc:676-759`)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    table = GammaTable(spark, docs, id_col="doc_id")
+    root = tempfile.mkdtemp(prefix="gamma_upsert_chain_")
+    b1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v1:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    b2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.concat(F.lit("v2:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 2).alias("n_chars"),
+    )
+    b3 = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("ins:"), F.col("doc_id").cast("string")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    for b in (b1, b2, b3):
+        table = table.add_or_update(b, persist_root=root)
+    return table.df.select("doc_id", "text", "n_chars")
+
+
+SQL_UPSERT_CHAIN = """
+SELECT doc_id,
+       CASE WHEN doc_id % 20 = 0 THEN 'v2:' || doc_id
+            WHEN doc_id % 10 = 0 THEN 'v1:' || doc_id
+            ELSE text END AS text,
+       CASE WHEN doc_id % 20 = 0 THEN n_chars + 2
+            WHEN doc_id % 10 = 0 THEN n_chars + 1
+            ELSE n_chars END AS n_chars
+FROM documents
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id, 'ins:' || doc_id AS text, n_chars
+FROM documents WHERE doc_id < 3
 """
 
 
@@ -1053,9 +1139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_tags_and": q_filter_tags_and,
         "filter_tags_or_notin": q_filter_tags_or_notin,
         "search_projected_l2sqrt": q_search_projected_l2sqrt,
+        "search_with_total": q_search_with_total,
         "filter_only_topn": q_filter_only_topn,
         "point_lookup": q_point_lookup,
         "upsert_last_wins": q_upsert_last_wins,
+        "upsert_chain": q_upsert_chain,
         "delete_by_filter": q_delete_by_filter,
         "snapshot_roundtrip": q_snapshot_roundtrip,
         "migrate_export": q_migrate_export,
@@ -1102,9 +1190,11 @@ def oracle_sql() -> dict[str, str]:
         "filter_tags_and": SQL_FILTER_TAGS_AND,
         "filter_tags_or_notin": SQL_FILTER_TAGS_OR_NOTIN,
         "search_projected_l2sqrt": SQL_SEARCH_PROJECTED_L2SQRT,
+        "search_with_total": SQL_SEARCH_WITH_TOTAL,
         "filter_only_topn": SQL_FILTER_ONLY_TOPN,
         "point_lookup": SQL_POINT_LOOKUP,
         "upsert_last_wins": SQL_UPSERT_LAST_WINS,
+        "upsert_chain": SQL_UPSERT_CHAIN,
         "delete_by_filter": SQL_DELETE_BY_FILTER,
         "snapshot_roundtrip": SQL_SNAPSHOT_ROUNDTRIP,
         "migrate_export": SQL_MIGRATE_EXPORT,

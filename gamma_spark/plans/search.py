@@ -62,6 +62,15 @@ class SearchRequest:
     fields: list[str] | None = None  # projection (P1)
     l2_sqrt: bool = False
     multi_vector_rank: bool = True
+    #: R8 parity — SearchResult.total is the number of docs surviving
+    #: the filters, NOT min(topn, ...) (`search/gamma_engine.cc:448-449`);
+    #: attached as a constant ``total`` column on every result row.
+    with_total: bool = False
+    #: R8 parity — gamma packs each hit's stored fields as an opaque
+    #: per-doc blob (`c_api/api_data/gamma_response.cc:215-260`); our
+    #: analogue is a deterministic JSON string column ``_source`` over
+    #: the named fields.
+    source_fields: list[str] | None = None
 
 
 def search(
@@ -125,7 +134,18 @@ def search(
             rank=request.multi_vector_rank,
         )
 
-    if request.fields:
-        proj = docs.select("_docid", *request.fields)
+    if request.fields or request.source_fields:
+        cols = [F.col(c) for c in (request.fields or [])]
+        if request.source_fields:
+            cols.append(
+                F.to_json(F.struct(*request.source_fields)).alias("_source")
+            )
+        proj = docs.select("_docid", *cols)
         result = result.join(proj, on="_docid", how="inner")
+    if request.with_total:
+        # one column-pruned, predicate-pushed aggregate over the
+        # filtered scan, broadcast onto every row (filters.py:146 trick)
+        matches = docs.filter(pred) if pred is not None else docs
+        total = matches.select(F.count(F.lit(1)).alias("total"))
+        result = result.crossJoin(F.broadcast(total))
     return result

@@ -150,7 +150,9 @@ class GammaTable:
         return self.df.filter(F.col(self.id_col) == F.lit(key))
 
     # -- upsert (S2/S3) --------------------------------------------------
-    def add_or_update(self, batch: DataFrame) -> "GammaTable":
+    def add_or_update(
+        self, batch: DataFrame, persist_root: str | None = None
+    ) -> "GammaTable":
         """AddOrUpdateDocs (`search/gamma_engine.cc:676-759`).
 
         - duplicate ``_id`` within the batch: last write wins (batch
@@ -159,6 +161,13 @@ class GammaTable:
           cleared (a re-add of a deleted key revives it with its old
           docid — matches gamma updating rather than re-adding);
         - new ``_id``: appended with fresh dense docids.
+
+        ``persist_root``: write the merged state back as a snapshot
+        (dump + done-marker) and return a table whose plan is a bare
+        Parquet scan of it. Without this, N successive upserts stack N
+        joins of logical lineage — fine for one batch, fatal for a
+        drip-feed; the reference's upserts are durable by construction
+        (`search/gamma_engine.cc:676-759` writes the store in place).
         """
         idc = self.id_col
         w = Window.partitionBy(idc).orderBy(F.col("_batch_pos").desc())
@@ -193,7 +202,11 @@ class GammaTable:
         new_rows = assign_docids(new_rows, start=(max_docid or -1) + 1)
         new_rows = new_rows.withColumn(DELETED, F.lit(False))
         merged = updated.unionByName(new_rows.select(*updated.columns))
-        return GammaTable(self.spark, merged, id_col=idc, path=self.path)
+        out = GammaTable(self.spark, merged, id_col=idc, path=self.path)
+        if persist_root is None:
+            return out
+        out.dump(persist_root)
+        return GammaTable.load(self.spark, persist_root)
 
     # -- delete (F10) -----------------------------------------------------
     def delete_by_id(self, key) -> "GammaTable":

@@ -69,3 +69,24 @@ def test_dump_load_roundtrip(tmp_path, spark, table):
 def test_status(table):
     st = table.status()
     assert st["doc_count"] == st["max_docid"] - st["deleted"]
+
+
+def test_persisted_upsert_chain_truncates_lineage(tmp_path, spark, table):
+    """persist_root write-back: each merge dumps + reloads, so the
+    resulting plan is a bare Parquet scan (no stacked upsert joins) and
+    chained batches still produce last-wins state."""
+    root = str(tmp_path / "chain")
+    docs = table.df.drop("_docid")
+    b1 = docs.filter(F.col("doc_id") % 10 == 0).withColumn("text", F.lit("v1"))
+    b2 = docs.filter(F.col("doc_id") % 20 == 0).withColumn("text", F.lit("v2"))
+    t = table.add_or_update(b1, persist_root=root)
+    t = t.add_or_update(b2, persist_root=root)
+    assert t.get_doc_by_id(20).collect()[0].text == "v2"
+    assert t.get_doc_by_id(10).collect()[0].text == "v1"
+    # docids preserved across the chain for updated keys
+    orig = {r.doc_id: r._docid for r in table.raw.select("doc_id", "_docid").collect()}
+    after = {r.doc_id: r._docid for r in t.raw.select("doc_id", "_docid").collect()}
+    assert all(after[k] == v for k, v in orig.items())
+    # the loaded table's plan must be a scan, not a join tree
+    plan = t.raw._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
