@@ -64,21 +64,58 @@ def real_decode(payload: bytes):  # pragma: no cover - explicit stub
     )
 
 
+# ---------------------------------------------------------------------------
+# codec registry — the injectable seam between Spark plumbing and codecs
+# ---------------------------------------------------------------------------
+
+#: name -> decoder(payload: bytes, meta: dict) -> np.ndarray (H, W, 3)
+#: uint8. Registered driver-side; the chosen callable is resolved at
+#: plan-build time and shipped to executors inside the mapInPandas
+#: closure, so executors never consult the registry.
+_CODECS: dict = {}
+
+
+def register_codec(name: str, fn) -> None:
+    """Plug a real decoder in (e.g. a PIL adapter:
+    ``lambda payload, meta: np.asarray(PIL.Image.open(io.BytesIO(payload)).convert("RGB"))``)."""
+    _CODECS[name] = fn
+
+
+def resolve_codec(name: str | None):
+    """None -> the deterministic md5-seeded fake (container default)."""
+    if name is None:
+        return None
+    try:
+        return _CODECS[name]
+    except KeyError:
+        raise KeyError(
+            f"codec {name!r} not registered (known: {sorted(_CODECS)})"
+        ) from None
+
+
+def _decode(payload: bytes, meta: dict, codec_fn) -> np.ndarray:
+    if codec_fn is None:
+        return _fake_decode(payload, int(meta["width"]), int(meta["height"]))
+    return np.asarray(codec_fn(payload, meta), dtype=np.uint8)
+
+
 def extract_image_features(
     df: DataFrame,
     payload_col: str = "image",
     meta_col: str = "image_meta",
     dim: int = 64,
     deterministic: bool = True,
+    codec: str | None = None,
 ) -> DataFrame:
     """binary payload -> ``feat array<float>[dim]`` embedding column.
 
     The Spark plumbing (Arrow batching, schema evolution, column
-    passthrough) is production-shaped; the feature extractor is the
-    deterministic stub unless a real codec is plugged into
-    :func:`real_decode`.
+    passthrough) is production-shaped; the pixel decode goes through the
+    codec registry (``codec=`` a :func:`register_codec` name) and falls
+    back to the deterministic stub when no codec is named.
     """
     out_schema = StructType(list(df.schema.fields) + [StructField("feat", ArrayType(FloatType()))])
+    codec_fn = resolve_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,11 +123,9 @@ def extract_image_features(
                 continue
             feats = []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
-                if not deterministic:
+                if not deterministic and codec_fn is None:
                     real_decode(bytes(payload))
-                px = _fake_decode(
-                    bytes(payload), int(meta["width"]), int(meta["height"])
-                ).astype(np.float64)
+                px = _decode(bytes(payload), meta, codec_fn).astype(np.float64)
                 # channel-mean pyramid: cheap, shape-sensitive, deterministic
                 g = px.mean(axis=2)
                 pools = []
@@ -113,15 +148,17 @@ def resize_images(
     meta_col: str = "image_meta",
     width: int = 32,
     height: int = 32,
+    codec: str | None = None,
 ) -> DataFrame:
-    """Resize: payload -> new payload + updated metadata (stub resampler:
-    nearest-neighbor over the fake-decoded pixels, re-encoded as raw
-    RGB bytes — swap both ends for a real codec)."""
+    """Resize: payload -> new payload + updated metadata (nearest-
+    neighbor resample over the decoded pixels, re-encoded as raw RGB
+    bytes; decode goes through the codec registry)."""
     out_schema = StructType(
         [f for f in df.schema.fields if f.name not in (payload_col, meta_col)]
         + [StructField(payload_col, BinaryType()), StructField(meta_col, IMAGE_META)]
     )
     names = [f.name for f in out_schema.fields]
+    codec_fn = resolve_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -129,7 +166,7 @@ def resize_images(
                 continue
             payloads, metas = [], []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
-                px = _fake_decode(bytes(payload), int(meta["width"]), int(meta["height"]))
+                px = _decode(bytes(payload), meta, codec_fn)
                 ri = (np.linspace(0, px.shape[0] - 1, height)).astype(int)
                 ci = (np.linspace(0, px.shape[1] - 1, width)).astype(int)
                 resized = px[ri][:, ci]

@@ -70,3 +70,68 @@ def test_video_frame_sampling(spark):
     got = {(r.vid, r.frame_idx) for r in out}
     assert got == {(1, 0), (1, 10), (1, 20), (2, 0)}
     assert all(":" in r.frame_key for r in out)
+
+
+def _ppm_encode(px):
+    """Minimal binary-PPM (P6) encoder for fixtures."""
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode() + px.astype("uint8").tobytes()
+
+
+def _make_ppm_decoder():
+    """Pure-python P6 decoder — a REAL codec (parses the actual bytes),
+    proving the registry seam without PIL/ffmpeg. Built as a closure so
+    cloudpickle ships it by value (a test-module function would pickle
+    by reference, which executors cannot import)."""
+
+    def decode(payload: bytes, meta: dict):
+        import numpy as np
+
+        header, rest = payload.split(b"\n", 1)
+        assert header == b"P6"
+        dims, rest = rest.split(b"\n", 1)
+        w, h = (int(x) for x in dims.split())
+        _maxval, raw = rest.split(b"\n", 1)
+        return np.frombuffer(raw[: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    return decode
+
+
+@pytest.fixture(scope="module")
+def ppm_images(spark):
+    import numpy as np
+
+    rows = []
+    for i in range(8):
+        px = np.full((12, 16, 3), i * 30, dtype=np.uint8)  # solid gray level
+        rows.append((i, bytearray(_ppm_encode(px)), {"width": 16, "height": 12, "format": "ppm"}))
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, image binary, image_meta struct<width:int,height:int,format:string>",
+    )
+
+
+def test_registered_codec_drives_features(ppm_images):
+    """Injecting a real decoder through the registry must make features
+    reflect actual pixel content: a solid image at gray level g pools to
+    g/255 everywhere."""
+    M.register_codec("ppm", _make_ppm_decoder())
+    out = {r.doc_id: r.feat for r in M.extract_image_features(ppm_images, codec="ppm").collect()}
+    for i in range(8):
+        expected = (i * 30) / 255.0
+        assert all(abs(v - expected) < 1e-6 for v in out[i]), (i, out[i][:4])
+
+
+def test_registered_codec_drives_resize(ppm_images):
+    M.register_codec("ppm", _make_ppm_decoder())
+    out = M.resize_images(ppm_images, width=4, height=4, codec="ppm").collect()
+    for r in out:
+        assert r.image_meta.width == 4 and r.image_meta.height == 4
+        px = bytes(r.image)
+        assert len(px) == 4 * 4 * 3
+        assert all(b == r.doc_id * 30 for b in px)  # solid color survives resize
+
+
+def test_unknown_codec_raises():
+    with pytest.raises(KeyError, match="not registered"):
+        M.resolve_codec("nope-codec")
