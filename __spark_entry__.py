@@ -154,6 +154,23 @@ def q_knn_ivfpq_opq_exact(spark, sf_dir):
     )
 
 
+def q_knn_ivfpq_fastscan_exact(spark, sf_dir):
+    """K4 IVFPQFastScan parity (`index/impl/gamma_index_ivfpqfs.cc`):
+    the defining property is 4-bit PQ codes (16-centroid subspace
+    codebooks — the SIMD register-shuffle scan is an execution detail;
+    our analogue is the same vectorized ADC LUT kernel). Full probes +
+    full recall + exact rerank makes it exact-degenerate -> oracle."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, nbits=4, seed=42)
+    return pq.search(
+        docs, _queries_df(spark, sf_dir), k=KNN_K, metric="L2",
+        nprobe=IVF_NCENT, recall_num=n, has_rank=True,
+    )
+
+
 def q_knn_binaryivf_exact(spark, sf_dir):
     """BINARYIVF with full probes == exact Hamming top-k."""
     from gamma_spark.operators.ann import BinaryIvfIndex
@@ -1133,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfflat_exact": q_knn_ivfflat_exact,
         "knn_ivfpq_rerank_exact": q_knn_ivfpq_rerank_exact,
         "knn_ivfpq_opq_exact": q_knn_ivfpq_opq_exact,
+        "knn_ivfpq_fastscan_exact": q_knn_ivfpq_fastscan_exact,
         "knn_binaryivf_exact": q_knn_binaryivf_exact,
         "filter_range_term": q_filter_range_term,
         "knn_multivid_collapse": q_knn_multivid_collapse,
@@ -1184,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfflat_exact": SQL_KNN_L2,
         "knn_ivfpq_rerank_exact": SQL_KNN_L2,
         "knn_ivfpq_opq_exact": SQL_KNN_L2,
+        "knn_ivfpq_fastscan_exact": SQL_KNN_L2,
         "knn_binaryivf_exact": SQL_KNN_HAMMING,
         "filter_range_term": SQL_FILTER_RANGE_TERM,
         "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,

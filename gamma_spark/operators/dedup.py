@@ -266,11 +266,19 @@ def jaccard_on_pairs(
     step after LSH): scores only the given ``(id_a, id_b)`` pairs
     against the shingle relation — never re-mines the corpus.
 
-    Cost at scale: two joins keyed by doc id (candidate fan-out, not
-    corpus fan-out) + one count per pair. Candidates with zero common
-    shingles are dropped (their Jaccard is 0 — below any positive
-    threshold).
+    Cost at scale: the shingle relation is first semi-join-pruned to
+    docs appearing in a candidate pair (LSH candidates are a vanishing
+    fraction of the corpus, so this cuts the shuffled volume from
+    |corpus shingles| to |candidate shingles|), then two joins keyed by
+    doc id + one count per pair. Candidates with zero common shingles
+    are dropped (their Jaccard is 0 — below any positive threshold).
     """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(cand_ids, on=id_col, how="left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     expanded = pairs.select("id_a", "id_b").join(
         sh.select(F.col(id_col).alias("id_a"), "shingle"), on="id_a"

@@ -108,6 +108,7 @@ class GammaTable:
         if DELETED not in df.columns:
             df = df.withColumn(DELETED, F.lit(False))
         self._df = df
+        self._config: dict = {"path": path, "cache": {}}
 
     # -- views ---------------------------------------------------------
     @property
@@ -133,6 +134,34 @@ class GammaTable:
             "max_docid": agg["max_docid"],
             "deleted": int(agg["deleted"] or 0),
             "doc_count": agg["max_docid"] - int(agg["deleted"] or 0),
+        }
+
+    # -- config (SetConfig/GetConfig, `c_api/gamma_api.h:181-189`) -------
+    def set_config(self, cache_infos: dict[str, int]) -> dict:
+        """SetConfig analogue (`search/gamma_engine.cc:1367-1382`): the
+        reference's only runtime knob is per-component LRU cache sizing
+        ("table" / "string" / vector fields). The Spark translation of
+        "give this component a cache" is persisting the relation:
+        ``{"docs": n}`` with n > 0 pins the table in executor memory
+        (MEMORY_AND_DISK — Spark manages eviction, so the byte count is
+        advisory exactly as gamma's is); 0 releases it. Unknown
+        components are recorded but have no Spark-side effect (Parquet
+        readers have no per-field cache to size). Returns the updated
+        config, matching ``SetConfig``'s ``GetConfig(conf)`` tail call."""
+        for component, size in cache_infos.items():
+            self._config["cache"][component] = int(size)
+            if component == "docs":
+                if size > 0 and not self._df.is_cached:
+                    self._df.persist()
+                elif size <= 0 and self._df.is_cached:
+                    self._df.unpersist()
+        return self.get_config()
+
+    def get_config(self) -> dict:
+        """GetConfig analogue: current path + cache sizings."""
+        return {
+            "path": self._config.get("path") or self.path,
+            "cache": dict(self._config["cache"]),
         }
 
     # -- search (the user-facing engine.Search) --------------------------

@@ -90,3 +90,15 @@ def test_persisted_upsert_chain_truncates_lineage(tmp_path, spark, table):
     # the loaded table's plan must be a scan, not a join tree
     plan = t.raw._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_set_get_config_cache_toggle(table):
+    """SetConfig/GetConfig (`c_api/gamma_api.h:181-189`): cache sizing
+    maps to persist/unpersist of the docs relation."""
+    conf = table.set_config({"docs": 64 << 20, "string": 1 << 20})
+    assert table.raw.is_cached
+    assert conf["cache"] == {"docs": 64 << 20, "string": 1 << 20}
+    conf = table.set_config({"docs": 0})
+    assert not table.raw.is_cached
+    assert conf["cache"]["docs"] == 0
+    assert table.get_config()["cache"]["string"] == 1 << 20
