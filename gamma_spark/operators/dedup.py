@@ -589,9 +589,7 @@ def embedding_neardup_banded(
         sigs = _banded_signatures_kernel(
             ensure_parallelism(base, fanout=8.0), planes, bands, bits
         )
-        banded = sigs.select(
-            "_id", "_v", F.posexplode("_bvals").alias("band", "bval")
-        )
+        banded = sigs.select("_id", F.posexplode("_bvals").alias("band", "bval"))
     else:
         band_vals = []
         for band in planes:
@@ -603,26 +601,29 @@ def embedding_neardup_banded(
                 ).cast("long")
             band_vals.append(val)
         banded = base.select(
-            "_id", "_v", F.posexplode(F.array(*band_vals)).alias("band", "bval")
+            "_id", F.posexplode(F.array(*band_vals)).alias("band", "bval")
         )
     a, b = banded.alias("a"), banded.alias("b")
-    # dedupe candidate pairs BEFORE the verify: a pair matching in m
-    # bands would otherwise pay the cosine m times (the vectors are
-    # functionally dependent on the ids, so keeping any copy is exact)
-    pairs = (
+    # Late materialization: the band self-join and the candidate dedupe
+    # move only (id, band, bval) rows — never the vectors (at dim=512
+    # carrying vectors through both shuffles is ~60x the bytes). A pair
+    # matching in m bands is also deduped BEFORE the verify so the
+    # cosine is paid once. Vectors re-enter via two id-keyed joins
+    # against the base relation, sized by the candidate count.
+    cands = (
         a.join(
             b,
             on=(F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cands.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
     )
     if kernel:
         scored = _cosine_verify_kernel(pairs)

@@ -1,8 +1,9 @@
 """Embedding near-dup scale rehearsal: N vectors (default 1M), ~10%
 planted near-duplicates (cosine ~0.95), through the multi-band
-hyperplane-LSH pipeline at a scale-appropriate banding (b=32 x r=16:
-2^16 buckets per band keeps bucket fan-out O(N/65k); 32 OR'd bands hold
-recall ~0.998 at threshold 0.9).
+hyperplane-LSH pipeline at a scale-appropriate banding (b=48 x r=20:
+2^20 buckets per band keeps random-collision candidates ~N^2/2^21 per
+band; 48 OR'd bands hold planted-pair recall ~0.998 at threshold 0.9 —
+size ``bits`` ~ log2(N) and grow ``bands`` to hold the S-curve).
 
 The exact all-pairs path is O(N²) and intentionally NOT run here;
 ground truth is the planted-pair relation (whose true cosines are
@@ -31,7 +32,7 @@ from gamma_spark.session import get_spark  # noqa: E402
 
 DIM = 64
 THRESHOLD = 0.9
-BANDS, BITS = 32, 16
+BANDS, BITS = 48, 20
 
 
 def make_corpus(spark, n: int):
