@@ -56,6 +56,19 @@ N_HASHES = 32
 N_BANDS = 8  # 4 rows per band
 
 
+def _stage(df: DataFrame) -> DataFrame:
+    """Mark an intermediate that downstream self-joins consume 2-5x for
+    reuse (MEMORY_AND_DISK, lazy). Catalyst's exchange reuse does NOT
+    fire across these self-joins (the band/bucket exchanges differ per
+    side), so without staging the signature/shingle aggregations are
+    recomputed once per reference. This is the single-job analogue of
+    the production pattern at 100 TB: write signatures to a staging
+    table once, read it many times."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -192,7 +205,9 @@ def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col)
+    # both sides of the LSH self-join read the signatures: stage them so
+    # the shingle explode + 32-way min-agg runs once, not twice
+    sig = _stage(minhash_signatures(sh, id_col))
     return lsh_candidate_pairs(sig, id_col)
 
 
@@ -273,14 +288,19 @@ def jaccard_on_pairs(
     doc id + one count per pair. Candidates with zero common shingles
     are dropped (their Jaccard is 0 — below any positive threshold).
     """
+    # the candidate relation is consumed three times (both legs of the
+    # member-id union + the expansion join) — and it is itself usually
+    # an LSH join; stage it so that join runs once
+    pairs = _stage(pairs.select("id_a", "id_b"))
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = sh.join(cand_ids, on=id_col, how="left_semi")
+    # the pruned relation is read three times (sizes + both pair joins)
+    sh = _stage(sh.join(cand_ids, on=id_col, how="left_semi"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    expanded = pairs.select("id_a", "id_b").join(
+    expanded = pairs.join(
         sh.select(F.col(id_col).alias("id_a"), "shingle"), on="id_a"
     )
     common = (
@@ -313,8 +333,11 @@ def minhash_verified_pairs(
     exact Jaccard verify on candidates only. Result = LSH ∩ (J >= t);
     total cost is the LSH join + per-candidate verification, with no
     all-pairs stage anywhere."""
-    sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col)
+    # sh feeds the signature aggregation AND three joins in the verify
+    # stage; sig feeds both sides of the LSH self-join — staged, the
+    # shingle explode runs once instead of five times
+    sh = _stage(shingles(df, id_col, text_col, n))
+    sig = _stage(minhash_signatures(sh, id_col))
     cands = lsh_candidate_pairs(sig, id_col)
     return jaccard_on_pairs(cands, sh, id_col, threshold)
 
@@ -433,21 +456,36 @@ def simhash_neardup_pairs(
     Shape: explode each signature into d+1 (block_no, block_val) keys,
     self-join on block equality (shuffle keyed by block bucket, fan-out
     bounded by bucket size like the minhash LSH join), verify
-    ``hamming <= d`` on the carried signatures, distinct. At 100 TB the
-    join is bucket-bounded instead of O(N²); skewed blocks (e.g. the
-    all-zeros byte) are AQE-splittable."""
-    sig = simhash(df, id_col, text_col)
+    ``hamming <= d`` on the carried signatures. At 100 TB the join is
+    bucket-bounded instead of O(N²); skewed blocks (e.g. the all-zeros
+    byte) are AQE-splittable.
+
+    Exactly-once emission: a pair agreeing on several blocks would be
+    emitted once per agreeing block, so each emission is kept only when
+    its block is the FIRST agreeing one — pure bit arithmetic on the two
+    carried signatures, replacing a ``distinct()`` shuffle of the full
+    pair relation (millions of rows on near-dup-heavy corpora) with a
+    map-side filter."""
+    sig = _stage(simhash(df, id_col, text_col))
     blocks = _simhash_blocks(max_distance)
-    block_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), start).bitwiseAND(F.lit((1 << w) - 1))
-            for start, w in blocks
-        ]
-    )
+
+    def _block(col: Column, start: int, w: int) -> Column:
+        return F.shiftright(col, start).bitwiseAND(F.lit((1 << w) - 1))
+
+    block_arr = F.array(*[_block(F.col("simhash"), s, w) for s, w in blocks])
     banded = sig.select(
         F.col(id_col), F.col("simhash"), F.posexplode(block_arr).alias("block", "bval")
     )
     a, b = banded.alias("a"), banded.alias("b")
+    sa, sb = F.col("a.simhash"), F.col("b.simhash")
+    # index (0-based) of the first block where the two signatures agree
+    first_agree = (
+        F.array_position(
+            F.array(*[(_block(sa, s, w) == _block(sb, s, w)) for s, w in blocks]),
+            F.lit(True),
+        )
+        - 1
+    )
     return (
         a.join(
             b,
@@ -455,13 +493,13 @@ def simhash_neardup_pairs(
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(F.col("a.block") == first_agree)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            V.hamming(F.col("a.simhash"), F.col("b.simhash")).alias("distance"),
+            V.hamming(sa, sb).alias("distance"),
         )
         .filter(F.col("distance") <= max_distance)
-        .distinct()
     )
 
 
