@@ -1122,6 +1122,21 @@ def _sql_embedding_neardup_lsh() -> str:
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: quality/lang annotate -> gate ->
+    minhash-LSH + exact-Jaccard near-dup on survivors -> dup-group
+    keeper decisions. One row per doc; filter(kept) = curated corpus."""
+    from gamma_spark.operators import curation as C
+
+    return C.curate_corpus(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_curation_pipeline() -> str:
+    from gamma_spark.operators import curation as C
+
+    return C.sql_curate_corpus("documents", "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1175,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": q_simhash_signatures,
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
+        "curation_pipeline": q_curation_pipeline,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "knn_hybrid_pending_exact": q_knn_hybrid_exact,
@@ -1227,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _sql_simhash_signatures(),
         "embedding_neardup": _sql_embedding_neardup(),
         "dedup_groups": _sql_dedup_groups(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),
         "dedup_minhash_verified": _sql_dedup_minhash_verified(),
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),

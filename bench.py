@@ -118,6 +118,7 @@ def main():
     run("simhash_neardup_pairs", lambda: qs["simhash_neardup_pairs"](spark, sf_dir).count())
     run("dedup_minhash_verified", lambda: qs["dedup_minhash_verified"](spark, sf_dir).count())
     run("dedup_groups", lambda: qs["dedup_groups"](spark, sf_dir).count())
+    run("curation_pipeline", lambda: qs["curation_pipeline"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     print(

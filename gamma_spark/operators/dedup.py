@@ -57,16 +57,11 @@ N_BANDS = 8  # 4 rows per band
 
 
 def _stage(df: DataFrame) -> DataFrame:
-    """Mark an intermediate that downstream self-joins consume 2-5x for
-    reuse (MEMORY_AND_DISK, lazy). Catalyst's exchange reuse does NOT
-    fire across these self-joins (the band/bucket exchanges differ per
-    side), so without staging the signature/shingle aggregations are
-    recomputed once per reference. This is the single-job analogue of
-    the production pattern at 100 TB: write signatures to a staging
-    table once, read it many times."""
-    from pyspark.storagelevel import StorageLevel
+    """See :func:`gamma_spark.session.stage` — persist an intermediate
+    that the self-joins below consume 2-5x."""
+    from gamma_spark.session import stage
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return stage(df)
 
 
 # ---------------------------------------------------------------------------
@@ -641,6 +636,9 @@ def embedding_neardup_banded(
         banded = base.select(
             "_id", F.posexplode(F.array(*band_vals)).alias("band", "bval")
         )
+    # both self-join sides read the banded signatures: stage them so the
+    # bands*bits*dim sign arithmetic runs once per row, not twice
+    banded = _stage(banded)
     a, b = banded.alias("a"), banded.alias("b")
     # Late materialization: the band self-join and the candidate dedupe
     # move only (id, band, bval) rows — never the vectors (at dim=512

@@ -60,6 +60,20 @@ def ensure_parallelism(df, min_partitions: int | None = None, fanout: float = 1.
     return df
 
 
+def stage(df):
+    """Persist an intermediate that downstream operators consume 2-5x
+    (MEMORY_AND_DISK, lazy). Catalyst's exchange reuse does NOT fire
+    across the self-joins these pipelines build (the band/bucket
+    exchanges differ per side), so without staging the expensive
+    signature/annotation subplans are recomputed once per reference.
+    This is the single-job analogue of the production pattern at
+    100 TB: write the intermediate to a staging table once, read it
+    many times."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def get_spark(
     app_name: str = "gamma_spark",
     master: str | None = None,
