@@ -110,6 +110,16 @@ def main():
     ).count()
     results["text_stats_sec"] = round(time.time() - t0, 2)
 
+    # end-to-end curation (annotate -> gate -> mine survivors -> resolve);
+    # the synthetic vocab carries no English markers, so gate on 'und'
+    # with min_quality 0 to exercise the full corpus through the chain
+    from gamma_spark.operators import curation as Cur
+
+    t0 = time.time()
+    cur = Cur.curate_corpus(docs, "doc_id", "text", min_quality=0.0, langs=("und",))
+    results["curation_kept"] = cur.filter(F.col("kept")).count()
+    results["curation_sec"] = round(time.time() - t0, 2)
+
     print(json.dumps(results))
     spark.stop()
 
