@@ -1122,6 +1122,32 @@ def _sql_embedding_neardup_lsh() -> str:
     )
 
 
+def q_semantic_dedup_groups(spark, sf_dir):
+    """Semantic dedup: multi-band embedding LSH near-dup pairs ->
+    connected components -> keeper per group over the full embeddings
+    table (min-id keeper; singletons keep themselves). Shows the
+    group-resolution operator composes with the vector pair producer
+    exactly as with the text ones."""
+    from gamma_spark.operators import dedup as D
+    from gamma_spark.operators import groups as G
+
+    embs = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_banded(
+        embs, "vec_id", "embedding", threshold=EMB_NEARDUP_T, dim=64
+    )
+    return G.resolve_groups(pairs, embs.select("vec_id"), "vec_id")
+
+
+def _sql_semantic_dedup_groups() -> str:
+    from gamma_spark.operators import dedup as D
+    from gamma_spark.operators import groups as G
+
+    pairs = D.sql_embedding_neardup_banded(
+        "embeddings", "vec_id", "embedding", EMB_NEARDUP_T, dim=64
+    )
+    return G.sql_resolve_groups(pairs, "embeddings", "vec_id")
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end corpus curation: quality/lang annotate -> gate ->
     minhash-LSH + exact-Jaccard near-dup on survivors -> dup-group
@@ -1191,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
         "curation_pipeline": q_curation_pipeline,
+        "semantic_dedup_groups": q_semantic_dedup_groups,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "knn_hybrid_pending_exact": q_knn_hybrid_exact,
@@ -1244,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _sql_embedding_neardup(),
         "dedup_groups": _sql_dedup_groups(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "semantic_dedup_groups": _sql_semantic_dedup_groups(),
         "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),
         "dedup_minhash_verified": _sql_dedup_minhash_verified(),
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
