@@ -77,3 +77,20 @@ def test_broadcast_join_for_dims(spark, sf_dir):
 
     plan = plan_of(E.q_top_customers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_staged_dedup_self_join_reuses_cache(documents):
+    """The banded simhash self-join must read the staged signature
+    relation (InMemoryTableScan on BOTH sides) instead of recomputing
+    the token-explode aggregation per side, and must carry no distinct
+    over the pair relation (exactly-once emission via the
+    first-agreeing-block filter)."""
+    from gamma_spark.operators import dedup as D
+
+    df = D.simhash_neardup_pairs(documents, "doc_id", "text", max_distance=3)
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") >= 2
+    # one HashAggregate chain for the signature build (inside the cached
+    # plan), none for a pair-level distinct
+    post_join = plan.split("Join")[-1]
+    assert "HashAggregate" not in post_join
