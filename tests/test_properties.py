@@ -86,3 +86,37 @@ def test_minhash_constants_sane():
     for a, b in zip(MINHASH_A, MINHASH_B):
         assert 0 < a and 0 <= b
         assert a * (P - 1) + b < 2**63
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Hash-min label propagation fixpoint == union-find ground truth on
+    arbitrary random graphs (not just dup quasi-cliques)."""
+    from gamma_spark.operators import groups as G
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["id"]: r["group_id"] for r in G.connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
