@@ -68,10 +68,17 @@ def connected_components(
     min id of the connected component. Raises if ``max_rounds`` passes
     without reaching the fixpoint (never observed on dedup graphs)."""
     edges = symmetric_edges(pairs, a, b).localCheckpoint(eager=True)
+    # init fuses the first propagation round: label_0 = min(id, min
+    # neighbor) — identical to one round over identity labels, one
+    # fewer join+checkpoint cycle (dup quasi-cliques then converge in
+    # a single verification round)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
