@@ -636,9 +636,13 @@ def embedding_neardup_banded(
         banded = base.select(
             "_id", F.posexplode(F.array(*band_vals)).alias("band", "bval")
         )
-    # both self-join sides read the banded signatures: stage them so the
-    # bands*bits*dim sign arithmetic runs once per row, not twice
-    banded = _stage(banded)
+    # NOT staged, deliberately: unlike the minhash/simhash signature
+    # aggregates (shuffle-produced, one row per doc, reused), this
+    # relation is a map-only N*bands expansion. Recomputing it per join
+    # side costs one extra embarrassingly-parallel BLAS/codegen pass;
+    # persisting it costs 48N rows of storage memory that the bucket
+    # join's shuffle needs, and hides size stats from AQE on the first
+    # run. Stage shuffled aggregates, not map-only expansions.
     a, b = banded.alias("a"), banded.alias("b")
     # Late materialization: the band self-join and the candidate dedupe
     # move only (id, band, bval) rows — never the vectors (at dim=512
