@@ -18,10 +18,12 @@ filtered top-k nearest-neighbor queries with real-time indexing
 - DML (AddOrUpdateDocs / DeleteDoc / GetDocByID) becomes MERGE-style
   batch jobs with last-write-wins semantics.
 
-Beyond the reference surface, :mod:`gamma_spark.operators.dedup` and
-:mod:`gamma_spark.functions.text` add the LLM-data-pipeline operators
-(near-duplicate detection, similarity search, text quality analysis)
-designed for 100 TB scale.
+Beyond the reference surface, :mod:`gamma_spark.operators.dedup`,
+:mod:`gamma_spark.operators.groups`, :mod:`gamma_spark.operators.curation`
+and :mod:`gamma_spark.functions.text` add the LLM-data-pipeline operators
+(near-duplicate detection, dup-group resolution, end-to-end corpus
+curation, similarity search, text quality analysis) designed for
+100 TB scale.
 """
 
 from gamma_spark.session import get_spark
@@ -35,6 +37,8 @@ __all__ = [
     "RangeFilter",
     "TermFilter",
     "get_model",
+    "curate_corpus",
+    "resolve_groups",
 ]
 __version__ = "0.1.0"
 
@@ -56,4 +60,12 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators.ann import get_model
 
         return get_model
+    if name == "curate_corpus":
+        from gamma_spark.operators.curation import curate_corpus
+
+        return curate_corpus
+    if name == "resolve_groups":
+        from gamma_spark.operators.groups import resolve_groups
+
+        return resolve_groups
     raise AttributeError(name)
