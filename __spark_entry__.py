@@ -672,11 +672,17 @@ HAVING count(*) >= 5
 
 
 def _events(spark, sf_dir) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read ts as raw nanos (legacy conf) and derive
-    epoch-second columns explicitly."""
+    """events table with ``ts`` normalized to epoch-nanos BIGINT.
+
+    The testdata has stored ``ts`` both as TIMESTAMP(NANOS) (needs the
+    nanos-as-long legacy conf) and as ``timestamp[us]`` (reads as
+    TIMESTAMP_NTZ); ``normalize_event_time`` branches on the read dtype
+    and pins the session timezone to UTC so the NTZ→epoch mapping is
+    deterministic and matches DuckDB's ``epoch_ns``."""
+    from gamma_spark.sources.ingest import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _t(spark, sf_dir, "events")
+    return normalize_event_time(_t(spark, sf_dir, "events"), "ts")
 
 
 def q_events_hourly(spark, sf_dir):

@@ -80,19 +80,31 @@ def main():
         try:
             entry_mod._t(spark, sf_dir, t).count()
         except Exception:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            entry_mod._t(spark, sf_dir, t).count()
+            try:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                entry_mod._t(spark, sf_dir, t).count()
+            except Exception as exc:
+                print(f"[bench] warmup {t} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def run(name, fn, repeats: int = 2):
         # best-of-N: single-machine runs at toy SFs have +-50% noise
-        # from GC/AQE; the min is the stable signal
+        # from GC/AQE; the min is the stable signal.
+        # Per-query isolation: one broken query must not zero out the
+        # whole artifact (round-2 post-mortem) — record the error type
+        # and keep going; the final JSON line always prints.
         best = float("inf")
         for _ in range(repeats):
-            t0 = time.time()
-            fn()
-            best = min(best, time.time() - t0)
+            try:
+                t0 = time.time()
+                fn()
+                best = min(best, time.time() - t0)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"error:{type(exc).__name__}"
+                print(f"[bench] {name} failed: {exc}", file=sys.stderr)
+                return
         timings[name] = round(best, 3)
 
     qs = entry_mod.queries()
@@ -121,18 +133,23 @@ def main():
     run("curation_pipeline", lambda: qs["curation_pipeline"](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "gamma_spark headline suite wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
-    )
-    spark.stop()
+    out = {
+        "metric": "gamma_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {**timings, **errors},
+        "sf": _sf_of(sf_dir),
+    }
+    if errors:
+        out["errors"] = len(errors)
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    # exit 0 as long as at least one query produced a timing — a
+    # partially-failed suite is still a valid artifact
+    sys.exit(0 if timings else 1)
 
 
 if __name__ == "__main__":

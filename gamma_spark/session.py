@@ -29,6 +29,10 @@ _DEFAULTS = {
     # Broadcast threshold: query/centroid/codebook tables are small and
     # must broadcast, never shuffle (SURVEY O5/O11).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Event-time determinism: NTZ→TIMESTAMP casts and window bucketing
+    # read the session zone; UTC keeps epoch math host-independent and
+    # aligned with the DuckDB oracle (ADVICE r2).
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

@@ -67,9 +67,45 @@ def read_docs(
     return GammaTable(spark, df, id_col=id_col)
 
 
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to **epoch nanoseconds as BIGINT**,
+    the engine's canonical event-time representation.
+
+    The testdata generator has shipped ``events.parquet`` with ``ts`` as
+    TIMESTAMP(NANOS) (read as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as ``timestamp[us]``
+    (read as TIMESTAMP_NTZ). Downstream operators do epoch arithmetic,
+    so both must land on the same type. Handled dtypes:
+
+    - ``bigint``           — already epoch-nanos; passthrough.
+    - ``timestamp_ntz``    — wall-clock with no zone. The session
+      timezone is pinned to UTC before the cast so NTZ→TIMESTAMP is a
+      deterministic epoch mapping (matching DuckDB's ``epoch_ns`` on a
+      naive timestamp) instead of depending on the host zone.
+    - ``timestamp``        — already zoned; ``unix_micros`` is exact.
+    """
+    dt = dict(df.dtypes).get(ts_col)
+    if dt in ("bigint", "long"):
+        return df
+    if dt is not None and dt.startswith("timestamp"):
+        # tz-pin per ADVICE r2: NTZ→TIMESTAMP casts interpret the wall
+        # clock in spark.sql.session.timeZone; UTC makes it an identity
+        # on the epoch and matches the DuckDB oracle.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast(
+            "long"
+        )
+        return df.withColumn(ts_col, ns)
+    raise TypeError(
+        f"cannot normalize event-time column {ts_col!r} of type {dt!r}; "
+        "expected bigint (epoch nanos) or a timestamp type"
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every TESTDATA table present under ``sf_dir``; the events
-    table (TIMESTAMP NANOS parquet) gets the nanos-as-long conf."""
+    table's ``ts`` is normalized to epoch-nanos BIGINT whatever the
+    parquet file stored (see ``normalize_event_time``)."""
     out = {}
     for name in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{name}.parquet")
@@ -77,5 +113,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             continue
         if name == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        out[name] = spark.read.parquet(p)
+        df = spark.read.parquet(p)
+        if name == "events":
+            df = normalize_event_time(df, "ts")
+        out[name] = df
     return out

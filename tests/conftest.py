@@ -41,4 +41,8 @@ def lineitem(spark, sf_dir):
 
 @pytest.fixture(scope="session")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from gamma_spark.sources.ingest import normalize_event_time
+
+    return normalize_event_time(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+    )
