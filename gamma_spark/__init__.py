@@ -31,6 +31,7 @@ from gamma_spark.session import get_spark
 __all__ = [
     "get_spark",
     "GammaTable",
+    "BucketedDocStore",
     "SearchRequest",
     "VectorQuery",
     "search",
@@ -48,6 +49,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.table import GammaTable
 
         return GammaTable
+    if name == "BucketedDocStore":
+        from gamma_spark.table import BucketedDocStore
+
+        return BucketedDocStore
     if name in ("SearchRequest", "VectorQuery", "search"):
         from gamma_spark.plans import search as _s
 

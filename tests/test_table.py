@@ -92,6 +92,84 @@ def test_persisted_upsert_chain_truncates_lineage(tmp_path, spark, table):
     assert "Join" not in plan, plan
 
 
+def test_upsert_order_col_multipartition(spark, table):
+    """Explicit batch order: conflicting keys spread over an 8-partition
+    batch must resolve by order_col, not partition layout (VERDICT r2 #4
+    — monotonically_increasing_id is partition-major)."""
+    rows = [(42, f"version {i}", "en", "srcX", i) for i in range(64)]
+    schema = table.df.drop("_docid").schema.add("pos", "long")
+    batch = spark.createDataFrame(
+        [r[:4] + (r[4], r[4]) for r in rows],
+        schema,
+    ).repartition(8)
+    t2 = table.add_or_update(batch, order_col="pos")
+    got = t2.get_doc_by_id(42).collect()[0]
+    assert got.text == "version 63"
+    # order_col consumed, not stored
+    assert "pos" not in t2.df.columns
+
+
+def test_bucketed_store_matches_full_merge(tmp_path, spark, table):
+    """BucketedDocStore.upsert must be observationally identical to
+    add_or_update (same last-wins, docid preservation, dense inserts)."""
+    from gamma_spark.table import BucketedDocStore
+
+    docs = table.df.drop("_docid")
+    b1 = docs.filter(F.col("doc_id") % 7 == 0).withColumn("text", F.lit("b1"))
+    b2 = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10**6).alias("doc_id"), F.lit("ins").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    expect = table.add_or_update(b1).add_or_update(b2)
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    store = store.upsert(b1).upsert(b2)
+    got = store.table()
+    e = {(r.doc_id, r.text, r._docid) for r in expect.df.select("doc_id", "text", "_docid").collect()}
+    g = {(r.doc_id, r.text, r._docid) for r in got.df.select("doc_id", "text", "_docid").collect()}
+    assert g == e
+
+
+def test_bucketed_store_rewrites_only_affected_buckets(tmp_path, spark, table):
+    """O(batch) contract (VERDICT r2 #3): a batch whose keys all hash to
+    one bucket leaves every other bucket's files byte-identical on disk."""
+    import os
+
+    from gamma_spark.table import BucketedDocStore, _bucket_of
+
+    nb = 8
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=nb)
+    # pick one live key and build a batch containing only keys in its bucket
+    some = table.df.select(
+        "doc_id", _bucket_of("doc_id", nb).alias("b")
+    ).limit(200).collect()
+    target_bucket = some[0].b
+    keys = [r.doc_id for r in some if r.b == target_bucket][:5]
+    batch = table.df.filter(F.col("doc_id").isin(keys)).drop("_docid").withColumn(
+        "text", F.lit("touched")
+    )
+
+    def snapshot_files():
+        out = {}
+        docs = os.path.join(str(tmp_path / "store"), "docs")
+        for d in os.listdir(docs):
+            if not d.startswith("_bucket="):
+                continue
+            bdir = os.path.join(docs, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(bdir, f)), os.path.getsize(os.path.join(bdir, f)))
+                for f in os.listdir(bdir) if f.endswith(".parquet")
+            )
+        return out
+
+    before = snapshot_files()
+    store = store.upsert(batch)
+    after = snapshot_files()
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert changed == [f"_bucket={target_bucket}"], changed
+    # and the data merged correctly
+    assert store.table().get_doc_by_id(keys[0]).collect()[0].text == "touched"
+
+
 def test_set_get_config_cache_toggle(table):
     """SetConfig/GetConfig (`c_api/gamma_api.h:181-189`): cache sizing
     maps to persist/unpersist of the docs relation."""
