@@ -761,6 +761,45 @@ def q_knn_ivfpq_adc(spark, sf_dir):
     )
 
 
+IVF_RECALL_T = 0.5   # nprobe=4/16 floor, proven in tests/test_ann.py
+PQ_RECALL_T = 0.6    # ADC+rerank floor at nprobe=8, recall_num=64
+
+
+def q_ivf_recall_check(spark, sf_dir):
+    """Driver-visible recall@k for the pruned IVF path (VERDICT r2 #5):
+    one row (k, threshold, recall_ok) where recall_ok is measured
+    against the exact kernel — the reference's recall-table methodology
+    (`benchs/README.md`; self-recall asserts `tests/test.h:690`) as a
+    hash-checkable relation."""
+    from gamma_spark.operators.ann import recall_check
+
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    approx = q_knn_ivfflat_pruned(spark, sf_dir)
+    return recall_check(exact, approx, k=KNN_K, threshold=IVF_RECALL_T)
+
+
+def q_pq_recall_check(spark, sf_dir):
+    """Recall@k for IVFPQ at practical settings (ADC candidates + exact
+    rerank, nprobe=8/16, recall_num=64) vs the exact kernel."""
+    from gamma_spark.operators.ann import recall_check
+
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    approx = q_knn_ivfpq_adc(spark, sf_dir)
+    return recall_check(exact, approx, k=KNN_K, threshold=PQ_RECALL_T)
+
+
+SQL_IVF_RECALL_CHECK = (
+    f"SELECT {KNN_K}::INT AS k, {IVF_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
+)
+SQL_PQ_RECALL_CHECK = (
+    f"SELECT {KNN_K}::INT AS k, {PQ_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
+)
+
+
 def q_embedding_neardup_lsh(spark, sf_dir):
     """Multi-band hyperplane-LSH near-dup (scale path): 16 bands x 8
     sign bits OR'd, exact cosine verify on candidates. Deterministic
@@ -1239,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_hybrid_pending_exact": q_knn_hybrid_exact,
         "knn_ivfflat_pruned": q_knn_ivfflat_pruned,
         "knn_ivfpq_adc": q_knn_ivfpq_adc,
+        "ivf_recall_check": q_ivf_recall_check,
+        "pq_recall_check": q_pq_recall_check,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_features": q_multimodal_features,
         "events_sliding_window": q_events_sliding_window,
@@ -1292,6 +1333,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_verified": _sql_dedup_minhash_verified(),
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "knn_hybrid_pending_exact": SQL_KNN_L2,
+        "ivf_recall_check": SQL_IVF_RECALL_CHECK,
+        "pq_recall_check": SQL_PQ_RECALL_CHECK,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessionization": SQL_EVENTS_SESSIONIZATION,
         "engine_status": SQL_ENGINE_STATUS,

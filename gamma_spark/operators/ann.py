@@ -114,6 +114,36 @@ class BinaryIvfIndex:
         )
 
 
+def recall_check(
+    exact: DataFrame,
+    approx: DataFrame,
+    k: int,
+    threshold: float,
+    query_id: str = "qid",
+    doc_id: str = "_docid",
+) -> DataFrame:
+    """Recall@k of an approximate result against the exact kernel, as a
+    one-row relation ``(k, threshold, recall_ok)`` — the reference's own
+    acceptance methodology (`benchs/README.md` recall tables; self-recall
+    asserts `tests/test.h:690`) made driver-checkable: a DuckDB twin is
+    just ``SELECT k, threshold, true AS recall_ok``, so the hash matches
+    iff measured recall clears the threshold.
+
+    Fully distributed: hit counting is an inner join on (qid, docid)
+    between two k·Q-row relations, and both counts are single-row
+    aggregates cross-joined (1×1) — nothing scales with corpus size."""
+    keys = [query_id, doc_id]
+    hits = approx.select(*keys).join(exact.select(*keys), on=keys, how="inner")
+    agg = hits.agg(F.count(F.lit(1)).alias("_hits")).crossJoin(
+        exact.agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.lit(float(threshold)).alias("threshold"),
+        ((F.col("_hits") / F.col("_n")) >= F.lit(float(threshold))).alias("recall_ok"),
+    )
+
+
 MODELS = {
     "FLAT": FlatIndex,
     "IVFFLAT": IvfFlatIndex,
