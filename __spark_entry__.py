@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -813,21 +814,59 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> Arrow-batched feature
-    extraction (codec stubbed deterministically) -> rows-only check."""
+    """Multimodal with a REAL codec (VERDICT r2 #6): per-doc binary PPM
+    (P6) payloads are generated (two horizontal bands with pixel values
+    derived from doc_id), decoded by the registered pure-numpy "ppm"
+    codec inside the Arrow-batched mapInPandas kernel, and pooled into
+    features. The band construction aligns with the 2x2 mean-pyramid
+    pooling, so pooled values recover the exact band pixel values —
+    integer math a DuckDB twin reproduces (hash-checked, not rows-only).
+    """
+    from pyspark.sql.types import BinaryType
+
     from gamma_spark.operators import multimodal as M
+
+    W, H, DIM = 16, 12, 16
+
+    @F.pandas_udf(BinaryType())
+    def make_ppm(doc_id: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for d in doc_id:
+            top, bottom = int(d) % 256, (int(d) * 7) % 256
+            px = np.empty((H, W, 3), np.uint8)
+            px[: H // 2] = top
+            px[H // 2:] = bottom
+            out.append(M.encode_ppm(px))
+        return pd.Series(out)
 
     imgs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        F.encode(F.col("text"), "utf-8").alias("image"),
+        make_ppm("doc_id").alias("image"),
         F.struct(
-            F.lit(16).alias("width"), F.lit(12).alias("height"),
-            F.lit("fake").alias("format"),
+            F.lit(W).alias("width"), F.lit(H).alias("height"),
+            F.lit("ppm").alias("format"),
         ).alias("image_meta"),
     )
-    out = M.extract_image_features(imgs, dim=16)
-    return out.select("doc_id", F.size("feat").alias("feat_dim"),
-                      F.round(F.element_at("feat", 1), 6).alias("feat0"))
+    out = M.extract_image_features(imgs, dim=DIM, codec="ppm")
+    # pools (2x2 over the band image) = [top, top, bottom, bottom], tiled
+    # to DIM by np.resize -> feat[0]=top/255, feat[2]=bottom/255; *255
+    # recovers the integers exactly (float32 error << 0.5)
+    return out.select(
+        "doc_id",
+        F.size("feat").alias("feat_dim"),
+        F.round(F.element_at("feat", 1) * 255).cast("long").alias("top_px"),
+        F.round(F.element_at("feat", 3) * 255).cast("long").alias("bottom_px"),
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id, 16 AS feat_dim,
+       doc_id % 256 AS top_px,
+       (doc_id * 7) % 256 AS bottom_px
+FROM documents
+"""
 
 
 def q_events_sliding_window(spark, sf_dir):
@@ -1340,8 +1379,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_status": SQL_ENGINE_STATUS,
         "order_priority_ranks": SQL_ORDER_PRIORITY_RANKS,
         "lineitem_by_region": SQL_LINEITEM_BY_REGION,
-        # knn_ivfflat_pruned / knn_ivfpq_adc / multimodal_features:
-        # intentionally no oracle (trained-index / stub-codec paths) ->
-        # driver rows-only check; recall and subset properties are
-        # asserted in tests/.
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        # knn_ivfflat_pruned / knn_ivfpq_adc: intentionally no oracle
+        # (trained-index recall paths); their recall is driver-checked
+        # via ivf_recall_check / pq_recall_check and tests/.
     }

@@ -135,3 +135,42 @@ def test_registered_codec_drives_resize(ppm_images):
 def test_unknown_codec_raises():
     with pytest.raises(KeyError, match="not registered"):
         M.resolve_codec("nope-codec")
+
+
+def test_builtin_ppm_codec_roundtrip():
+    """The shipped pure-numpy PPM codec: encode -> decode is identity,
+    header comments and whitespace variants parse, corruption raises."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    assert (M.decode_ppm(M.encode_ppm(px)) == px).all()
+    # comments + arbitrary whitespace in the header
+    raster = px.tobytes()
+    weird = b"P6 # binary ppm\n# a comment line\n 5\t9 # dims\n255\n" + raster
+    assert (M.decode_ppm(weird) == px).all()
+    with pytest.raises(ValueError, match="magic"):
+        M.decode_ppm(b"P5\n5 9\n255\n" + raster)
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_ppm(M.encode_ppm(px)[:-10])
+
+
+def test_ppm_codec_registered_by_default(spark):
+    """operators.multimodal registers "ppm" at import — the driver query
+    (multimodal_features) relies on it; band image pools back to the
+    exact band values."""
+    import importlib
+
+    import numpy as np
+
+    importlib.reload(M)  # undo test-local register_codec overrides
+    px = np.empty((12, 16, 3), np.uint8)
+    px[:6] = 40
+    px[6:] = 200
+    df = spark.createDataFrame(
+        [(1, bytearray(M.encode_ppm(px)), {"width": 16, "height": 12, "format": "ppm"})],
+        "doc_id long, image binary, image_meta struct<width:int,height:int,format:string>",
+    )
+    feat = M.extract_image_features(df, dim=16, codec="ppm").collect()[0].feat
+    assert round(feat[0] * 255) == 40
+    assert round(feat[2] * 255) == 200
