@@ -210,18 +210,41 @@ class IvfFlatIndex:
         return cls(centroids, spark.read.parquet(os.path.join(path, "index")), path)
 
     # -- search ----------------------------------------------------------
+    #: cap on the (chunk × ncentroids) distance matrix materialized per
+    #: probe chunk: 32M float64 cells = 256 MB. At the reference's
+    #: production shape (2048 centroids) that is ~16k queries per chunk;
+    #: at 65k centroids ~512 queries per chunk. Centroids themselves are
+    #: (ncentroids × d) driver-resident — ~32 MB at 65k×64, the ceiling
+    #: documented in docs/SCALING.md; past that the coarse quantizer
+    #: itself should become a (tiny) distributed kNN over a centroid
+    #: relation.
+    PROBE_CHUNK_CELLS = 32_000_000
+
     def probe_clusters(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
         """(Q, nprobe) nearest centroid ids per query — driver-side numpy
-        over the tiny query batch (gamma: quantizer->search,
-        `gamma_index_ivfpq.cc:561`)."""
+        over the query batch (gamma: quantizer->search,
+        `gamma_index_ivfpq.cc:561`), chunked over queries so the
+        distance matrix never exceeds PROBE_CHUNK_CELLS regardless of
+        batch size × ncentroids (VERDICT r2 #9)."""
         cents = self.centroids
-        d = (
-            (qmat * qmat).sum(axis=1)[:, None]
-            - 2.0 * (qmat @ cents.T)
-            + (cents * cents).sum(axis=1)[None, :]
-        )
         nprobe = min(nprobe, len(cents))
-        return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        chunk = max(1, self.PROBE_CHUNK_CELLS // max(1, len(cents)))
+        cent_sq = (cents * cents).sum(axis=1)[None, :]
+        out = np.empty((len(qmat), nprobe), dtype=np.int64)
+        for lo in range(0, len(qmat), chunk):
+            qc = qmat[lo : lo + chunk]
+            d = (qc * qc).sum(axis=1)[:, None] - 2.0 * (qc @ cents.T) + cent_sq
+            if nprobe < len(cents):
+                # argpartition bounds the sort to nprobe instead of
+                # ncentroids·log(ncentroids) per query
+                part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+                order = np.argsort(
+                    np.take_along_axis(d, part, axis=1), axis=1, kind="stable"
+                )
+                out[lo : lo + len(qc)] = np.take_along_axis(part, order, axis=1)
+            else:
+                out[lo : lo + len(qc)] = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return out
 
     #: above this query count the BLAS scan kernel beats the expression
     #: join+window path (measured: 2048 queries x 200k docs, join 131s

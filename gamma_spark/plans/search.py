@@ -31,6 +31,12 @@ from gamma_spark import filters as GF
 from gamma_spark.operators import knn
 from gamma_spark.operators.fusion import fuse
 
+#: past this many query vectors, expression scoring pays |docs|·Q row
+#: amplification into the top-k window; the vectorized scan kernel emits
+#: only k·Q rows per partition instead (same auto-switch as
+#: IvfFlatIndex.SCAN_STRATEGY_MIN_Q, operators/ivf.py).
+SCAN_STRATEGY_MIN_Q = 16
+
 
 @dataclass
 class VectorQuery:
@@ -110,7 +116,14 @@ def search(
                 **params,
             )
         else:
-            hits = knn.knn_join(
+            # brute path strategy (SURVEY O7/O8): the join kernel is the
+            # bit-reproducible small-batch path; at larger batches the
+            # scan kernel wins (k·Q rows/partition instead of |docs|·Q
+            # through the window). The probe is a limit-bounded count on
+            # the (small, broadcastable-by-definition) queries side.
+            nq = vq.queries.limit(SCAN_STRATEGY_MIN_Q + 1).count()
+            kernel = knn.knn_scan if nq > SCAN_STRATEGY_MIN_Q else knn.knn_join
+            hits = kernel(
                 docs,
                 vq.queries,
                 k=request.topn,

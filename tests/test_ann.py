@@ -122,3 +122,27 @@ def test_registry():
     assert get_model("IVFFLAT") is IvfFlatIndex
     with pytest.raises(ValueError):
         get_model("HNSW")
+
+
+def test_probe_clusters_chunked_matches_unchunked(docs, ivf, monkeypatch):
+    """Chunking the (Q x ncentroids) probe matrix (VERDICT r2 #9) must
+    not change which clusters are probed."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    qmat = rng.normal(size=(37, ivf.centroids.shape[1]))
+    full = ivf.probe_clusters(qmat, nprobe=3)
+    monkeypatch.setattr(type(ivf), "PROBE_CHUNK_CELLS", ivf.centroids.shape[0] * 5)
+    chunked = ivf.probe_clusters(qmat, nprobe=3)
+    assert (full == chunked).all()
+    # full-probe (== ncentroids) path unchanged too
+    monkeypatch.setattr(type(ivf), "PROBE_CHUNK_CELLS", ivf.centroids.shape[0] * 2)
+    assert (
+        ivf.probe_clusters(qmat, nprobe=len(ivf.centroids))
+        == np.argsort(
+            ((qmat * qmat).sum(1)[:, None]
+             - 2.0 * qmat @ ivf.centroids.T
+             + (ivf.centroids * ivf.centroids).sum(1)[None, :]),
+            axis=1, kind="stable",
+        )
+    ).all()

@@ -72,6 +72,28 @@ def test_ivf_prunes_clusters(spark, docs, queries):
     assert plan.count("BroadcastExchange") >= 1
 
 
+def test_planner_brute_path_uses_scan_kernel_for_large_batches(spark, docs):
+    """search() without an index must auto-switch to the mapInPandas
+    scan kernel past SCAN_STRATEGY_MIN_Q queries (VERDICT r2 #7) while
+    small oracle-sized batches keep the bit-reproducible join kernel."""
+    from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+    rows = docs.orderBy("_docid").limit(32).collect()
+    big = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    small = big.limit(4)
+    plan_big = plan_of(
+        search(docs, SearchRequest(vector_queries=[VectorQuery("embedding", big, "L2")], topn=5))
+    )
+    assert "MapInPandas" in plan_big, plan_big
+    plan_small = plan_of(
+        search(docs, SearchRequest(vector_queries=[VectorQuery("embedding", small, "L2")], topn=5))
+    )
+    assert "MapInPandas" not in plan_small
+
+
 def test_broadcast_join_for_dims(spark, sf_dir):
     import __spark_entry__ as E
 
