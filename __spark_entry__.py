@@ -963,6 +963,46 @@ FROM per_session GROUP BY user_id
 """
 
 
+def q_events_session_window(spark, sf_dir):
+    """Spark-native gap sessionization (``session_window``, 30-min gap)
+    — the built-in twin of q_events_sessionization's lag/cumsum plan and
+    of streaming/stateful.py's applyInPandasWithState sessionizer
+    (VERDICT r2 #8). ``ts div 1000`` is exact integer nanos→micros
+    (epoch nanos exceed double precision, so no ``/`` division)."""
+    ev = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.groupBy(F.col("user_id"), F.session_window(ts, "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+),
+g AS (
+  SELECT user_id, us, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, (min(us) // 1000000)::BIGINT AS session_start_epoch,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_engine_status(spark, sf_dir):
     """EngineStatus analogue (SURVEY §2.6): doc/deleted counters after a
     delete-by-filter, as a one-row relation."""
@@ -1323,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_sliding_window": q_events_sliding_window,
         "events_sessionization": q_events_sessionization,
+        "events_session_window": q_events_session_window,
         "engine_status": q_engine_status,
         "order_priority_ranks": q_order_priority_ranks,
         "lineitem_by_region": q_lineitem_by_region,
@@ -1376,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_check": SQL_PQ_RECALL_CHECK,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessionization": SQL_EVENTS_SESSIONIZATION,
+        "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "engine_status": SQL_ENGINE_STATUS,
         "order_priority_ranks": SQL_ORDER_PRIORITY_RANKS,
         "lineitem_by_region": SQL_LINEITEM_BY_REGION,
