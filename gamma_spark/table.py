@@ -425,7 +425,12 @@ class BucketedDocStore:
         """Materialize a GammaTable as a bucketed store (full write —
         done once; every later batch is incremental)."""
         spark = table.spark
-        df = table.raw.withColumn(BUCKET, _bucket_of(table.id_col, nbuckets))
+        # co-locate buckets before the partitioned write: without the
+        # repartition, T tasks x nbuckets dirs spray T*nbuckets tiny
+        # files and every later pruned read pays the listing
+        df = table.raw.withColumn(
+            BUCKET, _bucket_of(table.id_col, nbuckets)
+        ).repartition(nbuckets, F.col(BUCKET))
         df.write.mode("overwrite").partitionBy(BUCKET).parquet(
             os.path.join(root, "docs")
         )
@@ -491,22 +496,25 @@ class BucketedDocStore:
             next_docid_start=int(self.meta["max_docid"]) + 1,
             order_col=order_col,
         )
-        merged = merged.withColumn(BUCKET, _bucket_of(idc, nb))
-        # count inserts from the written data (one pruned scan of the
-        # affected buckets) rather than an extra job on the merge plan
+        # co-locate each bucket before the partitioned write (T tasks x
+        # B buckets would otherwise spray T*B tiny files — same hygiene
+        # as the IVF index write, operators/ivf.py); persist so the
+        # post-write max_docid probe reads the computed merge, not disk
+        merged = merged.withColumn(BUCKET, _bucket_of(idc, nb)).repartition(
+            len(hit), F.col(BUCKET)
+        )
+        from pyspark.storagelevel import StorageLevel
+
+        merged.persist(StorageLevel.MEMORY_AND_DISK)
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").partitionBy(BUCKET).parquet(docs_path)
+            new_max = merged.select(F.max(DOCID)).collect()[0][0]
         finally:
+            merged.unpersist()
             if prev is not None:
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        new_max = (
-            self.spark.read.parquet(docs_path)
-            .filter(F.col(BUCKET).isin(hit))
-            .select(F.max(DOCID))
-            .collect()[0][0]
-        )
         meta = dict(self.meta)
         meta["max_docid"] = max(int(self.meta["max_docid"]), int(new_max))
         meta["commit"] = int(self.meta["commit"]) + 1
