@@ -120,7 +120,12 @@ def main():
         "pricing_summary",
         "top_customers",
         "events_hourly",
+        "events_sliding_window",
+        "events_sessionization",
+        "events_session_window",
         "upsert_last_wins",
+        "upsert_chain",
+        "multimodal_features",
         "text_stats",
         "dedup_minhash_lsh",
         "simhash_signatures",
