@@ -120,3 +120,46 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 999)),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_bucketed_store_replays_like_a_dict(spark, tmp_path_factory, batches):
+    """AddOrUpdateDocs semantics (last-wins per batch position, upserts
+    across batches) against the O(batch) bucketed store must equal a
+    plain dict replay — for arbitrary key/value batch sequences."""
+    from pyspark.sql import functions as F
+
+    from gamma_spark.table import BucketedDocStore, GammaTable
+
+    root = str(tmp_path_factory.mktemp("bstore"))
+    base = [(i, -1) for i in range(0, 20)]
+    table = GammaTable(
+        spark,
+        spark.createDataFrame(base, "_id long, v long"),
+        id_col="_id",
+    )
+    store = BucketedDocStore.create(table, root, nbuckets=4)
+
+    state = dict(base)
+    for batch in batches:
+        df = spark.createDataFrame(
+            [(k, v, pos) for pos, (k, v) in enumerate(batch)],
+            "_id long, v long, pos long",
+        ).repartition(3)
+        store = store.upsert(df, order_col="pos")
+        for k, v in batch:  # in-order replay = last write wins
+            state[k] = v
+
+    got = {r._id: r.v for r in store.table().df.select("_id", "v").collect()}
+    assert got == state

@@ -77,6 +77,55 @@ def test_hybrid_search_covers_pending(spark, docs, queries):
     assert g == w
 
 
+def test_streaming_dripfeed_into_bucketed_store(tmp_path, spark, documents):
+    """T2/T4 durable ingest: micro-batches stream through foreachBatch
+    into a BucketedDocStore (O(batch) commits); final state equals the
+    same batches applied sequentially with add_or_update."""
+    from gamma_spark.table import BucketedDocStore, GammaTable
+
+    base = documents.limit(100)
+    table = GammaTable(spark, base, id_col="doc_id")
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+
+    # three micro-batch files: updates + an insert wave
+    src = str(tmp_path / "incoming")
+    waves = []
+    for i in range(3):
+        w = base.filter(F.col("doc_id") % 3 == i).drop("_docid").withColumn(
+            "text", F.lit(f"wave{i}")
+        )
+        waves.append(w)
+        w.coalesce(1).write.mode("append").parquet(src)
+
+    holder = {"store": store}
+
+    def sink(batch_df, epoch_id):
+        holder["store"] = holder["store"].upsert(batch_df)
+
+    stream = spark.readStream.schema(waves[0].schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: r.text
+        for r in holder["store"].table().df.select("doc_id", "text").collect()
+    }
+    expect = table
+    for w in waves:
+        expect = expect.add_or_update(w)
+    want = {r.doc_id: r.text for r in expect.df.select("doc_id", "text").collect()}
+    assert got == want
+    # every commit advanced the marker
+    assert int(holder["store"].meta["commit"]) >= 3
+
+
 def test_compaction_drops_tombstones(tmp_path, spark, docs):
     path = str(tmp_path / "ivf")
     flagged = docs.withColumn("_deleted", F.col("_docid") % 5 == 0)
