@@ -59,6 +59,17 @@ def bench_ivf(spark, sf_dir):
     return n
 
 
+def bench_knn_graph(spark, sf_dir):
+    """Corpus x corpus: every embedding finds its top-10 through the
+    fully distributed cluster-cogrouped path (no driver query collect)."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = IvfFlatIndex.build(docs, ncentroids=32, seed=42)
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    return idx.knn_join_distributed(q, k=10, metric="L2", nprobe=8).count()
+
+
 def bench_neardup_banded(spark, sf_dir):
     """Multi-band hyperplane-LSH embedding near-dup on its scale path
     (Arrow matmul signatures + vectorized verify); the contract query
@@ -131,6 +142,7 @@ def main():
         "simhash_signatures",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
+    run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
     run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))
     run("simhash_neardup_pairs", lambda: qs["simhash_neardup_pairs"](spark, sf_dir).count())
     run("dedup_minhash_verified", lambda: qs["dedup_minhash_verified"](spark, sf_dir).count())

@@ -438,3 +438,191 @@ class IvfFlatIndex:
             scan, schema="qid long, _docid long, score double"
         )
         return topk(partials, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])
+
+    # -- corpus-scale kNN join (no driver-side query collect) ------------
+    #: bound on the (query-chunk x cluster) score matrix inside the
+    #: cogroup kernel: 8M float64 cells = 64 MB per task
+    COGROUP_CHUNK_CELLS = 8_000_000
+
+    def knn_join_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "L2",
+        nprobe: int = DEFAULT_NPROBE,
+        predicate: Column | None = None,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        doc_vec: str = "embedding",
+        l2_sqrt: bool = False,
+        rescore: bool = False,
+    ) -> DataFrame:
+        """kNN join where the *queries side is a DataFrame of any size* —
+        never collected to the driver. ``search()`` mirrors the
+        reference's request serving (the batch is bounded by contract,
+        `idl/fbs/request.fbs:28`); this is the corpus x corpus shape a
+        training-data pipeline needs (kNN graph over every document,
+        semantic-dedup neighbor mining, global similarity join) where
+        |Q| ~ |corpus| and a driver collect is impossible.
+
+        Plan (all distributed):
+
+        1. multi-probe map: ``mapInPandas`` against the broadcast
+           centroid matrix explodes each query into its ``nprobe``
+           nearest (cluster_id, qid, qvec) rows — map-only;
+        2. ONE shuffle of each side on ``cluster_id`` into a cogrouped
+           ``applyInPandas``: per cluster, a chunked BLAS scores the
+           cluster's queries against its inverted list and emits k rows
+           per (query, cluster), ties broken by ``_docid`` (docs sorted
+           by id + stable argsort);
+        3. global window top-k reduces nprobe*k to k per query.
+
+        Shuffled volume: |Q|·nprobe query rows + the probed lists +
+        |Q|·nprobe·k partials — independent of any driver memory. Skew:
+        one cluster = one cogroup task; at 100 TB keep ncentroids high
+        enough that the largest inverted list fits a task (SCALING.md),
+        the same constraint the partitioned index layout already has.
+
+        ``rescore=True`` recomputes the final scores with the in-order
+        Catalyst expression (bit-identical to the SQL oracle) by joining
+        the kernel's candidates back to docs + queries — the global
+        top-k of the probed set is always contained in the union of
+        per-cluster top-ks, so with ``nprobe == ncentroids`` the result
+        equals exact brute force bit-for-bit.
+        """
+        from gamma_spark.functions import vector as V
+        from gamma_spark.operators.topk import topk
+
+        metric_u = metric.upper()
+        if metric_u not in ("IP", "L2", "COSINE"):
+            raise ValueError(f"knn_join_distributed: unsupported metric {metric_u}")
+        asc = V.metric_ascending(metric_u)
+        cents = self.centroids
+        nprobe = min(nprobe, len(cents))
+        cnorm = (cents * cents).sum(axis=1)
+        chunk_cells = self.COGROUP_CHUNK_CELLS
+
+        qsel = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")
+        )
+        vec_type = qsel.schema["_qvec"].dataType.simpleString()
+
+        def probe(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+                d = -2.0 * (mat @ cents.T) + cnorm[None, :]
+                if nprobe < len(cents):
+                    part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(len(cents)), (len(mat), len(cents))
+                    )
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), nprobe)].copy()
+                out["cluster_id"] = part.ravel().astype(np.int32)
+                yield out
+
+        qprobed = qsel.mapInPandas(
+            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int"
+        )
+
+        pruned = self.index_df
+        if predicate is not None:
+            pruned = pruned.filter(predicate)
+        if "_deleted" in pruned.columns:
+            pruned = pruned.filter(~F.col("_deleted"))
+        dsel = pruned.select("cluster_id", "_docid", F.col(doc_vec).alias("_dvec"))
+
+        want_sqrt = l2_sqrt and not rescore
+
+        def per_cluster(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            if qpdf.empty or dpdf.empty:
+                return pd.DataFrame({"qid": [], "_docid": [], "score": []}).astype(
+                    {"qid": "int64", "_docid": "int64", "score": "float64"}
+                )
+            # doc order by _docid: stable argsort over scores then breaks
+            # ties by docid, matching the oracle's (score, _docid) order
+            order = np.argsort(dpdf["_docid"].to_numpy(), kind="stable")
+            dmat = np.stack(dpdf["_dvec"].to_numpy())[order].astype(np.float64)
+            ids = dpdf["_docid"].to_numpy(dtype=np.int64)[order]
+            if metric_u == "COSINE":
+                dmat = dmat / np.maximum(
+                    np.linalg.norm(dmat, axis=1, keepdims=True), 1e-30
+                )
+            dnorm = (dmat * dmat).sum(axis=1)
+            qall = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
+            if metric_u == "COSINE":
+                qall = qall / np.maximum(
+                    np.linalg.norm(qall, axis=1, keepdims=True), 1e-30
+                )
+            kk = min(k, len(ids))
+            chunk = max(1, chunk_cells // max(1, len(ids)))
+            outs = []
+            for lo in range(0, len(qall), chunk):
+                qc = qall[lo : lo + chunk]
+                if metric_u in ("IP", "COSINE"):
+                    s = qc @ dmat.T
+                else:
+                    s = (
+                        (qc * qc).sum(axis=1)[:, None]
+                        - 2.0 * (qc @ dmat.T)
+                        + dnorm[None, :]
+                    )
+                    np.maximum(s, 0.0, out=s)
+                    if want_sqrt:
+                        np.sqrt(s, out=s)
+                # select top-kk by (score, doc position); positions are
+                # docid-ordered, so this is exactly the oracle's
+                # (score, _docid) tie order. argpartition bounds the
+                # per-row lexsort to kk candidates.
+                sel = np.empty((len(qc), kk), dtype=np.int64)
+                if len(ids) > kk:
+                    pre = np.argpartition(s if asc else -s, kk - 1, axis=1)[:, :kk]
+                    pre_s = np.take_along_axis(s, pre, axis=1)
+                    for r in range(len(qc)):
+                        row_sc = pre_s[r] if asc else -pre_s[r]
+                        sel[r] = pre[r][np.lexsort((pre[r], row_sc))[:kk]]
+                else:
+                    pos = np.arange(len(ids))
+                    for r in range(len(qc)):
+                        row = s[r] if asc else -s[r]
+                        sel[r] = np.lexsort((pos, row))[:kk]
+                sc = np.take_along_axis(s, sel, axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.repeat(qids_all[lo : lo + chunk], kk),
+                            "_docid": ids[sel.ravel()],
+                            "score": sc.ravel(),
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        partials = (
+            qprobed.groupby("cluster_id")
+            .cogroup(dsel.groupby("cluster_id"))
+            .applyInPandas(per_cluster, schema="qid long, _docid long, score double")
+        )
+
+        if not rescore:
+            return topk(
+                partials, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"]
+            )
+        # two-phase exact rescore (bit-identical to the SQL oracle): the
+        # candidate set is k-per-(query,cluster) — candidate-bounded joins
+        cand = partials.select("qid", "_docid").dropDuplicates(["qid", "_docid"])
+        rescored = (
+            cand.join(dsel.select("_docid", "_dvec"), on="_docid", how="inner")
+            .join(qsel, on="qid", how="inner")
+            .select(
+                "qid",
+                "_docid",
+                V.score(metric_u, "_dvec", "_qvec", l2_sqrt=l2_sqrt).alias("score"),
+            )
+        )
+        return topk(
+            rescored, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"]
+        )

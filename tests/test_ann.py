@@ -124,6 +124,31 @@ def test_registry():
         get_model("HNSW")
 
 
+def test_knn_join_distributed_exact_parity(queries, ivf, exact):
+    """Full-probe distributed kNN join (queries never collected) must
+    equal the exact kernel — ids AND bit-exact scores under rescore."""
+    got = ivf.knn_join_distributed(queries, k=10, metric="L2", nprobe=NCENT, rescore=True)
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    assert g == exact
+
+
+def test_knn_join_distributed_prefilter_and_recall(docs, queries, ivf, exact):
+    from pyspark.sql import functions as F
+
+    # pre-filter composes (O1): results only from label==1 docs
+    res = ivf.knn_join_distributed(
+        queries, k=5, metric="L2", nprobe=NCENT, predicate=F.col("label") == 1
+    )
+    labels = {r.label for r in res.join(docs.select("_docid", "label"), "_docid").collect()}
+    assert labels == {1}
+    # pruned probing keeps usable recall (corpus-wide self-join shape
+    # exercised; recall measured on the oracle'd fixture queries)
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    ap = ivf.knn_join_distributed(q, k=10, metric="L2", nprobe=4)
+    rec = recall_at_k([r for r in ap.collect() if (r.qid, 1) in exact], exact)
+    assert rec >= 0.5, rec
+
+
 def test_probe_clusters_chunked_matches_unchunked(docs, ivf, monkeypatch):
     """Chunking the (Q x ncentroids) probe matrix (VERDICT r2 #9) must
     not change which clusters are probed."""
