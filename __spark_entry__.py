@@ -793,6 +793,22 @@ SELECT qid, _docid, score, rank::INT AS rank FROM (
 """.replace("{l2sq}", V.sql_l2_squared("e.embedding", "q.qvec"))
 
 
+def q_pq_graph_exact(spark, sf_dir):
+    """The PQ twin of knn_graph_exact: every embedding queries the
+    corpus through the distributed ADC join (cluster-cogrouped LUT scan
+    over codes, exact rerank via plain joins — queries never collected).
+    nprobe = ncentroids + recall_num = N degenerates to exact."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    return pq.knn_join_distributed(
+        q, k=KNN_K, metric="L2", nprobe=IVF_NCENT, recall_num=n, has_rank=True
+    )
+
+
 IVF_RECALL_T = 0.5   # nprobe=4/16 floor, proven in tests/test_ann.py
 PQ_RECALL_T = 0.6    # ADC+rerank floor at nprobe=8, recall_num=64
 
@@ -1391,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_check": q_ivf_recall_check,
         "pq_recall_check": q_pq_recall_check,
         "knn_graph_exact": q_knn_graph_exact,
+        "pq_graph_exact": q_pq_graph_exact,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "multimodal_features": q_multimodal_features,
         "events_sliding_window": q_events_sliding_window,
@@ -1448,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_check": SQL_IVF_RECALL_CHECK,
         "pq_recall_check": SQL_PQ_RECALL_CHECK,
         "knn_graph_exact": SQL_KNN_GRAPH,
+        "pq_graph_exact": SQL_KNN_GRAPH,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessionization": SQL_EVENTS_SESSIONIZATION,
         "events_session_window": SQL_EVENTS_SESSION_WINDOW,

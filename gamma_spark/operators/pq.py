@@ -384,3 +384,165 @@ class IvfPqIndex:
         if max_score is not None:
             rer = rer.filter(F.col("score") <= max_score)
         return topk(rer, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])
+
+    # -- corpus-scale ADC join (no driver-side query collect) ------------
+    #: bound on the (query-chunk x inverted-list) ADC matrix per task
+    COGROUP_CHUNK_CELLS = 8_000_000
+
+    def knn_join_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "L2",
+        nprobe: int = 10,
+        recall_num: int | None = None,
+        has_rank: bool = True,
+        predicate: Column | None = None,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        l2_sqrt: bool = False,
+    ) -> DataFrame:
+        """IVFPQ kNN join where the queries side is a DataFrame of any
+        size — the PQ twin of ``IvfFlatIndex.knn_join_distributed``
+        (corpus x corpus: kNN graph / semantic-dedup mining over codes).
+
+        Plan: executor-side multi-probe explodes queries x nprobe; ONE
+        shuffle of each side on ``cluster_id`` into a cogrouped
+        ``applyInPandas`` that builds the residual LUTs for *that
+        cluster's* queries and ADC-scans its inverted list (chunked, k
+        per (query, cluster)); global top-``recall_num``; then the
+        two-phase exact rerank joins candidates to raw vectors AND to
+        the queries *relation* (plain joins — nothing collected). With
+        nprobe == ncentroids and recall_num == N the result equals
+        exact brute force bit-for-bit (rerank scores are the in-order
+        Catalyst expression).
+        """
+        recall_num = recall_num or max(4 * k, 64)
+        metric_u = metric.upper()
+        if metric_u not in ("IP", "L2"):
+            raise ValueError("IVFPQ supports IP and L2")
+        asc = V.metric_ascending(metric_u)
+        cents = self.centroids
+        nprobe = min(nprobe, len(cents))
+        cnorm = (cents * cents).sum(axis=1)
+        cb, rot = self.codebooks, self.rotation
+        m_, ksub_, dsub_ = self.m, self.ksub, self.dsub
+        rn = recall_num
+        chunk_cells = self.COGROUP_CHUNK_CELLS
+
+        qsel = queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")
+        )
+        vec_type = qsel.schema["_qvec"].dataType.simpleString()
+
+        def probe(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+                d = -2.0 * (mat @ cents.T) + cnorm[None, :]
+                if nprobe < len(cents):
+                    part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+                else:
+                    part = np.broadcast_to(
+                        np.arange(len(cents)), (len(mat), len(cents))
+                    )
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), nprobe)].copy()
+                out["cluster_id"] = part.ravel().astype(np.int32)
+                yield out
+
+        qprobed = qsel.mapInPandas(
+            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int"
+        )
+
+        pruned = self.codes_df
+        raw = self.raw_docs
+        if predicate is not None or "_deleted" in raw.columns:
+            allowed = raw
+            if predicate is not None:
+                allowed = allowed.filter(predicate)
+            if "_deleted" in allowed.columns:
+                allowed = allowed.filter(~F.col("_deleted"))
+            pruned = pruned.join(allowed.select("_docid"), on="_docid", how="leftsemi")
+
+        def per_cluster(key, qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+            if qpdf.empty or dpdf.empty:
+                return pd.DataFrame({"qid": [], "_docid": [], "adc_score": []}).astype(
+                    {"qid": "int64", "_docid": "int64", "adc_score": "float64"}
+                )
+            c = int(key[0])
+            order = np.argsort(dpdf["_docid"].to_numpy(), kind="stable")
+            codes = np.stack(dpdf["codes"].to_numpy())[order].astype(np.int64)
+            ids = dpdf["_docid"].to_numpy(dtype=np.int64)[order]
+            qall = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
+            kk = min(rn, len(ids))
+            chunk = max(1, chunk_cells // max(1, len(ids)))
+            outs = []
+            for lo in range(0, len(qall), chunk):
+                qc = qall[lo : lo + chunk]
+                if metric_u == "IP":
+                    qres = qc @ rot
+                    base = qc @ cents[c]
+                else:
+                    qres = (qc - cents[c][None, :]) @ rot
+                    base = np.zeros(len(qc))
+                s = np.broadcast_to(base[:, None], (len(qc), len(ids))).copy()
+                for i in range(m_):
+                    qsub = qres[:, i * dsub_ : (i + 1) * dsub_]
+                    cbi = cb[i]
+                    if metric_u == "IP":
+                        lut = qsub @ cbi.T
+                    else:
+                        lut = (
+                            (qsub * qsub).sum(axis=1)[:, None]
+                            - 2.0 * (qsub @ cbi.T)
+                            + (cbi * cbi).sum(axis=1)[None, :]
+                        )
+                    s += lut[:, codes[:, i]]
+                sel = np.empty((len(qc), kk), dtype=np.int64)
+                if len(ids) > kk:
+                    pre = np.argpartition(s if asc else -s, kk - 1, axis=1)[:, :kk]
+                    pre_s = np.take_along_axis(s, pre, axis=1)
+                    for r in range(len(qc)):
+                        row_sc = pre_s[r] if asc else -pre_s[r]
+                        sel[r] = pre[r][np.lexsort((pre[r], row_sc))[:kk]]
+                else:
+                    pos = np.arange(len(ids))
+                    for r in range(len(qc)):
+                        row = s[r] if asc else -s[r]
+                        sel[r] = np.lexsort((pos, row))[:kk]
+                sc = np.take_along_axis(s, sel, axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.repeat(qids_all[lo : lo + chunk], kk),
+                            "_docid": ids[sel.ravel()],
+                            "adc_score": sc.ravel(),
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        partials = (
+            qprobed.groupby("cluster_id")
+            .cogroup(pruned.select("cluster_id", "_docid", "codes").groupby("cluster_id"))
+            .applyInPandas(per_cluster, schema="qid long, _docid long, adc_score double")
+        )
+        candidates = topk(
+            partials, ["qid"], "adc_score", rn, ascending=asc, rank_col=None,
+            tiebreak_cols=["_docid"],
+        )
+        if not has_rank:
+            out = candidates.withColumnRenamed("adc_score", "score")
+            return topk(out, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])
+        rer = (
+            candidates.join(raw.select("_docid", self.doc_vec), on="_docid", how="inner")
+            .join(qsel, on="qid", how="inner")
+            .select(
+                "qid",
+                "_docid",
+                V.score(metric_u, self.doc_vec, "_qvec", l2_sqrt=l2_sqrt).alias("score"),
+            )
+        )
+        return topk(rer, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])

@@ -94,6 +94,20 @@ def test_planner_brute_path_uses_scan_kernel_for_large_batches(spark, docs):
     assert "MapInPandas" not in plan_small
 
 
+def test_knn_join_distributed_plan_shape(spark, docs):
+    """The corpus-scale kNN join must be: probe as MapInPandas (no
+    driver collect of queries), ONE cogroup on cluster_id, and a
+    map-side WindowGroupLimit before the final top-k exchange."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    idx = IvfFlatIndex.build(docs, ncentroids=8, seed=42)
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = plan_of(idx.knn_join_distributed(q, k=5, metric="L2", nprobe=2))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "MapInPandas" in plan  # executor-side probe
+    assert "WindowGroupLimit" in plan
+
+
 def test_broadcast_join_for_dims(spark, sf_dir):
     import __spark_entry__ as E
 
