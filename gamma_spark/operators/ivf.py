@@ -456,6 +456,7 @@ class IvfFlatIndex:
         doc_vec: str = "embedding",
         l2_sqrt: bool = False,
         rescore: bool = False,
+        salts: int = 1,
     ) -> DataFrame:
         """kNN join where the *queries side is a DataFrame of any size* —
         never collected to the driver. ``search()`` mirrors the
@@ -479,9 +480,12 @@ class IvfFlatIndex:
 
         Shuffled volume: |Q|·nprobe query rows + the probed lists +
         |Q|·nprobe·k partials — independent of any driver memory. Skew:
-        one cluster = one cogroup task; at 100 TB keep ncentroids high
-        enough that the largest inverted list fits a task (SCALING.md),
-        the same constraint the partitioned index layout already has.
+        one (cluster, salt) = one cogroup task; ``salts > 1`` splits
+        each inverted list into ``salts`` deterministic shards with the
+        queries replicated per shard (k per (query, shard) partials,
+        global top-k unchanged — per-shard top-k always contains the
+        shard's global-top-k members), so a pathologically hot cluster
+        costs salts× query-row duplication instead of one giant task.
 
         ``rescore=True`` recomputes the final scores with the in-order
         Catalyst expression (bit-identical to the SQL oracle) by joining
@@ -507,6 +511,8 @@ class IvfFlatIndex:
         )
         vec_type = qsel.schema["_qvec"].dataType.simpleString()
 
+        salts = max(1, int(salts))
+
         def probe(batches):
             for pdf in batches:
                 if pdf.empty:
@@ -519,12 +525,16 @@ class IvfFlatIndex:
                     part = np.broadcast_to(
                         np.arange(len(cents)), (len(mat), len(cents))
                     )
-                out = pdf.iloc[np.repeat(np.arange(len(pdf)), nprobe)].copy()
-                out["cluster_id"] = part.ravel().astype(np.int32)
+                fan = nprobe * salts
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), fan)].copy()
+                out["cluster_id"] = np.repeat(part, salts, axis=1).ravel().astype(np.int32)
+                out["_salt"] = np.tile(
+                    np.arange(salts, dtype=np.int32), len(pdf) * nprobe
+                )
                 yield out
 
         qprobed = qsel.mapInPandas(
-            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int"
+            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
         )
 
         pruned = self.index_df
@@ -532,7 +542,15 @@ class IvfFlatIndex:
             pruned = pruned.filter(predicate)
         if "_deleted" in pruned.columns:
             pruned = pruned.filter(~F.col("_deleted"))
-        dsel = pruned.select("cluster_id", "_docid", F.col(doc_vec).alias("_dvec"))
+        dsel = pruned.select(
+            "cluster_id",
+            "_docid",
+            F.col(doc_vec).alias("_dvec"),
+            (F.pmod(F.xxhash64(F.col("_docid")), F.lit(salts)).cast("int")).alias(
+                "_salt"
+            ),
+        )
+        cogroup_keys = ["cluster_id", "_salt"]
 
         want_sqrt = l2_sqrt and not rescore
 
@@ -602,8 +620,8 @@ class IvfFlatIndex:
             return pd.concat(outs, ignore_index=True)
 
         partials = (
-            qprobed.groupby("cluster_id")
-            .cogroup(dsel.groupby("cluster_id"))
+            qprobed.groupby(*cogroup_keys)
+            .cogroup(dsel.groupby(*cogroup_keys))
             .applyInPandas(per_cluster, schema="qid long, _docid long, score double")
         )
 

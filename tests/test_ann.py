@@ -149,6 +149,17 @@ def test_knn_join_distributed_prefilter_and_recall(docs, queries, ivf, exact):
     assert rec >= 0.5, rec
 
 
+def test_knn_join_distributed_salted_equals_unsalted(queries, ivf, exact):
+    """Skew salting (inverted list sharded, queries replicated per
+    shard) must not change results: per-shard top-k contains the
+    shard's members of the global top-k."""
+    got = ivf.knn_join_distributed(
+        queries, k=10, metric="L2", nprobe=NCENT, rescore=True, salts=4
+    )
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    assert g == exact
+
+
 def test_pq_join_distributed_exact_and_recall(docs, queries, exact):
     """Distributed ADC join: degenerate config equals exact bit-for-bit;
     practical pruning keeps usable recall."""
