@@ -102,7 +102,27 @@ def search(
     for vq in request.vector_queries:
         params = dict(vq.retrieval_params)
         brute = bool(params.pop("brute_force_search", False))
-        if index is not None and not brute:
+        distributed = bool(params.pop("distributed", False))
+        if distributed and index is not None and not brute:
+            # corpus-scale path: the queries relation is never collected
+            # (ivf.knn_join_distributed / pq counterpart)
+            if vq.min_score is not None or vq.max_score is not None:
+                # a band must prune BEFORE top-k (F8 pre-band, SURVEY
+                # O1); the distributed kernels don't thread it yet, and
+                # post-filtering would silently change semantics
+                raise ValueError(
+                    "score bands are not supported on the distributed "
+                    "kNN path; use the collected search() path"
+                )
+            hits = index.knn_join_distributed(
+                vq.queries,
+                k=request.topn,
+                metric=vq.metric,
+                predicate=pred,
+                l2_sqrt=request.l2_sqrt,
+                **params,
+            )
+        elif index is not None and not brute:
             hits = index.search(
                 docs,
                 vq.queries,

@@ -434,6 +434,10 @@ class BucketedDocStore:
         df.write.mode("overwrite").partitionBy(BUCKET).parquet(
             os.path.join(root, "docs")
         )
+        # schema sidecar: an empty non-partitioned parquet carrying the
+        # full row schema, so the store stays readable even when every
+        # bucket is compacted away (zero data files -> no inference)
+        df.limit(0).write.mode("overwrite").parquet(os.path.join(root, "schema"))
         written = spark.read.parquet(os.path.join(root, "docs"))
         max_docid = written.select(F.max(DOCID)).collect()[0][0]
         meta = {
@@ -463,6 +467,10 @@ class BucketedDocStore:
         return int(self.meta["nbuckets"])
 
     def raw(self) -> DataFrame:
+        schema_dir = os.path.join(self.root, "schema")
+        if os.path.exists(schema_dir):
+            s = self.spark.read.parquet(schema_dir).schema
+            return self.spark.read.schema(s).parquet(os.path.join(self.root, "docs"))
         return self.spark.read.parquet(os.path.join(self.root, "docs"))
 
     def table(self) -> GammaTable:
@@ -519,5 +527,82 @@ class BucketedDocStore:
         meta["max_docid"] = max(int(self.meta["max_docid"]), int(new_max))
         meta["commit"] = int(self.meta["commit"]) + 1
         self._commit_meta(self.root, meta)
+        # drop Spark's cached file listing for the path — later reads
+        # must see the replaced files, not the pre-commit index
+        self.spark.catalog.refreshByPath(docs_path)
         out = BucketedDocStore(self.spark, self.root)
         return out
+
+    def _rewrite_buckets(self, df: DataFrame, hit: list[int]) -> "BucketedDocStore":
+        """Overwrite the listed buckets with ``df``'s rows (which must
+        all hash into them); commit metadata last."""
+        docs_path = os.path.join(self.root, "docs")
+        out = df.repartition(max(1, len(hit)), F.col(BUCKET))
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy(BUCKET).parquet(docs_path)
+        finally:
+            if prev is not None:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        meta = dict(self.meta)
+        meta["commit"] = int(self.meta["commit"]) + 1
+        self._commit_meta(self.root, meta)
+        self.spark.catalog.refreshByPath(docs_path)
+        return BucketedDocStore(self.spark, self.root)
+
+    def delete_by_filter(self, filter_list) -> tuple["BucketedDocStore", DataFrame]:
+        """DelDocByFilter against the store
+        (`search/gamma_engine.cc:873-949`): tombstone matching live docs,
+        return their ids. Finding matches is one predicate-pushed scan;
+        the *write* rewrites only buckets that contain a match."""
+        pred = GF.combine(filter_list, self.raw())
+        full = (F.lit(True) if pred is None else pred) & ~F.col(DELETED)
+        # eager checkpoint: the ids relation must survive the in-place
+        # file replacement below (a lazy plan over the old listing would
+        # hit FILE_NOT_EXIST when collected after the commit)
+        matches = (
+            self.raw().filter(full).select(self.id_col, BUCKET).localCheckpoint()
+        )
+        # bounded collect: distinct buckets containing matches
+        hit = [int(r[0]) for r in matches.select(BUCKET).distinct().collect()]
+        deleted_ids = matches.select(self.id_col)
+        if not hit:
+            return self, deleted_ids
+        cur = self.raw().filter(F.col(BUCKET).isin(hit))
+        pred_cur = (F.lit(True) if pred is None else pred) & ~F.col(DELETED)
+        updated = cur.withColumn(
+            DELETED, F.when(pred_cur, F.lit(True)).otherwise(F.col(DELETED))
+        )
+        return self._rewrite_buckets(updated, hit), deleted_ids
+
+    def compact(self) -> "BucketedDocStore":
+        """Physically drop tombstoned rows, rewriting only buckets that
+        contain tombstones (T3 — gamma compacts inverted lists the same
+        lazily-targeted way, `index/impl/gamma_index_ivfpq.cc:420`)."""
+        hit = [
+            int(r[0])
+            for r in self.raw()
+            .filter(F.col(DELETED))
+            .select(BUCKET)
+            .distinct()
+            .collect()
+        ]
+        if not hit:
+            return self
+        kept = self.raw().filter(F.col(BUCKET).isin(hit)).filter(~F.col(DELETED))
+        # dynamic overwrite only replaces partitions present in the
+        # output: a fully-tombstoned bucket emits no rows, so its stale
+        # directory must be dropped explicitly
+        nonempty = {
+            int(r[0]) for r in kept.select(BUCKET).distinct().collect()
+        }
+        out = self._rewrite_buckets(kept, sorted(nonempty) or hit)
+        import shutil
+
+        for b in set(hit) - nonempty:
+            shutil.rmtree(
+                os.path.join(self.root, "docs", f"{BUCKET}={b}"), ignore_errors=True
+            )
+        self.spark.catalog.refreshByPath(os.path.join(self.root, "docs"))
+        return BucketedDocStore(self.spark, self.root)

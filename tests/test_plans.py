@@ -108,6 +108,38 @@ def test_knn_join_distributed_plan_shape(spark, docs):
     assert "WindowGroupLimit" in plan
 
 
+def test_planner_routes_distributed_param(spark, docs):
+    """retrieval_params={'distributed': True} dispatches the index to
+    knn_join_distributed (cogroup plan, no query collect); score bands
+    are refused loudly (they must prune pre-top-k)."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+    from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+    idx = IvfFlatIndex.build(docs, ncentroids=8, seed=42)
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    req = SearchRequest(
+        vector_queries=[
+            VectorQuery("embedding", q, "L2", retrieval_params={"distributed": True, "nprobe": 2})
+        ],
+        topn=5,
+    )
+    plan = plan_of(search(docs, req, index=idx))
+    assert "FlatMapCoGroupsInPandas" in plan
+    banded = SearchRequest(
+        vector_queries=[
+            VectorQuery(
+                "embedding", q, "L2", min_score=0.1,
+                retrieval_params={"distributed": True},
+            )
+        ],
+        topn=5,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="score bands"):
+        search(docs, banded, index=idx)
+
+
 def test_broadcast_join_for_dims(spark, sf_dir):
     import __spark_entry__ as E
 

@@ -170,6 +170,48 @@ def test_bucketed_store_rewrites_only_affected_buckets(tmp_path, spark, table):
     assert store.table().get_doc_by_id(keys[0]).collect()[0].text == "touched"
 
 
+def test_bucketed_store_delete_and_compact(tmp_path, spark, table):
+    """delete_by_filter tombstones + returns ids rewriting only matching
+    buckets; compact physically drops tombstones (incl. removing a
+    fully-tombstoned bucket's directory)."""
+    import os
+
+    from gamma_spark.table import BucketedDocStore
+
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    n0 = store.table().doc_count()
+    store2, deleted = store.delete_by_filter(
+        [GF.TermFilter("lang", ("zh",), GF.TERM_OR)]
+    )
+    dels = sorted(r.doc_id for r in deleted.collect())
+    assert len(dels) > 0
+    t = store2.table()
+    assert t.doc_count() == n0 - len(dels)
+    assert t.get_doc_by_id(dels[0]).count() == 0  # deleted => miss
+    # compact drops the tombstoned rows physically
+    store3 = store2.compact()
+    raw = store3.raw()
+    from pyspark.sql import functions as F
+
+    assert raw.filter(F.col("_deleted")).count() == 0
+    assert store3.table().doc_count() == n0 - len(dels)
+    # delete everything -> compact must remove every bucket directory's rows
+    store4, _ = store3.delete_by_filter([])
+    store5 = store4.compact()
+    assert store5.table().doc_count() == 0
+    docs_dir = os.path.join(str(tmp_path / "store"), "docs")
+    leftover = [
+        d for d in os.listdir(docs_dir)
+        if d.startswith("_bucket=")
+        and any(f.endswith(".parquet") for f in os.listdir(os.path.join(docs_dir, d)))
+    ]
+    # no bucket dir may still hold live rows
+    for d in leftover:
+        assert spark.read.parquet(os.path.join(docs_dir, d)).filter(
+            ~F.col("_deleted")
+        ).count() == 0
+
+
 def test_set_get_config_cache_toggle(table):
     """SetConfig/GetConfig (`c_api/gamma_api.h:181-189`): cache sizing
     maps to persist/unpersist of the docs relation."""
