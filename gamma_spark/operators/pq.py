@@ -64,6 +64,47 @@ def opq_rotation_np(residuals: np.ndarray, seed: int = 42) -> np.ndarray:
     return r * signs[None, :]
 
 
+def _encode_codes(
+    docs: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray,
+    doc_vec: str,
+) -> DataFrame:
+    """Assign coarse clusters + residual-PQ-encode (one mapInPandas
+    pass, map-only). Shared by build() and the T2 micro-batch append —
+    appended vectors are encoded with the *already trained* quantizer
+    and codebooks, never retrained (`vector/vector_manager.cc:280-382`)."""
+    assigned = assign_clusters(docs, centroids, doc_vec)
+    cb, cents, rot = codebooks, centroids, rotation
+    m_ = cb.shape[0]
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+            clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
+            res = (mat - cents[clus]) @ rot
+            codes = np.empty((len(mat), m_), dtype=np.int32)
+            for i in range(m_):
+                sub = res[:, i * cb.shape[2] : (i + 1) * cb.shape[2]]
+                c = cb[i]
+                dist = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)[None, :]
+                codes[:, i] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "_docid": pdf["_docid"].to_numpy(dtype=np.int64),
+                    "cluster_id": clus,
+                    "codes": list(codes),
+                }
+            )
+
+    return assigned.mapInPandas(
+        encode, schema="_docid long, cluster_id int, codes array<int>"
+    )
+
+
 class IvfPqIndex:
     """IVF + residual PQ codes (+ optional OPQ) + exact rerank."""
 
@@ -145,33 +186,7 @@ class IvfPqIndex:
                 )
             )  # note: ksub_eff may be < 2^nbits on tiny data
 
-        assigned = assign_clusters(docs, centroids, doc_vec)
-        cb, cents, rot, m_ = codebooks, centroids, rotation, nsubvector
-
-        def encode(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
-                clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
-                res = (mat - cents[clus]) @ rot
-                codes = np.empty((len(mat), m_), dtype=np.int32)
-                for i in range(m_):
-                    sub = res[:, i * cb.shape[2] : (i + 1) * cb.shape[2]]
-                    c = cb[i]
-                    dist = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)[None, :]
-                    codes[:, i] = dist.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "_docid": pdf["_docid"].to_numpy(dtype=np.int64),
-                        "cluster_id": clus,
-                        "codes": list(codes),
-                    }
-                )
-
-        codes_df = assigned.mapInPandas(
-            encode, schema="_docid long, cluster_id int, codes array<int>"
-        )
+        codes_df = _encode_codes(docs, centroids, codebooks, rotation, doc_vec)
         if path:
             # co-locate inverted lists before the partitioned write
             codes_df.repartition("cluster_id").write.mode("overwrite").partitionBy(
@@ -201,6 +216,14 @@ class IvfPqIndex:
             raw_docs,
             meta["doc_vec"],
             path,
+        )
+
+    def encode_df(self, docs: DataFrame, doc_vec: str | None = None) -> DataFrame:
+        """Encode new docs with the trained quantizer + codebooks
+        (T2 micro-batch append path — no retrain)."""
+        return _encode_codes(
+            docs, self.centroids, self.codebooks, self.rotation,
+            doc_vec or self.doc_vec,
         )
 
     # -- search -----------------------------------------------------------

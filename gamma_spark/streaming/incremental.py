@@ -33,11 +33,20 @@ from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
 from gamma_spark.operators.topk import topk
 
 
-def index_append_batch(index: IvfFlatIndex, batch_df: DataFrame, path: str) -> None:
+def index_append_batch(index, batch_df: DataFrame, path: str) -> None:
     """T2: assign the micro-batch to inverted lists with the trained
     quantizer and append — the Spark analogue of AddRTVecsToIndex's
     <=1000-vector chunked appends. Map-only + partitioned append; no
-    retrain, no shuffle."""
+    retrain, no shuffle. Dispatches on index kind: IVFFLAT appends raw
+    rows to ``index/``; IVFPQ encodes the batch with the trained
+    codebooks and appends to ``codes/``."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    if isinstance(index, IvfPqIndex):
+        index.encode_df(batch_df).write.mode("append").partitionBy(
+            "cluster_id"
+        ).parquet(os.path.join(path, "codes"))
+        return
     meta_vec = _index_vec_col(path)
     assigned = assign_clusters(batch_df, index.centroids, meta_vec)
     assigned.write.mode("append").partitionBy("cluster_id").parquet(
@@ -52,7 +61,7 @@ def _index_vec_col(path: str) -> str:
         return json.load(fh)["doc_vec"]
 
 
-def stream_index_appender(stream_df: DataFrame, index: IvfFlatIndex, path: str):
+def stream_index_appender(stream_df: DataFrame, index, path: str):
     """Attach a foreachBatch writer that keeps the index table growing
     as micro-batches arrive. Returns the DataStreamWriter (caller picks
     trigger/checkpoint and calls .start())."""

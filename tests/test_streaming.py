@@ -62,6 +62,40 @@ def test_stream_append_then_search(tmp_path, spark, docs, queries):
     assert g == w
 
 
+def test_stream_append_pq_codes_then_search(tmp_path, spark, docs, queries):
+    """T2 for IVFPQ: the appender encodes micro-batches with the trained
+    codebooks (no retrain) into codes/; degenerate search over the grown
+    index equals exact brute force."""
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    path = str(tmp_path / "pq")
+    n = docs.count()
+    first = docs.filter(F.col("_docid") < n // 2)
+    rest = docs.filter(F.col("_docid") >= n // 2)
+    pq = IvfPqIndex.build(first, ncentroids=NCENT, nsubvector=8, seed=42, path=path)
+
+    src = str(tmp_path / "incoming")
+    rest.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    q = (
+        stream_index_appender(stream, pq, path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    grown = IvfPqIndex.load(spark, path, docs)
+    assert grown.codes_df.count() == n
+    got = grown.search(
+        docs, queries, k=10, metric="L2", nprobe=NCENT, recall_num=n, has_rank=True
+    )
+    want = knn.knn_join(docs, queries, k=10, metric="L2")
+    g = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in want.collect()}
+    assert g == w
+
+
 def test_hybrid_search_covers_pending(spark, docs, queries):
     """T1: docs not yet in the index must still be searchable (exact
     tail union), and results must equal full exact search."""
