@@ -349,11 +349,22 @@ class GammaTable:
         upserts + deletes onto the snapshot reconstructs this table."""
         idc = self.id_col
         cur_live = self.df
-        # exceptAll aligns columns positionally; normalize the snapshot
-        # to this table's column order (upsert reorders data columns)
         old_live = snapshot.df.select(*cur_live.columns)
-        # changed-or-new = anti-join on full row equality against the old state
-        upserts = cur_live.exceptAll(old_live)
+        # changed-or-new detection via per-row content hash: the old side
+        # shuffles only (id, hash) instead of full-width rows (exceptAll
+        # shuffles both tables whole — at 100 TB that doubles the bytes
+        # moved). xxhash64 collision odds are 2^-64 per row; a colliding
+        # change would be silently skipped, the same trade every
+        # hash-diff replication scheme makes.
+        data_cols = [c for c in cur_live.columns if c != idc]
+        hcol = F.xxhash64(*[F.col(c) for c in data_cols])
+        old_h = old_live.select(F.col(idc), hcol.alias("_oh"))
+        upserts = (
+            cur_live.withColumn("_ch", hcol)
+            .join(old_h, on=idc, how="left")
+            .filter(F.col("_oh").isNull() | (F.col("_ch") != F.col("_oh")))
+            .drop("_ch", "_oh")
+        )
         deleted = old_live.select(idc).join(
             cur_live.select(idc), on=idc, how="left_anti"
         )

@@ -126,6 +126,23 @@ def main():
     results["pq_nprobe32_sec"] = round(time.time() - t0, 2)
     results["pq_nprobe32_recall"] = round(recall(rows), 4)
 
+    # corpus-scale distributed kNN join: a 100k-query DataFrame (never
+    # collected) against the full corpus through the cluster-cogrouped
+    # path — the kNN-graph / semantic-dedup shape
+    nq = min(100_000, n // 2)
+    qbig = docs.filter(F.col("_docid") < nq).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    t0 = time.time()
+    dist = ivf.knn_join_distributed(qbig, k=10, metric="L2", nprobe=8)
+    nres = dist.count()
+    results["dist_join_nq"] = nq
+    results["dist_join_sec"] = round(time.time() - t0, 2)
+    results["dist_join_rows"] = nres
+    results["dist_join_recall"] = round(
+        recall(dist.filter(F.col("qid") < 64).collect()), 4
+    )
+
     print(json.dumps(results))
     spark.stop()
 
