@@ -490,6 +490,24 @@ class BucketedDocStore:
             self.spark, self.raw().drop(BUCKET), id_col=self.id_col, path=self.root
         )
 
+    def get_doc_by_id(self, key) -> DataFrame:
+        """Point lookup reading ONE bucket directory: the bucket of a
+        literal key folds to a constant (Catalyst constant-folds
+        ``pmod(xxhash64(lit(key)), nb)``), so the partition filter
+        prunes every other bucket at scan planning — the store-level
+        analogue of gamma's cuckoo key map (`table/table.h:185`).
+        Deleted docs are a miss (S4 semantics)."""
+        raw = self.raw()
+        # xxhash64 is type-sensitive: the literal must hash as the same
+        # type the bucket column was derived from (INT 42 != LONG 42)
+        key_lit = F.lit(key).cast(raw.schema[self.id_col].dataType)
+        hit = F.col(BUCKET) == F.pmod(
+            F.xxhash64(key_lit), F.lit(self.nbuckets)
+        ).cast("int")
+        return raw.filter(
+            hit & (F.col(self.id_col) == key_lit) & ~F.col(DELETED)
+        ).drop(BUCKET, DELETED)
+
     # -- O(batch) upsert -------------------------------------------------
     def upsert(self, batch: DataFrame, order_col: str | None = None) -> "BucketedDocStore":
         """AddOrUpdateDocs against the store, rewriting only affected

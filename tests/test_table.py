@@ -170,6 +170,35 @@ def test_bucketed_store_rewrites_only_affected_buckets(tmp_path, spark, table):
     assert store.table().get_doc_by_id(keys[0]).collect()[0].text == "touched"
 
 
+def test_bucketed_store_point_lookup_prunes_to_one_bucket(tmp_path, spark, table):
+    """get_doc_by_id on the store must read ONE bucket directory: the
+    literal key's bucket constant-folds into the partition filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gamma_spark.table import BucketedDocStore
+
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    got = store.get_doc_by_id(42)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].doc_id == 42
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # partition filter on _bucket present and the scan reads 1 partition
+    assert "_bucket" in plan
+    import re
+
+    m = re.search(r"partitions read[:=]?\s*(\d+)", plan, re.IGNORECASE)
+    if m:  # Spark prints 'partitions read: N' in the formatted scan node
+        assert int(m.group(1)) == 1, plan
+    # deleted key -> miss through the store lookup
+    store2, dels = store.delete_by_filter([GF.TermFilter("lang", ("zh",), GF.TERM_OR)])
+    key = sorted(r.doc_id for r in dels.collect())[0]
+    assert store2.get_doc_by_id(key).count() == 0
+
+
 def test_bucketed_store_delete_and_compact(tmp_path, spark, table):
     """delete_by_filter tombstones + returns ids rewriting only matching
     buckets; compact physically drops tombstones (incl. removing a
