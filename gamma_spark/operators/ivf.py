@@ -89,6 +89,11 @@ def _estimate_rows(df: DataFrame, vec_col: str) -> int | None:
         if rc.isDefined():
             return int(str(rc.get()))
         size = int(str(stats.sizeInBytes()))
+        if size >= (1 << 60):
+            # Spark reports defaultSizeInBytes (Long.MaxValue) for leaf
+            # nodes with no stats (e.g. local relations) — that is
+            # "unknown", not "huge"
+            return None
     except Exception:
         return None
     head = df.select(vec_col).head(1)
@@ -127,6 +132,16 @@ def _train_centroids(
         # Arrow-path collection (toPandas) is ~10x faster than row
         # deserialization for array columns
         pdf = sample.toPandas()
+        if pdf.empty:
+            # fraction sampling under an overestimated row count can
+            # return nothing; fall back to a plain bounded take
+            pdf = (
+                docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
+                .limit(sample_size)
+                .toPandas()
+            )
+        if pdf.empty:
+            raise ValueError("cannot train centroids on an empty relation")
         data = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
         return kmeans_lloyd_np(data, ncentroids, seed)
 

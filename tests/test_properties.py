@@ -124,6 +124,45 @@ def test_connected_components_matches_union_find(spark, edges):
 
 @settings(max_examples=5, deadline=None)
 @given(
+    n=st.integers(30, 120),
+    dim=st.integers(2, 16),
+    k=st.integers(1, 8),
+    ncent=st.integers(1, 6),
+    salts=st.integers(1, 3),
+    metric=st.sampled_from(["IP", "L2", "COSINE"]),
+    seed=st.integers(0, 10_000),
+)
+def test_distributed_knn_join_matches_exact(spark, n, dim, k, ncent, salts, metric, seed):
+    """Full-probe distributed kNN join (+rescore, any salting) must
+    equal the exact broadcast-join kernel on arbitrary random corpora —
+    ids, scores, and rank order."""
+    import numpy as np
+
+    from gamma_spark.operators import knn
+    from gamma_spark.operators.ivf import IvfFlatIndex
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "_docid long, embedding array<float>",
+    )
+    idx = IvfFlatIndex.build(docs, ncentroids=ncent, seed=seed)
+    q = docs.limit(7).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = idx.knn_join_distributed(
+        q, k=k, metric=metric, nprobe=len(idx.centroids), rescore=True, salts=salts
+    )
+    want = knn.knn_join(docs, q, k=k, metric=metric)
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
+    assert g == w
+
+
+@settings(max_examples=5, deadline=None)
+@given(
     batches=st.lists(
         st.lists(
             st.tuples(st.integers(0, 40), st.integers(0, 999)),
