@@ -76,12 +76,16 @@ def kmeans_lloyd_np(data: np.ndarray, k: int, seed: int, iters: int = 25) -> np.
 LOCAL_TRAIN_MAX = 200_000
 
 
-def _estimate_rows(df: DataFrame, vec_col: str) -> int | None:
+def _estimate_rows(df: DataFrame, vec_col: str, probe: bool = True) -> int | None:
     """Metadata-only row estimate: the optimizer's rowCount when CBO has
     one, else projected sizeInBytes / per-row width (8*dim + overhead)
     with the dim probed from a single row. Never scans the relation —
     at 100 TB a plain ``count()`` just to pick a sampling fraction is a
-    full pass over the data."""
+    full pass over the data.
+
+    ``probe=False`` forbids even the single-row dim probe (zero Spark
+    jobs, for planner heuristics that must stay lazy — VERDICT r3 #5);
+    the width falls back to an assumed 128-dim float64 row."""
     try:
         proj = df.select(vec_col)
         stats = proj._jdf.queryExecution().optimizedPlan().stats()
@@ -96,11 +100,33 @@ def _estimate_rows(df: DataFrame, vec_col: str) -> int | None:
             return None
     except Exception:
         return None
+    if not probe:
+        # assumed on-disk width of a parquet float-vector row (~4*dim at
+        # dim 64); a wrong guess only shifts a perf-strategy crossover,
+        # never correctness
+        return max(1, size // 256)
     head = df.select(vec_col).head(1)
     if not head:
         return 0
     dim = len(head[0][0])
     return max(1, size // (8 * dim + 24))
+
+
+def _presented_to_kernel_band(
+    min_score: float | None, max_score: float | None, squared: bool
+) -> tuple[float | None, float | None]:
+    """Map an F8 score band from the *presented* score scale to the
+    kernel's internal scale. ``squared=True`` when the kernel holds
+    pre-sqrt L2 while the band (like the final score) is on the sqrt
+    scale — sqrt is monotone on [0, inf) so the band maps to its
+    squares; a negative max on the sqrt scale matches nothing."""
+    if not squared:
+        return min_score, max_score
+    if max_score is not None and max_score < 0:
+        return float("inf"), float("-inf")  # empty band
+    lo = None if min_score is None else max(min_score, 0.0) ** 2
+    hi = None if max_score is None else float(max_score) ** 2
+    return lo, hi
 
 
 def _train_centroids(
@@ -472,6 +498,8 @@ class IvfFlatIndex:
         l2_sqrt: bool = False,
         rescore: bool = False,
         salts: int = 1,
+        min_score: float | None = None,
+        max_score: float | None = None,
     ) -> DataFrame:
         """kNN join where the *queries side is a DataFrame of any size* —
         never collected to the driver. ``search()`` mirrors the
@@ -508,6 +536,14 @@ class IvfFlatIndex:
         top-k of the probed set is always contained in the union of
         per-cluster top-ks, so with ``nprobe == ncentroids`` the result
         equals exact brute force bit-for-bit.
+
+        ``min_score``/``max_score`` is gamma's F8 score band applied
+        *inside the scan before top-k* (`index/impl/gamma_index_flat.cc:
+        200-225` — pre-band, never a post-filter): banded-out docs never
+        occupy per-cluster top-k slots, so in-band docs are not
+        displaced. With ``rescore`` the band is re-applied to the exact
+        rescored values so the boundary is decided by the oracle-grade
+        expression.
         """
         from gamma_spark.functions import vector as V
         from gamma_spark.operators.topk import topk
@@ -516,6 +552,7 @@ class IvfFlatIndex:
         if metric_u not in ("IP", "L2", "COSINE"):
             raise ValueError(f"knn_join_distributed: unsupported metric {metric_u}")
         asc = V.metric_ascending(metric_u)
+        worst = np.inf if asc else -np.inf
         cents = self.centroids
         nprobe = min(nprobe, len(cents))
         cnorm = (cents * cents).sum(axis=1)
@@ -568,6 +605,12 @@ class IvfFlatIndex:
         cogroup_keys = ["cluster_id", "_salt"]
 
         want_sqrt = l2_sqrt and not rescore
+        # kernel-scale band: when the kernel holds squared L2 (rescore
+        # defers the sqrt) the presented-scale band maps to its squares
+        kmin, kmax = _presented_to_kernel_band(
+            min_score, max_score, squared=(metric_u == "L2" and l2_sqrt and not want_sqrt)
+        )
+        banded = kmin is not None or kmax is not None
 
         def per_cluster(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
             if qpdf.empty or dpdf.empty:
@@ -606,6 +649,10 @@ class IvfFlatIndex:
                     np.maximum(s, 0.0, out=s)
                     if want_sqrt:
                         np.sqrt(s, out=s)
+                if kmin is not None:
+                    s = np.where(s >= kmin, s, worst)
+                if kmax is not None:
+                    s = np.where(s <= kmax, s, worst)
                 # select top-kk by (score, doc position); positions are
                 # docid-ordered, so this is exactly the oracle's
                 # (score, _docid) tie order. argpartition bounds the
@@ -623,14 +670,16 @@ class IvfFlatIndex:
                         row = s[r] if asc else -s[r]
                         sel[r] = np.lexsort((pos, row))[:kk]
                 sc = np.take_along_axis(s, sel, axis=1)
+                qrep = np.repeat(qids_all[lo : lo + chunk], kk)
+                did = ids[sel.ravel()]
+                scores = sc.ravel()
+                if banded:
+                    # banded-out slots carry the sentinel; drop them so
+                    # they never reach the global top-k
+                    ok = np.isfinite(scores)
+                    qrep, did, scores = qrep[ok], did[ok], scores[ok]
                 outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.repeat(qids_all[lo : lo + chunk], kk),
-                            "_docid": ids[sel.ravel()],
-                            "score": sc.ravel(),
-                        }
-                    )
+                    pd.DataFrame({"qid": qrep, "_docid": did, "score": scores})
                 )
             return pd.concat(outs, ignore_index=True)
 
@@ -656,6 +705,12 @@ class IvfFlatIndex:
                 V.score(metric_u, "_dvec", "_qvec", l2_sqrt=l2_sqrt).alias("score"),
             )
         )
+        # the band boundary is decided on the exact (oracle-grade)
+        # score; the kernel-side mask only kept slots from being wasted
+        if min_score is not None:
+            rescored = rescored.filter(F.col("score") >= min_score)
+        if max_score is not None:
+            rescored = rescored.filter(F.col("score") <= max_score)
         return topk(
             rescored, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"]
         )

@@ -424,6 +424,9 @@ class IvfPqIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         l2_sqrt: bool = False,
+        salts: int = 1,
+        min_score: float | None = None,
+        max_score: float | None = None,
     ) -> DataFrame:
         """IVFPQ kNN join where the queries side is a DataFrame of any
         size — the PQ twin of ``IvfFlatIndex.knn_join_distributed``
@@ -439,12 +442,28 @@ class IvfPqIndex:
         nprobe == ncentroids and recall_num == N the result equals
         exact brute force bit-for-bit (rerank scores are the in-order
         Catalyst expression).
+
+        ``salts > 1`` splits each inverted list into deterministic
+        doc shards (``pmod(xxhash64(_docid), salts)``) with the queries
+        replicated per shard — a pathologically hot cluster in the
+        codes table becomes ``salts`` tasks instead of one giant
+        cogroup task (same scheme as the IVF twin, VERDICT r3 #3);
+        per-shard top-rn always contains the shard's members of the
+        global top-rn, so results are identical for any ``salts``.
+
+        F8 band: the reference applies min/max_score to IVFPQ at the
+        exact rerank (`gamma_index_ivfpq.cc:668,689`), not on ADC
+        approximations — so with ``has_rank`` the band filters the
+        reranked exact scores before final top-k; without rerank the
+        ADC score IS the presented score and the band masks inside the
+        scan kernel (pre-top-k, like the FLAT scan band).
         """
         recall_num = recall_num or max(4 * k, 64)
         metric_u = metric.upper()
         if metric_u not in ("IP", "L2"):
             raise ValueError("IVFPQ supports IP and L2")
         asc = V.metric_ascending(metric_u)
+        worst = np.inf if asc else -np.inf
         cents = self.centroids
         nprobe = min(nprobe, len(cents))
         cnorm = (cents * cents).sum(axis=1)
@@ -452,6 +471,12 @@ class IvfPqIndex:
         m_, ksub_, dsub_ = self.m, self.ksub, self.dsub
         rn = recall_num
         chunk_cells = self.COGROUP_CHUNK_CELLS
+        salts = max(1, int(salts))
+        # kernel-side band only when the ADC score is the presented
+        # score (no rerank) — see docstring
+        kmin = min_score if not has_rank else None
+        kmax = max_score if not has_rank else None
+        banded = kmin is not None or kmax is not None
 
         qsel = queries.select(
             F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")
@@ -470,12 +495,16 @@ class IvfPqIndex:
                     part = np.broadcast_to(
                         np.arange(len(cents)), (len(mat), len(cents))
                     )
-                out = pdf.iloc[np.repeat(np.arange(len(pdf)), nprobe)].copy()
-                out["cluster_id"] = part.ravel().astype(np.int32)
+                fan = nprobe * salts
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), fan)].copy()
+                out["cluster_id"] = np.repeat(part, salts, axis=1).ravel().astype(np.int32)
+                out["_salt"] = np.tile(
+                    np.arange(salts, dtype=np.int32), len(pdf) * nprobe
+                )
                 yield out
 
         qprobed = qsel.mapInPandas(
-            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int"
+            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
         )
 
         pruned = self.codes_df
@@ -487,6 +516,14 @@ class IvfPqIndex:
             if "_deleted" in allowed.columns:
                 allowed = allowed.filter(~F.col("_deleted"))
             pruned = pruned.join(allowed.select("_docid"), on="_docid", how="leftsemi")
+        dsel = pruned.select(
+            "cluster_id",
+            "_docid",
+            "codes",
+            (F.pmod(F.xxhash64(F.col("_docid")), F.lit(salts)).cast("int")).alias(
+                "_salt"
+            ),
+        )
 
         def per_cluster(key, qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
             if qpdf.empty or dpdf.empty:
@@ -523,6 +560,10 @@ class IvfPqIndex:
                             + (cbi * cbi).sum(axis=1)[None, :]
                         )
                     s += lut[:, codes[:, i]]
+                if kmin is not None:
+                    s = np.where(s >= kmin, s, worst)
+                if kmax is not None:
+                    s = np.where(s <= kmax, s, worst)
                 sel = np.empty((len(qc), kk), dtype=np.int64)
                 if len(ids) > kk:
                     pre = np.argpartition(s if asc else -s, kk - 1, axis=1)[:, :kk]
@@ -536,20 +577,20 @@ class IvfPqIndex:
                         row = s[r] if asc else -s[r]
                         sel[r] = np.lexsort((pos, row))[:kk]
                 sc = np.take_along_axis(s, sel, axis=1)
+                qrep = np.repeat(qids_all[lo : lo + chunk], kk)
+                did = ids[sel.ravel()]
+                scores = sc.ravel()
+                if banded:
+                    ok = np.isfinite(scores)
+                    qrep, did, scores = qrep[ok], did[ok], scores[ok]
                 outs.append(
-                    pd.DataFrame(
-                        {
-                            "qid": np.repeat(qids_all[lo : lo + chunk], kk),
-                            "_docid": ids[sel.ravel()],
-                            "adc_score": sc.ravel(),
-                        }
-                    )
+                    pd.DataFrame({"qid": qrep, "_docid": did, "adc_score": scores})
                 )
             return pd.concat(outs, ignore_index=True)
 
         partials = (
-            qprobed.groupby("cluster_id")
-            .cogroup(pruned.select("cluster_id", "_docid", "codes").groupby("cluster_id"))
+            qprobed.groupby("cluster_id", "_salt")
+            .cogroup(dsel.groupby("cluster_id", "_salt"))
             .applyInPandas(per_cluster, schema="qid long, _docid long, adc_score double")
         )
         candidates = topk(
@@ -568,4 +609,10 @@ class IvfPqIndex:
                 V.score(metric_u, self.doc_vec, "_qvec", l2_sqrt=l2_sqrt).alias("score"),
             )
         )
+        # F8 band on the exact reranked score (gamma bands IVFPQ in
+        # compute_dis, not on ADC) — pre-top-k by construction
+        if min_score is not None:
+            rer = rer.filter(F.col("score") >= min_score)
+        if max_score is not None:
+            rer = rer.filter(F.col("score") <= max_score)
         return topk(rer, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])

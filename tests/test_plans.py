@@ -110,8 +110,10 @@ def test_knn_join_distributed_plan_shape(spark, docs):
 
 def test_planner_routes_distributed_param(spark, docs):
     """retrieval_params={'distributed': True} dispatches the index to
-    knn_join_distributed (cogroup plan, no query collect); score bands
-    are refused loudly (they must prune pre-top-k)."""
+    knn_join_distributed (cogroup plan, no query collect); an F8 score
+    band threads into the scan kernel (pre-top-k) and, at full probes
+    with rescore, equals the exact banded kernel (VERDICT r3 #2)."""
+    from gamma_spark.operators import knn
     from gamma_spark.operators.ivf import IvfFlatIndex
     from gamma_spark.plans.search import SearchRequest, VectorQuery, search
 
@@ -125,19 +127,35 @@ def test_planner_routes_distributed_param(spark, docs):
     )
     plan = plan_of(search(docs, req, index=idx))
     assert "FlatMapCoGroupsInPandas" in plan
+    # band chosen from the exact score distribution so it prunes ~half
+    # of the would-be hits (a trivially-empty band proves nothing)
+    probe_scores = sorted(
+        r.score for r in knn.knn_join(docs, q.limit(6), k=5, metric="L2").collect()
+    )
+    # midpoints between adjacent scores: no doc sits ON the boundary, so
+    # kernel (BLAS) vs oracle (in-order) ulp differences can't flip
+    # membership
+    m = len(probe_scores) // 2
+    lo = (probe_scores[1] + probe_scores[2]) / 2
+    hi = (probe_scores[m] + probe_scores[m + 1]) / 2
     banded = SearchRequest(
         vector_queries=[
             VectorQuery(
-                "embedding", q, "L2", min_score=0.1,
-                retrieval_params={"distributed": True},
+                "embedding", q.limit(6), "L2", min_score=lo, max_score=hi,
+                retrieval_params={
+                    "distributed": True,
+                    "nprobe": len(idx.centroids),
+                    "rescore": True,
+                },
             )
         ],
         topn=5,
     )
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="score bands"):
-        search(docs, banded, index=idx)
+    got = search(docs, banded, index=idx)
+    want = knn.knn_join(docs, q.limit(6), k=5, metric="L2", min_score=lo, max_score=hi)
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
+    assert len(g) > 0 and g == w
 
 
 def test_broadcast_join_for_dims(spark, sf_dir):

@@ -202,3 +202,88 @@ def test_bucketed_store_replays_like_a_dict(spark, tmp_path_factory, batches):
 
     got = {r._id: r.v for r in store.table().df.select("_id", "v").collect()}
     assert got == state
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    n=st.integers(40, 100),
+    k=st.integers(1, 6),
+    salts=st.integers(2, 4),
+    seed=st.integers(0, 10_000),
+)
+def test_pq_distributed_join_salting_invariant(spark, n, k, salts, seed):
+    """IVFPQ distributed ADC join: salted output must equal unsalted on
+    a skew-planted codes table (90% of docs land in one cluster — the
+    hot-inverted-list shape salting exists for; VERDICT r3 #3)."""
+    import numpy as np
+
+    from gamma_spark.operators.pq import IvfPqIndex
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    dim = 8
+    # plant skew: 90% of vectors huddle around one point
+    hot = rng.normal(size=dim)
+    mat = np.where(
+        (rng.random(n) < 0.9)[:, None],
+        hot[None, :] + 0.01 * rng.normal(size=(n, dim)),
+        rng.normal(size=(n, dim)),
+    ).astype(np.float32)
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "_docid long, embedding array<float>",
+    )
+    pq = IvfPqIndex.build(docs, ncentroids=4, nsubvector=2, seed=seed)
+    q = docs.limit(6).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(k=k, metric="L2", nprobe=4, recall_num=n, has_rank=True)
+    got = pq.knn_join_distributed(q, salts=salts, **kw)
+    want = pq.knn_join_distributed(q, salts=1, **kw)
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
+    assert g == w
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    n=st.integers(30, 80),
+    k=st.integers(1, 6),
+    metric=st.sampled_from(["IP", "L2"]),
+    seed=st.integers(0, 10_000),
+)
+def test_distributed_knn_join_band_matches_exact(spark, n, k, metric, seed):
+    """F8 band on the distributed kNN path (VERDICT r3 #2): full-probe
+    + rescore + band must equal the exact banded kernel. Band bounds are
+    midpoints of the exact score distribution so no doc sits on a
+    boundary."""
+    import numpy as np
+
+    from gamma_spark.operators import knn
+    from gamma_spark.operators.ivf import IvfFlatIndex
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, 8)).astype(np.float32)
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "_docid long, embedding array<float>",
+    )
+    idx = IvfFlatIndex.build(docs, ncentroids=3, seed=seed)
+    q = docs.limit(5).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scores = sorted(
+        r.score for r in knn.knn_join(docs, q, k=max(k, 4), metric=metric).collect()
+    )
+    m = len(scores) // 2
+    lo = (scores[0] + scores[1]) / 2
+    hi = (scores[m] + scores[m + 1]) / 2
+    got = idx.knn_join_distributed(
+        q, k=k, metric=metric, nprobe=len(idx.centroids), rescore=True,
+        min_score=lo, max_score=hi, salts=2,
+    )
+    want = knn.knn_join(docs, q, k=k, metric=metric, min_score=lo, max_score=hi)
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
+    assert g == w
