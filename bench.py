@@ -70,6 +70,26 @@ def bench_knn_graph(spark, sf_dir):
     return idx.knn_join_distributed(q, k=10, metric="L2", nprobe=8).count()
 
 
+def bench_knn_graph_10kq(spark, sf_dir):
+    """The flagship scale path at its real request shape (VERDICT r3
+    #8): 10k queries through the distributed cogroup join — 5 jittered
+    replicas per corpus vector, generated JVM-side (no collect), salted
+    cogroup, nprobe-pruned."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = IvfFlatIndex.build(docs, ncentroids=32, seed=42)
+    reps = spark.range(5).select(F.col("id").alias("rep"))
+    q = docs.crossJoin(reps).select(
+        (F.col("_docid") * 5 + F.col("rep")).alias("qid"),
+        F.transform(
+            "embedding",
+            lambda x: x * (F.lit(1.0) + F.col("rep").cast("double") * F.lit(0.001)),
+        ).alias("qvec"),
+    )
+    return idx.knn_join_distributed(q, k=10, metric="L2", nprobe=8, salts=2).count()
+
+
 def bench_neardup_banded(spark, sf_dir):
     """Multi-band hyperplane-LSH embedding near-dup on its scale path
     (Arrow matmul signatures + vectorized verify); the contract query
@@ -118,10 +138,17 @@ def main():
                 return
         timings[name] = round(best, 3)
 
-    qs = entry_mod.queries()
+    # registry callables + round-over-round-stable names whose registry
+    # rows were consolidated in r4 (the functions themselves remain)
+    qs = {
+        **entry_mod.queries(),
+        "knn_ip_topk": entry_mod.q_knn_ip,
+        "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
+        "simhash_signatures": entry_mod.q_simhash_signatures,
+    }
     run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
     run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
-    run("pq_build_search", lambda: qs["knn_ivfpq_adc"](spark, sf_dir).count())
+    run("pq_build_search", lambda: entry_mod.q_knn_ivfpq_adc(spark, sf_dir).count())
     run("hybrid_search", lambda: qs["knn_hybrid_pending_exact"](spark, sf_dir).count())
     for name in (
         "knn_ip_topk",
@@ -143,6 +170,7 @@ def main():
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
     run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
+    run("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
     run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))
     run("simhash_neardup_pairs", lambda: qs["simhash_neardup_pairs"](spark, sf_dir).count())
     run("dedup_minhash_verified", lambda: qs["dedup_minhash_verified"](spark, sf_dir).count())

@@ -136,6 +136,20 @@ def register_codec(name: str, fn) -> None:
 register_codec("ppm", decode_ppm)
 
 
+def decode_raw_rgb(payload: bytes, meta: dict) -> np.ndarray:
+    """Decode headerless raw RGB bytes using the metadata struct for the
+    shape — the output format of :func:`resize_images`, so resize ->
+    feature-extract pipelines compose through the registry."""
+    h, w = int(meta["height"]), int(meta["width"])
+    n = h * w * 3
+    if len(payload) != n:
+        raise ValueError(f"raw-rgb payload: want {n} bytes, got {len(payload)}")
+    return np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+
+
+register_codec("raw-rgb", decode_raw_rgb)
+
+
 def resolve_codec(name: str | None):
     """None -> the deterministic md5-seeded fake (container default)."""
     if name is None:
