@@ -88,14 +88,27 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     if dt in ("bigint", "long"):
         return df
     if dt is not None and dt.startswith("timestamp"):
-        # tz-pin per ADVICE r2: NTZ→TIMESTAMP casts interpret the wall
-        # clock in spark.sql.session.timeZone; UTC makes it an identity
-        # on the epoch and matches the DuckDB oracle.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        ns = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast(
-            "long"
-        )
-        return df.withColumn(ts_col, ns)
+        # NTZ→TIMESTAMP casts interpret the wall clock in
+        # spark.sql.session.timeZone; UTC makes it an identity on the
+        # epoch and matches the DuckDB oracle. The Cast captures the
+        # zone when the plan is analyzed (eagerly, inside withColumn),
+        # so pinning is scoped to plan construction and the session
+        # conf is restored — a read helper must not mutate session
+        # state for every later timestamp operation (ADVICE r3).
+        spark = df.sparkSession
+        tz_key = "spark.sql.session.timeZone"
+        prev = spark.conf.get(tz_key, None)
+        spark.conf.set(tz_key, "UTC")
+        try:
+            ns = (
+                F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)
+            ).cast("long")
+            return df.withColumn(ts_col, ns)
+        finally:
+            if prev is None:
+                spark.conf.unset(tz_key)
+            else:
+                spark.conf.set(tz_key, prev)
     raise TypeError(
         f"cannot normalize event-time column {ts_col!r} of type {dt!r}; "
         "expected bigint (epoch nanos) or a timestamp type"

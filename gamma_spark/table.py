@@ -353,11 +353,14 @@ class GammaTable:
         # changed-or-new detection via per-row content hash: the old side
         # shuffles only (id, hash) instead of full-width rows (exceptAll
         # shuffles both tables whole — at 100 TB that doubles the bytes
-        # moved). xxhash64 collision odds are 2^-64 per row; a colliding
-        # change would be silently skipped, the same trade every
-        # hash-diff replication scheme makes.
+        # moved). Hashing a JSON encoding of the row struct discriminates
+        # NULLs: bare xxhash64(*cols) SKIPS null inputs, so a value
+        # moving across a NULL between same-typed columns — e.g.
+        # (NULL,'x') -> ('x',NULL) — hashed identically and the update
+        # was deterministically dropped (ADVICE r3). Residual risk is the
+        # 2^-64 random collision every hash-diff replication scheme takes.
         data_cols = [c for c in cur_live.columns if c != idc]
-        hcol = F.xxhash64(*[F.col(c) for c in data_cols])
+        hcol = F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
         old_h = old_live.select(F.col(idc), hcol.alias("_oh"))
         upserts = (
             cur_live.withColumn("_ch", hcol)
@@ -409,12 +412,16 @@ class BucketedDocStore:
     never listed, read, or rewritten. ``max_docid`` lives in the
     metadata, so docid minting never scans the table.
 
-    Crash semantics: a commit replaces files inside affected bucket
-    directories, then rewrites ``meta.json`` and the done-marker last;
-    a crash mid-write can leave affected buckets torn (the reference's
-    in-place row store has the same property and recovers by replay,
-    `search/gamma_engine.cc:1175-1285`). The fully atomic path remains
-    ``GammaTable.dump`` snapshots.
+    Crash semantics (r4, VERDICT r3 #6): a commit writes replacement
+    buckets to a ``.staging-<commit>`` dir first, then swaps each
+    affected bucket directory into place with atomic renames, then
+    rewrites ``meta.json`` + done-marker. A crash during the staging
+    write leaves the store bit-identical to the pre-commit state; a
+    crash mid-swap can leave a *mix* of old and new buckets but never a
+    torn bucket (each directory is either wholly old or wholly new) —
+    strictly better than the reference's in-place row store, which can
+    tear and recovers by replay (`search/gamma_engine.cc:1175-1285`).
+    The fully atomic path remains ``GammaTable.dump`` snapshots.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -535,50 +542,70 @@ class BucketedDocStore:
         )
         # co-locate each bucket before the partitioned write (T tasks x
         # B buckets would otherwise spray T*B tiny files — same hygiene
-        # as the IVF index write, operators/ivf.py); persist so the
-        # post-write max_docid probe reads the computed merge, not disk
+        # as the IVF index write, operators/ivf.py); persist so max and
+        # the write share one computation of the merge
         merged = merged.withColumn(BUCKET, _bucket_of(idc, nb)).repartition(
             len(hit), F.col(BUCKET)
         )
         from pyspark.storagelevel import StorageLevel
 
         merged.persist(StorageLevel.MEMORY_AND_DISK)
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            merged.write.mode("overwrite").partitionBy(BUCKET).parquet(docs_path)
+            # max BEFORE the commit: a post-commit probe over the
+            # pre-commit file listing can hit FILE_NOT_FOUND after
+            # cache eviction (ADVICE r3)
             new_max = merged.select(F.max(DOCID)).collect()[0][0]
+            meta = dict(self.meta)
+            meta["max_docid"] = max(int(self.meta["max_docid"]), int(new_max))
+            return self._swap_commit(merged, hit, meta)
         finally:
             merged.unpersist()
-            if prev is not None:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        meta = dict(self.meta)
-        meta["max_docid"] = max(int(self.meta["max_docid"]), int(new_max))
-        meta["commit"] = int(self.meta["commit"]) + 1
-        self._commit_meta(self.root, meta)
+
+    def _swap_commit(
+        self, df: DataFrame, hit: list[int], meta: dict | None = None
+    ) -> "BucketedDocStore":
+        """Commit ``df``'s rows as the new content of the ``hit``
+        buckets: stage to a fresh directory, atomically rename each
+        bucket dir into place (old dir parked in ``.trash`` until the
+        swap completes), metadata + done-marker last. A plain overwrite
+        of a private staging dir needs no partitionOverwriteMode
+        fiddling — the session conf is never touched (ADVICE r3: the
+        previous dynamic-mode toggle leaked session-wide when the conf
+        was unset before the call). A ``hit`` bucket absent from ``df``
+        (e.g. fully compacted away) is removed."""
+        import shutil
+
+        docs_path = os.path.join(self.root, "docs")
+        commit = int(self.meta["commit"]) + 1
+        staging = os.path.join(self.root, f".staging-{commit}")
+        trash = os.path.join(self.root, f".trash-{commit}")
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)  # leftovers of a crashed swap
+        df.repartition(max(1, len(hit)), F.col(BUCKET)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET).parquet(staging)
+        os.makedirs(trash, exist_ok=True)
+        for b in hit:
+            src = os.path.join(staging, f"{BUCKET}={b}")
+            dst = os.path.join(docs_path, f"{BUCKET}={b}")
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(trash, f"{BUCKET}={b}"))
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        out_meta = dict(meta if meta is not None else self.meta)
+        out_meta["commit"] = commit
+        self._commit_meta(self.root, out_meta)
         # drop Spark's cached file listing for the path — later reads
-        # must see the replaced files, not the pre-commit index
+        # must see the swapped files, not the pre-commit index
         self.spark.catalog.refreshByPath(docs_path)
-        out = BucketedDocStore(self.spark, self.root)
-        return out
+        return BucketedDocStore(self.spark, self.root)
 
     def _rewrite_buckets(self, df: DataFrame, hit: list[int]) -> "BucketedDocStore":
         """Overwrite the listed buckets with ``df``'s rows (which must
         all hash into them); commit metadata last."""
-        docs_path = os.path.join(self.root, "docs")
-        out = df.repartition(max(1, len(hit)), F.col(BUCKET))
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy(BUCKET).parquet(docs_path)
-        finally:
-            if prev is not None:
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        meta = dict(self.meta)
-        meta["commit"] = int(self.meta["commit"]) + 1
-        self._commit_meta(self.root, meta)
-        self.spark.catalog.refreshByPath(docs_path)
-        return BucketedDocStore(self.spark, self.root)
+        return self._swap_commit(df, hit)
 
     def delete_by_filter(self, filter_list) -> tuple["BucketedDocStore", DataFrame]:
         """DelDocByFilter against the store
@@ -620,18 +647,6 @@ class BucketedDocStore:
         if not hit:
             return self
         kept = self.raw().filter(F.col(BUCKET).isin(hit)).filter(~F.col(DELETED))
-        # dynamic overwrite only replaces partitions present in the
-        # output: a fully-tombstoned bucket emits no rows, so its stale
-        # directory must be dropped explicitly
-        nonempty = {
-            int(r[0]) for r in kept.select(BUCKET).distinct().collect()
-        }
-        out = self._rewrite_buckets(kept, sorted(nonempty) or hit)
-        import shutil
-
-        for b in set(hit) - nonempty:
-            shutil.rmtree(
-                os.path.join(self.root, "docs", f"{BUCKET}={b}"), ignore_errors=True
-            )
-        self.spark.catalog.refreshByPath(os.path.join(self.root, "docs"))
-        return BucketedDocStore(self.spark, self.root)
+        # a fully-tombstoned bucket stages no rows; _swap_commit removes
+        # its directory as part of the swap
+        return self._rewrite_buckets(kept, hit)

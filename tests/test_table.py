@@ -251,3 +251,105 @@ def test_set_get_config_cache_toggle(table):
     assert not table.raw.is_cached
     assert conf["cache"]["docs"] == 0
     assert table.get_config()["cache"]["string"] == 1 << 20
+
+
+def test_bucketed_store_leaves_session_conf_untouched(tmp_path, spark, table):
+    """The store's commit path must not mutate session confs (ADVICE
+    r3: the old dynamic-partitionOverwriteMode toggle leaked when the
+    conf was previously unset, silently changing later unrelated
+    partitioned overwrites)."""
+    from gamma_spark.table import BucketedDocStore
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, None)
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    batch = spark.createDataFrame(
+        [(3, "conf-probe", "en", "src1", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    store = store.upsert(batch)
+    store, _ = store.delete_by_filter([GF.TermFilter("lang", ("zh",), GF.TERM_OR)])
+    store.compact()
+    assert spark.conf.get(key, None) == before
+
+
+def test_bucketed_store_aborted_commit_preserves_state(tmp_path, spark, table, monkeypatch):
+    """Crash-during-staging (VERDICT r3 #6): if the commit dies before
+    the bucket swap begins, a reload sees the pre-commit state exactly —
+    same rows, same commit counter, no torn bucket."""
+    from gamma_spark import table as tbl
+    from gamma_spark.table import BucketedDocStore
+
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    before_rows = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in store.table().df.select("doc_id", "text", "n_chars").collect()
+    }
+    before_commit = store.meta["commit"]
+
+    # abort after the staging write, before any rename: simulate by
+    # making os.makedirs (the first post-staging step) raise
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before bucket swap")
+
+    monkeypatch.setattr(tbl.os, "makedirs", boom)
+    batch = spark.createDataFrame(
+        [(7, "must-not-survive", "en", "src1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.upsert(batch)
+    monkeypatch.undo()
+
+    reloaded = BucketedDocStore(spark, str(tmp_path / "store"))
+    after_rows = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in reloaded.table().df.select("doc_id", "text", "n_chars").collect()
+    }
+    assert after_rows == before_rows
+    assert reloaded.meta["commit"] == before_commit
+    # and the store still works: a clean retry of the same batch lands
+    retried = reloaded.upsert(batch)
+    assert retried.get_doc_by_id(7).collect()[0].text == "must-not-survive"
+
+
+def test_migrate_since_detects_null_swaps(spark):
+    """ADVICE r3: bare xxhash64 skips NULL inputs, so (NULL,'x') ->
+    ('x',NULL) hashed identically and the update was dropped. The JSON
+    row encoding must detect it."""
+    base_df = spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "b")], "id long, c1 string, c2 string"
+    )
+    base = GammaTable(spark, base_df, id_col="id")
+    upd = spark.createDataFrame([(1, "x", None)], "id long, c1 string, c2 string")
+    cur = base.add_or_update(upd)
+    ups, dels = cur.migrate_since(base)
+    got = [(r.id, r.c1, r.c2) for r in ups.collect()]
+    assert got == [(1, "x", None)]
+    assert dels.count() == 0
+
+
+def test_normalize_event_time_restores_session_tz(spark, sf_dir):
+    """ADVICE r3: the read helper must not permanently override the
+    session timezone (while still resolving the NTZ cast under UTC)."""
+    from gamma_spark.sources.ingest import normalize_event_time
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "America/New_York")
+        ev = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"), "ts")
+        assert spark.conf.get(key) == "America/New_York"
+        # and the epoch mapping stayed UTC-deterministic (analysis-time
+        # zone capture): compare against the value under a UTC session
+        got = ev.select(F.min("ts")).collect()[0][0]
+        spark.conf.set(key, "UTC")
+        want = normalize_event_time(
+            spark.read.parquet(f"{sf_dir}/events.parquet"), "ts"
+        ).select(F.min("ts")).collect()[0][0]
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
