@@ -145,6 +145,7 @@ def main():
         "knn_ip_topk": entry_mod.q_knn_ip,
         "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
         "simhash_signatures": entry_mod.q_simhash_signatures,
+        "multimodal_features": entry_mod.q_multimodal_features,
     }
     run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
     run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
