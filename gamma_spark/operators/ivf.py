@@ -216,6 +216,7 @@ class IvfFlatIndex:
         self.centroids = centroids
         self.index_df = index_df
         self.path = path
+        self._hierarchy: tuple[np.ndarray, np.ndarray] | None = None
 
     # -- build -----------------------------------------------------------
     @classmethod
@@ -485,6 +486,129 @@ class IvfFlatIndex:
     #: cogroup kernel: 8M float64 cells = 64 MB per task
     COGROUP_CHUNK_CELLS = 8_000_000
 
+    # -- two-level coarse quantizer (lifts the 65k-centroid ceiling) -----
+    def build_hierarchy(self, nsuper: int | None = None, seed: int = 42) -> "IvfFlatIndex":
+        """Cluster the centroids themselves into ``nsuper`` (default
+        sqrt(ncentroids)) super-centroids. With a hierarchy, the
+        distributed join's probe broadcasts only the (nsuper x d) super
+        matrix and streams the full centroid set as a *relation* — the
+        executor/driver footprint drops from O(ncentroids) to
+        O(sqrt(ncentroids)), raising the practical ceiling from ~65k
+        centroids (docs/SCALING.md) to ~4B. The same two-level idea as
+        faiss' IMI / SPANN partitioning, expressed as one extra cogroup."""
+        c = self.centroids
+        nsuper = nsuper or max(1, int(np.sqrt(len(c))))
+        sup = kmeans_lloyd_np(c.astype(np.float64), nsuper, seed)
+        d = -2.0 * (c @ sup.T) + (sup * sup).sum(axis=1)[None, :]
+        self._hierarchy = (sup, d.argmin(axis=1).astype(np.int32))
+        return self
+
+    def _hier_probe(
+        self, qsel: DataFrame, vec_type: str, nprobe: int, wsuper: int, salts: int
+    ) -> DataFrame:
+        """Relation-based multi-probe: super-probe (map-only, broadcast
+        O(sqrt C)), per-super cogroup against the centroid relation
+        (exact child distances, top-nprobe per (query, super)), global
+        top-nprobe per query, then reattach query vectors by qid.
+        Returns the same (qid, _qvec, cluster_id, _salt) relation the
+        flat probe emits, so everything downstream is shared.
+
+        The centroid relation is created from the trained numpy matrix
+        here; a fully distributed build (MLlib at >LOCAL_TRAIN_MAX
+        samples) would hand it over as a DataFrame directly — the probe
+        itself never materializes all centroids in one place."""
+        from gamma_spark.operators.topk import topk
+
+        spark = self.index_df.sparkSession
+        if self._hierarchy is None:
+            self.build_hierarchy()
+        sup, child_super = self._hierarchy
+        nsuper = len(sup)
+        wsuper = max(1, min(wsuper, nsuper))
+        cents = self.centroids
+        crel = spark.createDataFrame(
+            [
+                (int(child_super[i]), i, [float(x) for x in cents[i]])
+                for i in range(len(cents))
+            ],
+            "super_id int, cluster_id int, _cvec array<double>",
+        )
+        supn = (sup * sup).sum(axis=1)
+        chunk_cells = self.COGROUP_CHUNK_CELLS
+
+        def sprobe(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+                dd = -2.0 * (mat @ sup.T) + supn[None, :]
+                if wsuper < nsuper:
+                    part = np.argpartition(dd, wsuper - 1, axis=1)[:, :wsuper]
+                else:
+                    part = np.broadcast_to(np.arange(nsuper), (len(mat), nsuper))
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), part.shape[1])].copy()
+                out["super_id"] = part.ravel().astype(np.int32)
+                yield out
+
+        qsup = qsel.mapInPandas(
+            sprobe, schema=f"qid long, _qvec {vec_type}, super_id int"
+        )
+        npl = nprobe
+
+        def per_super(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            if qpdf.empty or cpdf.empty:
+                return pd.DataFrame(
+                    {"qid": [], "cluster_id": [], "_cdist": []}
+                ).astype({"qid": "int64", "cluster_id": "int32", "_cdist": "float64"})
+            order = np.argsort(cpdf["cluster_id"].to_numpy(), kind="stable")
+            cm = np.stack(cpdf["_cvec"].to_numpy())[order].astype(np.float64)
+            cid = cpdf["cluster_id"].to_numpy()[order]
+            cn = (cm * cm).sum(axis=1)
+            qm = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qids = qpdf["qid"].to_numpy(dtype=np.int64)
+            kk = min(npl, len(cid))
+            chunk = max(1, chunk_cells // max(1, len(cid)))
+            outs = []
+            for lo in range(0, len(qm), chunk):
+                qc = qm[lo : lo + chunk]
+                # -2 q·c + |c|^2: the per-query-constant |q|^2 term is
+                # dropped — rankings are comparable ACROSS supers since
+                # the expression doesn't depend on super membership
+                dd = -2.0 * (qc @ cm.T) + cn[None, :]
+                if len(cid) > kk:
+                    pre = np.argpartition(dd, kk - 1, axis=1)[:, :kk]
+                else:
+                    pre = np.broadcast_to(
+                        np.arange(len(cid)), (len(qc), len(cid))
+                    ).copy()
+                sc = np.take_along_axis(dd, pre, axis=1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "qid": np.repeat(qids[lo : lo + chunk], pre.shape[1]),
+                            "cluster_id": cid[pre.ravel()].astype(np.int32),
+                            "_cdist": sc.ravel(),
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        cand = (
+            qsup.groupby("super_id")
+            .cogroup(crel.groupby("super_id"))
+            .applyInPandas(per_super, schema="qid long, cluster_id int, _cdist double")
+        )
+        pairs = topk(
+            cand, ["qid"], "_cdist", nprobe, ascending=True, rank_col=None,
+            tiebreak_cols=["cluster_id"],
+        ).select("qid", "cluster_id")
+        if salts > 1:
+            srel = spark.range(salts).select(F.col("id").cast("int").alias("_salt"))
+            pairs = pairs.crossJoin(F.broadcast(srel))
+        else:
+            pairs = pairs.withColumn("_salt", F.lit(0))
+        return pairs.join(qsel, on="qid", how="inner")
+
     def knn_join_distributed(
         self,
         queries: DataFrame,
@@ -500,6 +624,8 @@ class IvfFlatIndex:
         salts: int = 1,
         min_score: float | None = None,
         max_score: float | None = None,
+        hierarchical: bool = False,
+        super_probe: int = 4,
     ) -> DataFrame:
         """kNN join where the *queries side is a DataFrame of any size* —
         never collected to the driver. ``search()`` mirrors the
@@ -544,6 +670,14 @@ class IvfFlatIndex:
         displaced. With ``rescore`` the band is re-applied to the exact
         rescored values so the boundary is decided by the oracle-grade
         expression.
+
+        ``hierarchical=True`` routes the probe through the two-level
+        quantizer (:meth:`build_hierarchy`): super-probe against a
+        broadcast O(sqrt C) matrix, per-super cogroup against the
+        centroid *relation*, global top-nprobe — no O(ncentroids)
+        structure on the driver or in any task closure. ``super_probe``
+        = supers visited per query; with ``super_probe >= nsuper`` the
+        probe set equals the flat probe exactly (property-tested).
         """
         from gamma_spark.functions import vector as V
         from gamma_spark.operators.topk import topk
@@ -585,9 +719,12 @@ class IvfFlatIndex:
                 )
                 yield out
 
-        qprobed = qsel.mapInPandas(
-            probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
-        )
+        if hierarchical:
+            qprobed = self._hier_probe(qsel, vec_type, nprobe, super_probe, salts)
+        else:
+            qprobed = qsel.mapInPandas(
+                probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
+            )
 
         pruned = self.index_df
         if predicate is not None:

@@ -287,3 +287,42 @@ def test_distributed_knn_join_band_matches_exact(spark, n, k, metric, seed):
     g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
     w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
     assert g == w
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    n=st.integers(40, 120),
+    k=st.integers(1, 6),
+    ncent=st.integers(4, 12),
+    nprobe_frac=st.floats(0.3, 1.0),
+    salts=st.integers(1, 2),
+    seed=st.integers(0, 10_000),
+)
+def test_hierarchical_probe_matches_flat_probe(spark, n, k, ncent, nprobe_frac, salts, seed):
+    """Two-level probe with super_probe == nsuper must equal the flat
+    broadcast probe exactly — same probed clusters, same final results —
+    for ANY nprobe (the hierarchy only changes WHERE probe distances
+    are computed, not which ones win)."""
+    import numpy as np
+
+    from gamma_spark.operators.ivf import IvfFlatIndex
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, 8)).astype(np.float32)
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "_docid long, embedding array<float>",
+    )
+    idx = IvfFlatIndex.build(docs, ncentroids=ncent, seed=seed)
+    idx.build_hierarchy(nsuper=3, seed=seed)
+    nprobe = max(1, int(len(idx.centroids) * nprobe_frac))
+    q = docs.limit(6).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(k=k, metric="L2", nprobe=nprobe, rescore=True, salts=salts)
+    got = idx.knn_join_distributed(q, hierarchical=True, super_probe=3, **kw)
+    want = idx.knn_join_distributed(q, **kw)
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
+    assert g == w
