@@ -113,6 +113,52 @@ class BinaryIvfIndex:
             probe_vec="_probe_vec",
         )
 
+    def knn_join_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 10,
+        predicate: Column | None = None,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        salts: int = 1,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        rescore: bool = False,
+        hierarchical: bool = False,
+        super_probe: int = 4,
+        **kw,
+    ) -> DataFrame:
+        """Corpus-scale Hamming kNN join — the BINARYIVF twin of the
+        IVF/PQ distributed joins: float queries are binarized with the
+        build-time sign packing, probed by their float vectors
+        (probe_vec seam), and scored inside the cogroup kernel with an
+        XOR+popcount matrix (byte-LUT popcount, no per-row Python).
+        Queries never collected; salting/banding/hierarchy compose."""
+        qsig = queries.select(
+            F.col(query_id).alias("qid"),
+            V.sign_bits(query_vec).alias("qsig"),
+            F.col(query_vec).alias("_probe_vec"),
+        )
+        return self.ivf.knn_join_distributed(
+            qsig,
+            k=k,
+            metric="HAMMING",
+            nprobe=nprobe,
+            predicate=predicate,
+            query_id="qid",
+            query_vec="qsig",
+            probe_vec="_probe_vec",
+            doc_vec=self.sig_col,
+            salts=salts,
+            min_score=min_score,
+            max_score=max_score,
+            rescore=rescore,
+            hierarchical=hierarchical,
+            super_probe=super_probe,
+            **kw,
+        )
+
 
 def recall_check(
     exact: DataFrame,

@@ -42,6 +42,18 @@ from pyspark.sql import functions as F
 DEFAULT_NCENTROIDS = 256  # reference test default (`tests/test.h:51-66`)
 DEFAULT_NPROBE = 10
 
+#: byte-wise popcount LUT (numpy < 2.0 has no bitwise_count); an int64
+#: xor matrix viewed as uint8 popcounts in one gather + sum
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64_matrix(x: np.ndarray) -> np.ndarray:
+    """Popcount of each element of an int64 matrix, as float64."""
+    b = np.ascontiguousarray(x).view(np.uint8)
+    return (
+        _POP8[b].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64).astype(np.float64)
+    )
+
 
 def kmeans_lloyd_np(data: np.ndarray, k: int, seed: int, iters: int = 25) -> np.ndarray:
     """Deterministic Lloyd k-means over an in-memory sample (the
@@ -504,14 +516,23 @@ class IvfFlatIndex:
         return self
 
     def _hier_probe(
-        self, qsel: DataFrame, vec_type: str, nprobe: int, wsuper: int, salts: int
+        self,
+        probe_rel: DataFrame,
+        join_rel: DataFrame,
+        probe_type: str,
+        nprobe: int,
+        wsuper: int,
+        salts: int,
     ) -> DataFrame:
         """Relation-based multi-probe: super-probe (map-only, broadcast
         O(sqrt C)), per-super cogroup against the centroid relation
         (exact child distances, top-nprobe per (query, super)), global
-        top-nprobe per query, then reattach query vectors by qid.
-        Returns the same (qid, _qvec, cluster_id, _salt) relation the
-        flat probe emits, so everything downstream is shared.
+        top-nprobe per query, then reattach the scoring columns from
+        ``join_rel`` by qid. ``probe_rel`` is (qid, _pv float vector) —
+        for BINARYIVF the probe vector differs from the scored
+        signature, hence the split. Returns the same (qid, _qvec,
+        cluster_id, _salt) relation the flat probe emits, so everything
+        downstream is shared.
 
         The centroid relation is created from the trained numpy matrix
         here; a fully distributed build (MLlib at >LOCAL_TRAIN_MAX
@@ -540,7 +561,7 @@ class IvfFlatIndex:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+                mat = np.stack(pdf["_pv"].to_numpy()).astype(np.float64)
                 dd = -2.0 * (mat @ sup.T) + supn[None, :]
                 if wsuper < nsuper:
                     part = np.argpartition(dd, wsuper - 1, axis=1)[:, :wsuper]
@@ -550,8 +571,8 @@ class IvfFlatIndex:
                 out["super_id"] = part.ravel().astype(np.int32)
                 yield out
 
-        qsup = qsel.mapInPandas(
-            sprobe, schema=f"qid long, _qvec {vec_type}, super_id int"
+        qsup = probe_rel.mapInPandas(
+            sprobe, schema=f"qid long, _pv {probe_type}, super_id int"
         )
         npl = nprobe
 
@@ -564,7 +585,7 @@ class IvfFlatIndex:
             cm = np.stack(cpdf["_cvec"].to_numpy())[order].astype(np.float64)
             cid = cpdf["cluster_id"].to_numpy()[order]
             cn = (cm * cm).sum(axis=1)
-            qm = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qm = np.stack(qpdf["_pv"].to_numpy()).astype(np.float64)
             qids = qpdf["qid"].to_numpy(dtype=np.int64)
             kk = min(npl, len(cid))
             chunk = max(1, chunk_cells // max(1, len(cid)))
@@ -607,7 +628,7 @@ class IvfFlatIndex:
             pairs = pairs.crossJoin(F.broadcast(srel))
         else:
             pairs = pairs.withColumn("_salt", F.lit(0))
-        return pairs.join(qsel, on="qid", how="inner")
+        return pairs.join(join_rel, on="qid", how="inner")
 
     def knn_join_distributed(
         self,
@@ -626,6 +647,7 @@ class IvfFlatIndex:
         max_score: float | None = None,
         hierarchical: bool = False,
         super_probe: int = 4,
+        probe_vec: str | None = None,
     ) -> DataFrame:
         """kNN join where the *queries side is a DataFrame of any size* —
         never collected to the driver. ``search()`` mirrors the
@@ -683,7 +705,7 @@ class IvfFlatIndex:
         from gamma_spark.operators.topk import topk
 
         metric_u = metric.upper()
-        if metric_u not in ("IP", "L2", "COSINE"):
+        if metric_u not in ("IP", "L2", "COSINE", "HAMMING"):
             raise ValueError(f"knn_join_distributed: unsupported metric {metric_u}")
         asc = V.metric_ascending(metric_u)
         worst = np.inf if asc else -np.inf
@@ -698,12 +720,24 @@ class IvfFlatIndex:
         vec_type = qsel.schema["_qvec"].dataType.simpleString()
 
         salts = max(1, int(salts))
+        # BINARYIVF probes with the float vector but scores the packed
+        # signature — carry both through the probe, drop the float one
+        # before the shuffle (search() has the same probe_vec seam)
+        probe_col = "_pv" if probe_vec is not None else "_qvec"
+        if probe_vec is not None:
+            psel = queries.select(
+                F.col(query_id).alias("qid"),
+                F.col(query_vec).alias("_qvec"),
+                F.col(probe_vec).alias("_pv"),
+            )
+        else:
+            psel = qsel
 
         def probe(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                mat = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+                mat = np.stack(pdf[probe_col].to_numpy()).astype(np.float64)
                 d = -2.0 * (mat @ cents.T) + cnorm[None, :]
                 if nprobe < len(cents):
                     part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
@@ -717,12 +751,19 @@ class IvfFlatIndex:
                 out["_salt"] = np.tile(
                     np.arange(salts, dtype=np.int32), len(pdf) * nprobe
                 )
+                if probe_col != "_qvec":
+                    out = out.drop(columns=[probe_col])
                 yield out
 
         if hierarchical:
-            qprobed = self._hier_probe(qsel, vec_type, nprobe, super_probe, salts)
+            prel = queries.select(
+                F.col(query_id).alias("qid"),
+                F.col(probe_vec if probe_vec is not None else query_vec).alias("_pv"),
+            )
+            ptype = prel.schema["_pv"].dataType.simpleString()
+            qprobed = self._hier_probe(prel, qsel, ptype, nprobe, super_probe, salts)
         else:
-            qprobed = qsel.mapInPandas(
+            qprobed = psel.mapInPandas(
                 probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
             )
 
@@ -757,25 +798,31 @@ class IvfFlatIndex:
             # doc order by _docid: stable argsort over scores then breaks
             # ties by docid, matching the oracle's (score, _docid) order
             order = np.argsort(dpdf["_docid"].to_numpy(), kind="stable")
-            dmat = np.stack(dpdf["_dvec"].to_numpy())[order].astype(np.float64)
             ids = dpdf["_docid"].to_numpy(dtype=np.int64)[order]
-            if metric_u == "COSINE":
-                dmat = dmat / np.maximum(
-                    np.linalg.norm(dmat, axis=1, keepdims=True), 1e-30
-                )
-            dnorm = (dmat * dmat).sum(axis=1)
-            qall = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
             qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
-            if metric_u == "COSINE":
-                qall = qall / np.maximum(
-                    np.linalg.norm(qall, axis=1, keepdims=True), 1e-30
-                )
+            if metric_u == "HAMMING":
+                dmat = dpdf["_dvec"].to_numpy(dtype=np.int64)[order]
+                qall = qpdf["_qvec"].to_numpy(dtype=np.int64)
+            else:
+                dmat = np.stack(dpdf["_dvec"].to_numpy())[order].astype(np.float64)
+                if metric_u == "COSINE":
+                    dmat = dmat / np.maximum(
+                        np.linalg.norm(dmat, axis=1, keepdims=True), 1e-30
+                    )
+                dnorm = (dmat * dmat).sum(axis=1)
+                qall = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+                if metric_u == "COSINE":
+                    qall = qall / np.maximum(
+                        np.linalg.norm(qall, axis=1, keepdims=True), 1e-30
+                    )
             kk = min(k, len(ids))
             chunk = max(1, chunk_cells // max(1, len(ids)))
             outs = []
             for lo in range(0, len(qall), chunk):
                 qc = qall[lo : lo + chunk]
-                if metric_u in ("IP", "COSINE"):
+                if metric_u == "HAMMING":
+                    s = _popcount64_matrix(qc[:, None] ^ dmat[None, :])
+                elif metric_u in ("IP", "COSINE"):
                     s = qc @ dmat.T
                 else:
                     s = (
@@ -833,14 +880,13 @@ class IvfFlatIndex:
         # two-phase exact rescore (bit-identical to the SQL oracle): the
         # candidate set is k-per-(query,cluster) — candidate-bounded joins
         cand = partials.select("qid", "_docid").dropDuplicates(["qid", "_docid"])
+        rescore_col = V.score(metric_u, "_dvec", "_qvec", l2_sqrt=l2_sqrt)
+        if metric_u == "HAMMING":
+            rescore_col = rescore_col.cast("double")  # match kernel dtype
         rescored = (
             cand.join(dsel.select("_docid", "_dvec"), on="_docid", how="inner")
             .join(qsel, on="qid", how="inner")
-            .select(
-                "qid",
-                "_docid",
-                V.score(metric_u, "_dvec", "_qvec", l2_sqrt=l2_sqrt).alias("score"),
-            )
+            .select("qid", "_docid", rescore_col.alias("score"))
         )
         # the band boundary is decided on the exact (oracle-grade)
         # score; the kernel-side mask only kept slots from being wasted

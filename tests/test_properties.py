@@ -326,3 +326,48 @@ def test_hierarchical_probe_matches_flat_probe(spark, n, k, ncent, nprobe_frac, 
     g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
     w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
     assert g == w
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    n=st.integers(40, 100),
+    k=st.integers(1, 6),
+    salts=st.integers(1, 3),
+    hier=st.booleans(),
+    seed=st.integers(0, 10_000),
+)
+def test_binaryivf_distributed_hamming_matches_exact(spark, n, k, salts, hier, seed):
+    """Corpus-scale Hamming join (BINARYIVF twin): full-probe distributed
+    XOR+popcount cogroup must equal the exact Hamming kernel — with any
+    salting and through the hierarchical probe too."""
+    import numpy as np
+
+    from gamma_spark.functions import vector as V
+    from gamma_spark.operators import knn
+    from gamma_spark.operators.ann import BinaryIvfIndex
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, 16)).astype(np.float32)
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "_docid long, embedding array<float>",
+    )
+    idx = BinaryIvfIndex.build(docs, ncentroids=4, seed=seed)
+    if hier:
+        idx.ivf.build_hierarchy(nsuper=2, seed=seed)
+    q = docs.limit(6).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = idx.knn_join_distributed(
+        q, k=k, nprobe=len(idx.ivf.centroids), salts=salts,
+        hierarchical=hier, super_probe=2,
+    )
+    d2 = docs.withColumn("sig", V.sign_bits("embedding"))
+    q2 = q.select("qid", V.sign_bits("qvec").alias("qsig"))
+    want = knn.knn_join(
+        d2, q2, k=k, metric="HAMMING", doc_vec="sig", query_vec="qsig"
+    ).withColumn("score", F.col("score").cast("double"))
+    g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
+    assert g == w
