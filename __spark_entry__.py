@@ -521,7 +521,13 @@ def q_upsert_chain(spark, sf_dir):
     against a BucketedDocStore — each commit rewrites ONLY the buckets
     the batch's keys hash into (O(batch), the Spark analogue of the
     reference's in-place update, `search/gamma_engine.cc:761-800`),
-    and each reload is a bare Parquet scan (no stacked lineage)."""
+    and each reload is a bare Parquet scan (no stacked lineage).
+
+    The first batch also carries a within-batch duplicate-key pair
+    (stale row at ``_pos`` 0, winner at ``_pos`` 1) so the S3
+    duplicate-keys-fall-back-to-update last-write-wins contract
+    (`search/gamma_engine.cc:676-759`) is hash-checked here —
+    subsuming the former ``upsert_last_wins`` registry row."""
     import tempfile
 
     from gamma_spark.table import BucketedDocStore
@@ -529,12 +535,16 @@ def q_upsert_chain(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     table = GammaTable(spark, docs, id_col="doc_id")
     root = tempfile.mkdtemp(prefix="gamma_upsert_chain_")
-    b1 = docs.filter(F.col("doc_id") % 10 == 0).select(
+    b1_final = docs.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.concat(F.lit("v1:"), F.col("doc_id").cast("string")).alias("text"),
         "lang",
         "source",
         (F.col("n_chars") + 1).alias("n_chars"),
+    )
+    b1_stale = b1_final.withColumn("text", F.lit("stale"))
+    b1 = b1_stale.withColumn("_pos", F.lit(0)).unionByName(
+        b1_final.withColumn("_pos", F.lit(1))
     )
     b2 = docs.filter(F.col("doc_id") % 20 == 0).select(
         "doc_id",
@@ -551,7 +561,8 @@ def q_upsert_chain(spark, sf_dir):
         "n_chars",
     )
     store = BucketedDocStore.create(table, root, nbuckets=16)
-    for b in (b1, b2, b3):
+    store = store.upsert(b1, order_col="_pos")
+    for b in (b2, b3):
         store = store.upsert(b)
     return store.table().df.select("doc_id", "text", "n_chars")
 
@@ -867,6 +878,7 @@ def q_pq_graph_exact(spark, sf_dir):
 
 IVF_RECALL_T = 0.5   # nprobe=4/16 floor, proven in tests/test_ann.py
 PQ_RECALL_T = 0.6    # ADC+rerank floor at nprobe=8, recall_num=64
+HNSW_RECALL_T = 0.9  # sharded graphs, m=16 efc=80 ef=128 (tests/test_hnsw.py)
 
 
 def q_ivf_recall_check(spark, sf_dir):
@@ -896,11 +908,32 @@ def q_pq_recall_check(spark, sf_dir):
     return recall_check(exact, approx, k=KNN_K, threshold=PQ_RECALL_T)
 
 
+def q_hnsw_recall_check(spark, sf_dir):
+    """Recall@k for the sharded-HNSW graph path (SURVEY K5, flipped
+    from a declared non-goal this round: `index/impl/hnswlib/
+    gamma_index_hnswlib.cc:128,316-380`): 4 independent per-shard
+    graphs (m=16, efConstruction=80), fan-out search at efSearch=128,
+    measured against the exact kernel with the same recall-table
+    methodology as IVF/PQ (`benchs/README.md`)."""
+    from gamma_spark.operators.ann import recall_check
+    from gamma_spark.operators.hnsw import HnswIndex
+
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    idx = HnswIndex.build(docs, nshards=4, m=16, ef_construction=80, metric="L2")
+    approx = idx.search(None, queries_df, k=KNN_K, ef_search=128)
+    return recall_check(exact, approx, k=KNN_K, threshold=HNSW_RECALL_T)
+
+
 SQL_IVF_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {IVF_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
 )
 SQL_PQ_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {PQ_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
+)
+SQL_HNSW_RECALL_CHECK = (
+    f"SELECT {KNN_K}::INT AS k, {HNSW_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
 )
 
 
@@ -1523,6 +1556,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: verified window) — tests/test_registry.py allows exactly these to be
 #: absent from it; prune this set once the next artifact lands
 NEWLY_ADDED = {
+    "hnsw_recall_check",
     "knn_metrics_topk",
     "knn_graph_banded",
     "multimodal_resize",
@@ -1559,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_ranks": q_order_priority_ranks,
         "lineitem_by_region": q_lineitem_by_region,
         # --- new this round ---
+        "hnsw_recall_check": q_hnsw_recall_check,
         "knn_graph_banded": q_knn_graph_banded,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -1581,7 +1616,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_with_total": q_search_with_total,
         "filter_only_topn": q_filter_only_topn,
         "point_lookup": q_point_lookup,
-        "upsert_last_wins": q_upsert_last_wins,
+        # upsert_last_wins folded into upsert_chain (the chain's first
+        # batch IS the within-batch last-wins case; S2/S3 semantics all
+        # hash-checked there) to keep the registry at the 50-row driver
+        # window; the function remains for bench/pytest.
         "upsert_chain": q_upsert_chain,
         "delete_by_filter": q_delete_by_filter,
         "snapshot_roundtrip": q_snapshot_roundtrip,
@@ -1640,7 +1678,6 @@ def oracle_sql() -> dict[str, str]:
         "search_with_total": SQL_SEARCH_WITH_TOTAL,
         "filter_only_topn": SQL_FILTER_ONLY_TOPN,
         "point_lookup": SQL_POINT_LOOKUP,
-        "upsert_last_wins": SQL_UPSERT_LAST_WINS,
         "upsert_chain": SQL_UPSERT_CHAIN,
         "delete_by_filter": SQL_DELETE_BY_FILTER,
         "snapshot_roundtrip": SQL_SNAPSHOT_ROUNDTRIP,
@@ -1661,6 +1698,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_hybrid_pending_exact": SQL_KNN_L2,
         "ivf_recall_check": SQL_IVF_RECALL_CHECK,
         "pq_recall_check": SQL_PQ_RECALL_CHECK,
+        "hnsw_recall_check": SQL_HNSW_RECALL_CHECK,
         "knn_graph_exact": SQL_KNN_GRAPH,
         "pq_graph_exact": SQL_KNN_GRAPH,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,

@@ -11,11 +11,13 @@ Models:
             (`search/gamma_engine.cc:329-340`)
 - IVFFLAT   coarse k-means + nprobe-pruned exact scan (K2)
 - IVFPQ     IVF + product quantization + exact rerank (K3)
+- HNSW      sharded small-world graphs, fan-out search (K5)
 - BINARYIVF IVF over packed sign bits, Hamming scoring (K6)
 
-HNSW / ScaNN / GPU (K5/K7/K8) are documented non-goals: graph-traversal
-ANN does not map to DataFrame execution; the capability (filtered
-approximate kNN) is covered by the IVF family (SURVEY §7.3).
+ScaNN / GPU (K7/K8) remain documented non-goals: their capability class
+— approximate kNN with quantization — is covered by IVFPQ, and GPU
+placement is an execution detail Spark delegates to the cluster
+(SURVEY §7.3).
 """
 
 from __future__ import annotations
@@ -190,11 +192,14 @@ def recall_check(
     )
 
 
+from gamma_spark.operators.hnsw import HnswIndex  # noqa: E402 (cycle-free)
+
 MODELS = {
     "FLAT": FlatIndex,
     "IVFFLAT": IvfFlatIndex,
     "IVFPQ": IvfPqIndex,
     "BINARYIVF": BinaryIvfIndex,
+    "HNSW": HnswIndex,
 }
 
 

@@ -1,0 +1,585 @@
+"""HNSW — hierarchical navigable-small-world graph ANN (SURVEY K5).
+
+Reference: gamma vendors hnswlib and glues it in
+`index/impl/hnswlib/gamma_index_hnswlib.cc:128` (build) / `:316-380`
+(search), defaults nlinks 32, efConstruction 100, efSearch 64
+(`gamma_index_hnswlib.cc:26-44`). Deleted-doc and score-band checks run
+DURING graph traversal, not as a post-filter
+(`index/impl/hnswlib/hnswalg.h:312-313,379-380`) — invalid nodes are
+traversed *through* but never admitted to the result set, so filtered
+queries keep full recall.
+
+Spark design — **sharded graphs** (this was a declared non-goal through
+round 3; the blocker was never the algorithm but the execution model,
+and the sharded form maps cleanly onto it):
+
+- There is no shared-memory graph at 100 TB. The production pattern for
+  distributed graph ANN (Vespa per-segment HNSW, Milvus segment
+  indexes, ES Lucene HNSW per Lucene segment) is many independent
+  per-shard graphs + fan-out search + global top-k merge. Recall is
+  governed by the same argument as the IVF distributed join: each
+  shard's graph finds its own members of the global top-k, and the
+  merge keeps the best k of the union.
+- **Build**: docs are deterministically sharded by
+  ``pmod(xxhash64(_docid), nshards)``; each shard builds an independent
+  in-memory HNSW inside ONE ``applyInPandas`` task (pure-numpy kernel:
+  every frontier expansion and neighbor-selection heuristic scores a
+  vectorized block, never one Python float at a time). The finished
+  graph is stored as a plain relation — the docs columns plus
+  ``(_shard, _pos, _level, _nbrs array<array<int>>)`` — partitioned by
+  shard, so it round-trips through Parquet like every other index here.
+- **Search**: the queries side is a relation of ANY size (never
+  collected). Queries fan out to every shard (the honest cost of
+  sharded graph search — |Q|·nshards rows; IVF prunes to nprobe
+  clusters, HNSW's pruning happens *inside* each graph instead), are
+  cogrouped with the graph rows on ``_shard``, traversed per shard with
+  ``ef_search``, and the k-per-(query, shard) partials reduce through
+  the shared global top-k. ``qsplits > 1`` additionally blocks the
+  query side so one task never holds more than |Q|/qsplits queries (the
+  graph rows are replicated per block — bounded-memory fan-out, same
+  trade as the IVF join's ``salts``).
+
+Level assignment uses the paper's geometric distribution
+(level = floor(-ln(U)·mL), mL = 1/ln(M) — Malkov & Yashunin, TPAMI
+2018) with U drawn from a seeded generator over the shard's
+docid-sorted rows, so a rebuild over the same rows is bit-identical.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_M = 32  # nlinks (`gamma_index_hnswlib.cc:26-44`)
+DEFAULT_EF_CONSTRUCTION = 100
+DEFAULT_EF_SEARCH = 64
+
+
+class NpHnsw:
+    """In-memory HNSW over a fixed vector matrix — the per-shard build
+    and traversal kernel, also reusable driver-side as the coarse
+    quantizer accelerator (the reference's optional HNSW coarse
+    quantizer for IVFPQ, SURVEY K3).
+
+    Distances are internal (smaller = better): L2 squared, or negated
+    dot for IP/COSINE (cosine normalizes up front). Callers translate
+    back to the presented score scale.
+    """
+
+    def __init__(
+        self,
+        m: int = DEFAULT_M,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        metric: str = "L2",
+    ):
+        self.m = int(m)
+        self.m0 = 2 * self.m  # level-0 degree cap, as in hnswlib
+        self.efc = int(ef_construction)
+        self.ml = 1.0 / np.log(self.m) if self.m > 1 else 1.0
+        self.metric = metric.upper()
+        self.vecs: np.ndarray | None = None  # (n, d) transformed
+        self.sq: np.ndarray | None = None  # row squared norms (L2 only)
+        self.levels: np.ndarray | None = None
+        # adj[node] = list over levels 0..levels[node] of int64 arrays
+        self.adj: list[list[np.ndarray]] = []
+        self.entry = -1
+        self.max_level = -1
+
+    # -- distance ---------------------------------------------------------
+    def _prep(self, mat: np.ndarray) -> np.ndarray:
+        mat = np.asarray(mat, dtype=np.float64)
+        if self.metric == "COSINE":
+            return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return mat
+
+    def _dists(self, q: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+        sub = self.vecs[nodes]
+        if self.metric == "L2":
+            d = self.sq[nodes] - 2.0 * (sub @ q)
+            # the constant |q|^2 is omitted: rankings are unaffected and
+            # every comparison in the traversal is within one query
+            return d
+        return -(sub @ q)
+
+    # -- build ------------------------------------------------------------
+    def build(self, mat: np.ndarray, seed: int = 42) -> "NpHnsw":
+        mat = self._prep(mat)
+        n = len(mat)
+        self.vecs = mat
+        if self.metric == "L2":
+            self.sq = (mat * mat).sum(axis=1)
+        rng = np.random.default_rng(seed)
+        self.levels = np.floor(
+            -np.log(np.maximum(rng.random(n), 1e-300)) * self.ml
+        ).astype(np.int32)
+        self.adj = [
+            [np.empty(0, dtype=np.int64) for _ in range(self.levels[i] + 1)]
+            for i in range(n)
+        ]
+        for i in range(n):
+            self._insert(i)
+        return self
+
+    def _greedy(self, q: np.ndarray, ep: int, level: int) -> int:
+        """ef=1 descent at one level (upper-layer zoom-in)."""
+        cur = ep
+        cur_d = self._dists(q, np.array([cur]))[0]
+        improved = True
+        while improved:
+            improved = False
+            nbrs = self.adj[cur][level]
+            if len(nbrs) == 0:
+                break
+            d = self._dists(q, nbrs)
+            j = int(d.argmin())
+            if d[j] < cur_d:
+                cur, cur_d = int(nbrs[j]), float(d[j])
+                improved = True
+        return cur
+
+    def _search_layer(
+        self, q: np.ndarray, eps: list[int], ef: int, level: int
+    ) -> list[tuple[float, int]]:
+        """Best-first expansion keeping the ef closest; returns
+        (dist, node) sorted ascending. Frontier neighbor blocks are
+        scored as one vectorized gather+BLAS call."""
+        eps = list(dict.fromkeys(eps))
+        d0 = self._dists(q, np.asarray(eps, dtype=np.int64))
+        visited = set(eps)
+        cand = [(float(d), int(e)) for d, e in zip(d0, eps)]  # min-heap
+        heapq.heapify(cand)
+        res = [(-float(d), int(e)) for d, e in zip(d0, eps)]  # max-heap
+        heapq.heapify(res)
+        while len(res) > ef:
+            heapq.heappop(res)
+        while cand:
+            d, c = heapq.heappop(cand)
+            if len(res) >= ef and d > -res[0][0]:
+                break
+            nbrs = self.adj[c][level]
+            if len(nbrs) == 0:
+                continue
+            fresh = np.array(
+                [nb for nb in nbrs if nb not in visited], dtype=np.int64
+            )
+            if len(fresh) == 0:
+                continue
+            visited.update(int(x) for x in fresh)
+            nd = self._dists(q, fresh)
+            worst = -res[0][0] if len(res) >= ef else np.inf
+            for dd, nb in zip(nd, fresh):
+                if len(res) < ef or dd < worst:
+                    heapq.heappush(cand, (float(dd), int(nb)))
+                    heapq.heappush(res, (-float(dd), int(nb)))
+                    if len(res) > ef:
+                        heapq.heappop(res)
+                    worst = -res[0][0] if len(res) >= ef else np.inf
+        return sorted((-d, n) for d, n in res)
+
+    def _select_heuristic(
+        self, cands: list[tuple[float, int]], m: int
+    ) -> np.ndarray:
+        """hnswlib getNeighborsByHeuristic2: keep a candidate only if it
+        is closer to the query than to every already-kept neighbor —
+        spreads links across directions instead of clustering them."""
+        if len(cands) <= m:
+            return np.array([c for _, c in cands], dtype=np.int64)
+        kept: list[int] = []
+        for d, c in cands:  # ascending by distance to query
+            if len(kept) >= m:
+                break
+            if not kept:
+                kept.append(c)
+                continue
+            kmat = self.vecs[np.asarray(kept, dtype=np.int64)]
+            cv = self.vecs[c]
+            if self.metric == "L2":
+                dk = ((kmat - cv) ** 2).sum(axis=1)
+            else:
+                dk = -(kmat @ cv)
+            if (dk > d).all():
+                kept.append(c)
+        return np.asarray(kept, dtype=np.int64)
+
+    def _insert(self, i: int) -> None:
+        level = int(self.levels[i])
+        q = self.vecs[i]
+        if self.entry < 0:
+            self.entry, self.max_level = i, level
+            return
+        ep = self.entry
+        for l in range(self.max_level, level, -1):
+            ep = self._greedy(q, ep, l)
+        eps = [ep]
+        for l in range(min(level, self.max_level), -1, -1):
+            cands = self._search_layer(q, eps, self.efc, l)
+            mmax = self.m0 if l == 0 else self.m
+            sel = self._select_heuristic(cands, self.m)
+            self.adj[i][l] = sel
+            for s in sel:
+                s = int(s)
+                cur = self.adj[s][l]
+                if len(cur) < mmax:
+                    self.adj[s][l] = np.append(cur, i)
+                else:
+                    # re-select the backlink set with the heuristic,
+                    # distances measured FROM s (hnswlib's prune path)
+                    allc = np.append(cur, i)
+                    sub = self.vecs[allc]
+                    if self.metric == "L2":
+                        ds = ((sub - self.vecs[s]) ** 2).sum(axis=1)
+                    else:
+                        ds = -(sub @ self.vecs[s])
+                    order = np.argsort(ds, kind="stable")
+                    pairs = [(float(ds[j]), int(allc[j])) for j in order]
+                    self.adj[s][l] = self._select_heuristic(pairs, mmax)
+            eps = [c for _, c in cands]
+        if level > self.max_level:
+            self.entry, self.max_level = i, level
+
+    # -- search -----------------------------------------------------------
+    def search(
+        self,
+        qmat: np.ndarray,
+        k: int,
+        ef: int = DEFAULT_EF_SEARCH,
+        valid: np.ndarray | None = None,
+        dist_lo: float = -np.inf,
+        dist_hi: float = np.inf,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (positions, internal distances) per query row.
+
+        ``valid`` masks result admission only — traversal still routes
+        through invalid nodes (hnswlib filter semantics,
+        `hnswalg.h:312-313`). ``dist_lo/hi`` is the F8 score band mapped
+        into internal-distance space, likewise admission-only. Missing
+        hits pad with position -1 / +inf.
+        """
+        qmat = self._prep(np.atleast_2d(np.asarray(qmat, dtype=np.float64)))
+        nq = len(qmat)
+        ef = max(ef, k)
+        out_i = np.full((nq, k), -1, dtype=np.int64)
+        out_d = np.full((nq, k), np.inf)
+        if self.entry < 0:
+            return out_i, out_d
+        for r in range(nq):
+            q = qmat[r]
+            ep = self.entry
+            for l in range(self.max_level, 0, -1):
+                ep = self._greedy(q, ep, l)
+            cands = self._search_layer(q, [ep], ef, 0)
+            got = 0
+            for d, c in cands:
+                if got >= k:
+                    break
+                if valid is not None and not valid[c]:
+                    continue
+                if d < dist_lo or d > dist_hi:
+                    continue
+                out_i[r, got] = c
+                out_d[r, got] = d
+                got += 1
+        return out_i, out_d
+
+
+def _band_to_internal(
+    metric: str, min_score, max_score, l2_sqrt: bool
+) -> tuple[float, float]:
+    """Map an F8 presented-score band onto the kernel's internal
+    distance scale (L2: squared distance w/o the |q|^2 term is NOT
+    band-comparable, so L2 bands are applied on the presented scale at
+    emission instead — this helper only serves the dot metrics where
+    internal = -score)."""
+    lo, hi = -np.inf, np.inf
+    if metric in ("IP", "COSINE"):
+        if max_score is not None:
+            lo = -float(max_score)
+        if min_score is not None:
+            hi = -float(min_score)
+    return lo, hi
+
+
+class HnswIndex:
+    """RetrievalModel protocol (build/search/knn_join_distributed) for
+    sharded HNSW graphs."""
+
+    name = "HNSW"
+
+    def __init__(
+        self,
+        index_df: DataFrame,
+        nshards: int,
+        metric: str,
+        doc_vec: str,
+        m: int = DEFAULT_M,
+        path: str | None = None,
+    ):
+        self.index_df = index_df
+        self.nshards = int(nshards)
+        self.metric = metric.upper()
+        self.doc_vec = doc_vec
+        self.m = m
+        self.path = path
+
+    # -- build -----------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        doc_vec: str = "embedding",
+        nshards: int = 8,
+        m: int = DEFAULT_M,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        metric: str = "L2",
+        seed: int = 42,
+        path: str | None = None,
+    ) -> "HnswIndex":
+        metric_u = metric.upper()
+        if metric_u not in ("IP", "L2", "COSINE"):
+            raise ValueError(f"HNSW: unsupported metric {metric_u}")
+        nshards = max(1, int(nshards))
+        sharded = docs.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col("_docid")), F.lit(nshards)).cast("int")
+        )
+
+        def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_docid").reset_index(drop=True)
+            mat = np.stack(pdf[doc_vec].to_numpy())
+            shard = int(pdf["_shard"].iloc[0])
+            g = NpHnsw(m=m, ef_construction=ef_construction, metric=metric_u)
+            # per-shard seed keeps shards independent yet reproducible
+            g.build(mat, seed=seed + shard)
+            pdf["_pos"] = np.arange(len(pdf), dtype=np.int32)
+            pdf["_level"] = g.levels.astype(np.int32)
+            pdf["_nbrs"] = [
+                [[int(x) for x in lvl] for lvl in g.adj[i]] for i in range(len(pdf))
+            ]
+            return pdf
+
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            list(sharded.schema.fields)
+            + [
+                StructField("_pos", IntegerType()),
+                StructField("_level", IntegerType()),
+                StructField("_nbrs", ArrayType(ArrayType(IntegerType()))),
+            ]
+        )
+        graph = sharded.groupBy("_shard").applyInPandas(build_shard, schema=schema)
+        if path:
+            graph.repartition("_shard").write.mode("overwrite").partitionBy(
+                "_shard"
+            ).parquet(os.path.join(path, "graph"))
+            with open(os.path.join(path, "meta.json"), "w") as fh:
+                json.dump(
+                    {
+                        "model": cls.name,
+                        "nshards": nshards,
+                        "metric": metric_u,
+                        "doc_vec": doc_vec,
+                        "m": m,
+                    },
+                    fh,
+                )
+            graph = docs.sparkSession.read.parquet(os.path.join(path, "graph"))
+        return cls(graph, nshards, metric_u, doc_vec, m=m, path=path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "HnswIndex":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(
+            spark.read.parquet(os.path.join(path, "graph")),
+            meta["nshards"],
+            meta["metric"],
+            meta["doc_vec"],
+            m=meta.get("m", DEFAULT_M),
+            path=path,
+        )
+
+    # -- search ----------------------------------------------------------
+    def knn_join_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str | None = None,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        predicate: Column | None = None,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        l2_sqrt: bool = False,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        qsplits: int = 1,
+        **_ignored,
+    ) -> DataFrame:
+        """Fan-out graph search: queries × shards → ONE cogroup shuffle
+        on (_shard, _qs) → per-shard traversal (k admitted hits per
+        query per shard) → global top-k. The queries relation is never
+        collected; ``qsplits`` bounds per-task query count for
+        corpus-scale joins (graph rows replicate per split)."""
+        metric_u = (metric or self.metric).upper()
+        if metric_u != self.metric:
+            raise ValueError(
+                f"HNSW graph was built for {self.metric}; links are "
+                f"metric-specific (rebuild for {metric_u})"
+            )
+        spark = self.index_df.sparkSession
+        qsplits = max(1, int(qsplits))
+        k_ = int(k)
+        ef = max(int(ef_search), k_)
+        mname = self.metric
+        dvec = self.doc_vec
+        m_ = self.m
+
+        g = self.index_df
+        valid_col = F.lit(True)
+        if predicate is not None:
+            valid_col = valid_col & predicate
+        if "_deleted" in g.columns:
+            valid_col = valid_col & ~F.col("_deleted")
+        gsel = g.select(
+            "_shard",
+            "_pos",
+            "_level",
+            "_nbrs",
+            F.col("_docid"),
+            F.col(dvec).alias("_dvec"),
+            valid_col.alias("_valid"),
+        )
+        if qsplits > 1:
+            splits = spark.range(qsplits).select(F.col("id").cast("int").alias("_qs"))
+            gsel = gsel.crossJoin(F.broadcast(splits))
+        else:
+            gsel = gsel.withColumn("_qs", F.lit(0))
+
+        shards_rel = spark.range(self.nshards).select(
+            F.col("id").cast("int").alias("_shard")
+        )
+        qsel = (
+            queries.select(
+                F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")
+            )
+            .crossJoin(F.broadcast(shards_rel))
+            .withColumn(
+                "_qs", F.pmod(F.xxhash64(F.col("qid")), F.lit(qsplits)).cast("int")
+            )
+        )
+
+        dlo, dhi = _band_to_internal(metric_u, min_score, max_score, l2_sqrt)
+        # L2 internal distance drops |q|^2, so the band can't map there;
+        # admit on the presented score at emission instead (still
+        # pre-top-k within the shard, preserving F8 pre-band semantics)
+        band_at_emit = metric_u == "L2" and (
+            min_score is not None or max_score is not None
+        )
+
+        def per_shard(qpdf: pd.DataFrame, gpdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"qid": [], "_docid": [], "score": []}).astype(
+                {"qid": "int64", "_docid": "int64", "score": "float64"}
+            )
+            if qpdf.empty or gpdf.empty:
+                return empty
+            order = np.argsort(gpdf["_pos"].to_numpy(), kind="stable")
+            mat = np.stack(gpdf["_dvec"].to_numpy())[order]
+            ids = gpdf["_docid"].to_numpy(dtype=np.int64)[order]
+            levels = gpdf["_level"].to_numpy(dtype=np.int64)[order]
+            valid = gpdf["_valid"].to_numpy(dtype=bool)[order]
+            nbrs_raw = gpdf["_nbrs"].to_numpy()[order]
+
+            g = NpHnsw(m=m_, ef_construction=DEFAULT_EF_CONSTRUCTION, metric=mname)
+            g.vecs = g._prep(mat)
+            if mname == "L2":
+                g.sq = (g.vecs * g.vecs).sum(axis=1)
+            g.levels = levels
+            g.adj = [
+                [np.asarray(lvl, dtype=np.int64) for lvl in row] for row in nbrs_raw
+            ]
+            top = int(levels.max())
+            # deterministic entry: highest level, lowest position
+            g.entry = int(np.flatnonzero(levels == top)[0])
+            g.max_level = top
+
+            qmat = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qids = qpdf["qid"].to_numpy(dtype=np.int64)
+            kk = k_ if not band_at_emit else ef  # keep all, band below
+            pos, dist = g.search(qmat, kk, ef=ef, valid=valid, dist_lo=dlo, dist_hi=dhi)
+            keep = pos.ravel() >= 0
+            qrep = np.repeat(qids, kk)[keep]
+            p = pos.ravel()[keep]
+            d = dist.ravel()[keep]
+            if mname == "L2":
+                qsq = (qmat * qmat).sum(axis=1)
+                score = d + np.repeat(qsq, kk)[keep]
+                np.maximum(score, 0.0, out=score)
+                if l2_sqrt:
+                    np.sqrt(score, out=score)
+            else:
+                score = -d
+            out = pd.DataFrame({"qid": qrep, "_docid": ids[p], "score": score})
+            if band_at_emit:
+                if min_score is not None:
+                    out = out[out["score"] >= min_score]
+                if max_score is not None:
+                    out = out[out["score"] <= max_score]
+                out = (
+                    out.sort_values(["qid", "score", "_docid"])
+                    .groupby("qid", sort=False)
+                    .head(k_)
+                )
+            return out.reset_index(drop=True)
+
+        partials = (
+            qsel.groupby("_shard", "_qs")
+            .cogroup(gsel.groupby("_shard", "_qs"))
+            .applyInPandas(per_shard, schema="qid long, _docid long, score double")
+        )
+        from gamma_spark.functions import vector as V
+        from gamma_spark.operators.topk import topk
+
+        asc = V.metric_ascending(metric_u)
+        return topk(partials, ["qid"], "score", k_, ascending=asc, tiebreak_cols=["_docid"])
+
+    def search(
+        self,
+        docs: DataFrame,  # unused; graph relation carries the docs (protocol)
+        queries: DataFrame,
+        k: int = 10,
+        metric: str | None = None,
+        doc_vec: str | None = None,
+        predicate: Column | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        l2_sqrt: bool = False,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        **_ignored,
+    ) -> DataFrame:
+        """Request-path search — same plan as the distributed join (no
+        driver collect is ever needed for HNSW: there is no centroid
+        probe step)."""
+        return self.knn_join_distributed(
+            queries,
+            k=k,
+            metric=metric,
+            ef_search=ef_search,
+            predicate=predicate,
+            query_id=query_id,
+            query_vec=query_vec,
+            l2_sqrt=l2_sqrt,
+            min_score=min_score,
+            max_score=max_score,
+        )
