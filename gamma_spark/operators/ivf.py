@@ -229,6 +229,7 @@ class IvfFlatIndex:
         self.index_df = index_df
         self.path = path
         self._hierarchy: tuple[np.ndarray, np.ndarray] | None = None
+        self._hnsw_probe = None  # set by enable_hnsw_probe()
 
     # -- build -----------------------------------------------------------
     @classmethod
@@ -274,13 +275,50 @@ class IvfFlatIndex:
     #: relation.
     PROBE_CHUNK_CELLS = 32_000_000
 
+    def enable_hnsw_probe(
+        self, m: int = 16, ef_construction: int = 100, ef_search: int = 64,
+        seed: int = 42,
+    ) -> "IvfFlatIndex":
+        """Accelerate the coarse quantizer with an HNSW graph over the
+        centroid set — the reference's optional HNSW coarse quantizer
+        for IVFPQ (SURVEY K3; `index/impl/gamma_index_ivfpq.cc` routes
+        the coarse assignment through hnswlib when configured). Worth it
+        when ncentroids is large enough that the brute-force probe's
+        O(Q·C) matmul dominates: the graph probe is O(Q·ef·log C). The
+        graph lives over centroids only (tiny — it broadcasts with the
+        closure), never over the corpus."""
+        from gamma_spark.operators.hnsw import NpHnsw
+
+        g = NpHnsw(m=m, ef_construction=ef_construction, metric="L2")
+        g.build(self.centroids.astype(np.float64), seed=seed)
+        self._hnsw_probe = (g, int(ef_search))
+        return self
+
     def probe_clusters(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
         """(Q, nprobe) nearest centroid ids per query — driver-side numpy
         over the query batch (gamma: quantizer->search,
         `gamma_index_ivfpq.cc:561`), chunked over queries so the
         distance matrix never exceeds PROBE_CHUNK_CELLS regardless of
-        batch size × ncentroids (VERDICT r2 #9)."""
+        batch size × ncentroids (VERDICT r2 #9).
+
+        With :meth:`enable_hnsw_probe` and a genuinely pruning nprobe,
+        the assignment goes through the centroid graph instead (the
+        degenerate nprobe == ncentroids case stays brute-force exact —
+        that is the oracle configuration)."""
         cents = self.centroids
+        hp = getattr(self, "_hnsw_probe", None)
+        if hp is not None and nprobe < len(cents):
+            g, ef = hp
+            pos, _ = g.search(qmat, k=nprobe, ef=max(ef, nprobe))
+            # pad the (rare) under-filled rows with the brute answer
+            if (pos < 0).any():
+                bad = np.flatnonzero((pos < 0).any(axis=1))
+                self._hnsw_probe = None
+                try:
+                    pos[bad] = self.probe_clusters(qmat[bad], nprobe)
+                finally:
+                    self._hnsw_probe = hp
+            return pos
         nprobe = min(nprobe, len(cents))
         chunk = max(1, self.PROBE_CHUNK_CELLS // max(1, len(cents)))
         cent_sq = (cents * cents).sum(axis=1)[None, :]

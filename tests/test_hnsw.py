@@ -155,3 +155,38 @@ def test_hnsw_registered():
     from gamma_spark.operators.ann import get_model
 
     assert get_model("HNSW") is HnswIndex
+
+
+# ---------------------------------------------------------------------------
+# HNSW coarse quantizer for IVF (SURVEY K3's optional hnsw coarse path)
+# ---------------------------------------------------------------------------
+
+def test_hnsw_probe_matches_brute_probe():
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    rng = np.random.default_rng(21)
+    cents = rng.normal(size=(256, 16))
+    idx = IvfFlatIndex(cents, index_df=None)
+    q = rng.normal(size=(40, 16))
+    brute = idx.probe_clusters(q, nprobe=8)
+    idx.enable_hnsw_probe(m=16, ef_construction=80, ef_search=64)
+    graph = idx.probe_clusters(q, nprobe=8)
+    # probe recall: the graph's 8 picks vs the true 8 nearest centroids
+    hits = sum(len(set(graph[i]) & set(brute[i])) for i in range(len(q)))
+    assert hits / brute.size >= 0.95
+    # degenerate nprobe == ncentroids must bypass the graph (exact)
+    full_a = idx.probe_clusters(q[:4], nprobe=256)
+    idx._hnsw_probe = None
+    full_b = idx.probe_clusters(q[:4], nprobe=256)
+    assert (full_a == full_b).all()
+
+
+def test_hnsw_probe_end_to_end(docs, queries):
+    from gamma_spark.operators import knn
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    idx = IvfFlatIndex.build(docs, ncentroids=16, seed=42)
+    idx.enable_hnsw_probe(m=8, ef_construction=40, ef_search=32)
+    out = idx.search(None, queries, k=10, metric="L2", nprobe=4).collect()
+    exact = knn.knn_join(docs, queries, k=10, metric="L2").collect()
+    assert _recall(out, exact) >= 0.5  # same floor as the brute probe at nprobe=4/16
