@@ -108,6 +108,23 @@ def q_knn_ip_banded(spark, sf_dir):
     )
 
 
+def q_knn_ip_filtered_banded(spark, sf_dir):
+    """The composite request shape gamma actually serves — term filter
+    AND score band AND kNN in ONE request (F6 ∧ F8 pre-band inside the
+    scan, `common/gamma_common_data.h:95-108` + `gamma_index_flat.cc:
+    200-225`). Consolidates the former knn_ip_filtered + knn_ip_banded
+    registry rows (each feature also covered separately in pytest)."""
+    return knn.knn_join(
+        _docs(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        k=KNN_K,
+        metric="IP",
+        predicate=F.col("label") == 1,
+        min_score=BAND_LO,
+        max_score=BAND_HI,
+    )
+
+
 def q_knn_hamming(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "_docid", V.sign_bits("embedding").alias("sig")
@@ -228,6 +245,12 @@ SQL_KNN_IP_FILTERED = _sql_knn(
 SQL_KNN_IP_BANDED = _sql_knn(
     V.sql_dot("e.embedding", "q.qvec"),
     "DESC",
+    band=f"WHERE score >= {BAND_LO} AND score <= {BAND_HI}",
+)
+SQL_KNN_IP_FILTERED_BANDED = _sql_knn(
+    V.sql_dot("e.embedding", "q.qvec"),
+    "DESC",
+    where="WHERE e.label = 1",
     band=f"WHERE score >= {BAND_LO} AND score <= {BAND_HI}",
 )
 SQL_KNN_HAMMING = f"""
@@ -879,6 +902,7 @@ def q_pq_graph_exact(spark, sf_dir):
 IVF_RECALL_T = 0.5   # nprobe=4/16 floor, proven in tests/test_ann.py
 PQ_RECALL_T = 0.6    # ADC+rerank floor at nprobe=8, recall_num=64
 HNSW_RECALL_T = 0.9  # sharded graphs, m=16 efc=80 ef=128 (tests/test_hnsw.py)
+SCANN_RECALL_T = 0.6  # VEARCH 4-bit + rerank floor (tests/test_scann.py)
 
 
 def q_ivf_recall_check(spark, sf_dir):
@@ -908,6 +932,26 @@ def q_pq_recall_check(spark, sf_dir):
     return recall_check(exact, approx, k=KNN_K, threshold=PQ_RECALL_T)
 
 
+def q_scann_recall_check(spark, sf_dir):
+    """Recall@k for the VEARCH model (SURVEY K7, flipped from a
+    declared non-goal: `index/impl/scann/gamma_index_vearch.cc:19,
+    415-520`): anisotropic (score-aware, ScaNN-objective) 4-bit
+    codebooks behind the shared ADC+rerank machinery, measured against
+    the exact IP kernel at practical settings (nprobe=16/16 lists but
+    candidate-bounded recall_num=64 of 500)."""
+    from gamma_spark.operators.ann import recall_check
+    from gamma_spark.operators.pq import VearchIndex
+
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="IP")
+    idx = VearchIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
+    approx = idx.search(
+        None, queries_df, k=KNN_K, metric="IP", nprobe=IVF_NCENT, recall_num=64
+    )
+    return recall_check(exact, approx, k=KNN_K, threshold=SCANN_RECALL_T)
+
+
 def q_hnsw_recall_check(spark, sf_dir):
     """Recall@k for the sharded-HNSW graph path (SURVEY K5, flipped
     from a declared non-goal this round: `index/impl/hnswlib/
@@ -934,6 +978,9 @@ SQL_PQ_RECALL_CHECK = (
 )
 SQL_HNSW_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {HNSW_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
+)
+SQL_SCANN_RECALL_CHECK = (
+    f"SELECT {KNN_K}::INT AS k, {SCANN_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
 )
 
 
@@ -1557,6 +1604,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: absent from it; prune this set once the next artifact lands
 NEWLY_ADDED = {
     "hnsw_recall_check",
+    "scann_recall_check",
+    "knn_ip_filtered_banded",
     "knn_metrics_topk",
     "knn_graph_banded",
     "multimodal_resize",
@@ -1594,13 +1643,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_by_region": q_lineitem_by_region,
         # --- new this round ---
         "hnsw_recall_check": q_hnsw_recall_check,
+        "scann_recall_check": q_scann_recall_check,
+        "knn_ip_filtered_banded": q_knn_ip_filtered_banded,
         "knn_graph_banded": q_knn_graph_banded,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
         "knn_metrics_topk": q_knn_metrics_topk,
         # --- stable suite ---
-        "knn_ip_filtered": q_knn_ip_filtered,
-        "knn_ip_banded": q_knn_ip_banded,
+        # knn_ip_filtered + knn_ip_banded consolidated into
+        # knn_ip_filtered_banded above (functions remain for pytest)
         "knn_hamming_topk": q_knn_hamming,
         "knn_fusion_multivector": q_knn_fusion,
         "knn_ivfflat_exact": q_knn_ivfflat_exact,
@@ -1661,8 +1712,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         "knn_metrics_topk": SQL_KNN_METRICS,
-        "knn_ip_filtered": SQL_KNN_IP_FILTERED,
-        "knn_ip_banded": SQL_KNN_IP_BANDED,
+        "knn_ip_filtered_banded": SQL_KNN_IP_FILTERED_BANDED,
         "knn_hamming_topk": SQL_KNN_HAMMING,
         "knn_fusion_multivector": SQL_KNN_FUSION,
         "knn_ivfflat_exact": SQL_KNN_L2,
@@ -1699,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall_check": SQL_IVF_RECALL_CHECK,
         "pq_recall_check": SQL_PQ_RECALL_CHECK,
         "hnsw_recall_check": SQL_HNSW_RECALL_CHECK,
+        "scann_recall_check": SQL_SCANN_RECALL_CHECK,
         "knn_graph_exact": SQL_KNN_GRAPH,
         "pq_graph_exact": SQL_KNN_GRAPH,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,

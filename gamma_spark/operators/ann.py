@@ -13,11 +13,10 @@ Models:
 - IVFPQ     IVF + product quantization + exact rerank (K3)
 - HNSW      sharded small-world graphs, fan-out search (K5)
 - BINARYIVF IVF over packed sign bits, Hamming scoring (K6)
+- VEARCH    anisotropic (ScaNN-objective) 4-bit PQ + rerank (K7)
 
-ScaNN / GPU (K7/K8) remain documented non-goals: their capability class
-— approximate kNN with quantization — is covered by IVFPQ, and GPU
-placement is an execution detail Spark delegates to the cluster
-(SURVEY §7.3).
+GPU (K8) remains the one documented non-goal: device placement is an
+execution detail Spark delegates to the cluster (SURVEY §7.3).
 """
 
 from __future__ import annotations
@@ -193,6 +192,7 @@ def recall_check(
 
 
 from gamma_spark.operators.hnsw import HnswIndex  # noqa: E402 (cycle-free)
+from gamma_spark.operators.pq import VearchIndex  # noqa: E402
 
 MODELS = {
     "FLAT": FlatIndex,
@@ -200,6 +200,10 @@ MODELS = {
     "IVFPQ": IvfPqIndex,
     "BINARYIVF": BinaryIvfIndex,
     "HNSW": HnswIndex,
+    # the reference registers its vendored ScaNN as VEARCH
+    # (`index/impl/scann/gamma_index_vearch.cc:19`)
+    "VEARCH": VearchIndex,
+    "SCANN": VearchIndex,
 }
 
 
