@@ -464,6 +464,48 @@ FROM (
 """.replace("{l2sq}", V.sql_l2_squared("e.embedding", "q.qvec"))
 
 
+def q_search_request_full(spark, sf_dir):
+    """EVERY SearchRequest feature in one request — pre-filter, kNN
+    with l2_sqrt presentation (`idl/fbs/request.fbs:39`), P1 field
+    projection, R8 `_source` packing + `total` = filter-survivor count
+    (`search/gamma_engine.cc:448-449`, `gamma_response.cc:215-260`).
+    Consolidates the former search_projected_l2sqrt + search_with_total
+    registry rows (both shapes stay covered in tests/test_plans.py)."""
+    from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+    docs = _docs(spark, sf_dir)
+    req = SearchRequest(
+        vector_queries=[
+            VectorQuery(
+                field="embedding", queries=_queries_df(spark, sf_dir), metric="L2"
+            )
+        ],
+        topn=KNN_K,
+        fields=["label"],
+        source_fields=["_docid", "label"],
+        with_total=True,
+        l2_sqrt=True,
+    )
+    return search(docs, req, extra_predicate=F.col("label").isin(0, 1))
+
+
+SQL_SEARCH_REQUEST_FULL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < {KNN_NQ}),
+m AS (SELECT * FROM embeddings WHERE label IN (0, 1)),
+s AS (
+  SELECT q.qid, e.vec_id AS _docid, sqrt({{l2sq}}) AS score, e.label,
+         '{{"_docid":' || e.vec_id || ',"label":' || e.label || '}}' AS _source
+  FROM m e CROSS JOIN q
+)
+SELECT _docid, qid, score, rank::INT AS rank, label, _source,
+       (SELECT count(*) FROM m) AS total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score ASC, _docid ASC) AS rank
+  FROM s
+) t WHERE rank <= {KNN_K}
+""".replace("{l2sq}", V.sql_l2_squared("e.embedding", "q.qvec"))
+
+
 def q_filter_only_topn(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").withColumn("_docid", F.col("doc_id"))
     fs = [GF.TermFilter("lang", ("en",), GF.TERM_OR), GF.RangeFilter("n_chars", lower=200)]
@@ -930,6 +972,38 @@ def q_pq_recall_check(spark, sf_dir):
     exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     approx = q_knn_ivfpq_adc(spark, sf_dir)
     return recall_check(exact, approx, k=KNN_K, threshold=PQ_RECALL_T)
+
+
+def q_faiss_load_search(spark, sf_dir):
+    """LoadFromFaiss (SURVEY S9, flipped from a declared non-goal:
+    `search/gamma_engine.cc:1287-1329`): the embeddings corpus goes out
+    through the faiss-format writer as an IndexIVFFlat file (the
+    Migrate-style export direction; bounded collect — a faiss dump is
+    one driver-side blob by construction) and back in through the
+    pure-Python parser, which materializes the cluster-partitioned
+    parquet layout `IvfFlatIndex.load` reads. Search over the imported
+    index at nprobe == ncentroids must equal exact brute force — list
+    membership and vectors survive the round-trip bit-for-bit."""
+    import tempfile
+
+    import numpy as np
+
+    from gamma_spark.operators.ivf import IvfFlatIndex
+    from gamma_spark.sources.faiss_io import load_from_faiss, write_faiss_ivfflat
+
+    docs = _docs(spark, sf_dir)
+    native = IvfFlatIndex.build(docs, ncentroids=IVF_NCENT, seed=42)
+    rows = native.index_df.select("_docid", "embedding", "cluster_id").collect()
+    ids = np.array([r._docid for r in rows], dtype=np.int64)
+    vecs = np.stack([np.array(r.embedding, dtype=np.float32) for r in rows])
+    assign = np.array([r.cluster_id for r in rows], dtype=np.int64)
+    root = tempfile.mkdtemp(prefix="gamma_faiss_")
+    fpath = f"{root}/export.faiss"
+    write_faiss_ivfflat(fpath, native.centroids, ids, vecs, assign, nprobe=IVF_NCENT)
+    idx = load_from_faiss(spark, fpath, f"{root}/imported")["index"]
+    return idx.search(
+        None, _queries_df(spark, sf_dir), k=KNN_K, metric="L2", nprobe=IVF_NCENT
+    )
 
 
 def q_scann_recall_check(spark, sf_dir):
@@ -1605,7 +1679,9 @@ def entry(spark: SparkSession) -> DataFrame:
 NEWLY_ADDED = {
     "hnsw_recall_check",
     "scann_recall_check",
+    "faiss_load_search",
     "knn_ip_filtered_banded",
+    "search_request_full",
     "knn_metrics_topk",
     "knn_graph_banded",
     "multimodal_resize",
@@ -1644,7 +1720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "hnsw_recall_check": q_hnsw_recall_check,
         "scann_recall_check": q_scann_recall_check,
+        "faiss_load_search": q_faiss_load_search,
         "knn_ip_filtered_banded": q_knn_ip_filtered_banded,
+        "search_request_full": q_search_request_full,
         "knn_graph_banded": q_knn_graph_banded,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -1663,8 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_multivid_collapse": q_knn_multivid_collapse,
         "filter_tags_and": q_filter_tags_and,
         "filter_tags_or_notin": q_filter_tags_or_notin,
-        "search_projected_l2sqrt": q_search_projected_l2sqrt,
-        "search_with_total": q_search_with_total,
+        # search_projected_l2sqrt + search_with_total consolidated into
+        # search_request_full above (functions remain for pytest)
         "filter_only_topn": q_filter_only_topn,
         "point_lookup": q_point_lookup,
         # upsert_last_wins folded into upsert_chain (the chain's first
@@ -1724,8 +1802,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,
         "filter_tags_and": SQL_FILTER_TAGS_AND,
         "filter_tags_or_notin": SQL_FILTER_TAGS_OR_NOTIN,
-        "search_projected_l2sqrt": SQL_SEARCH_PROJECTED_L2SQRT,
-        "search_with_total": SQL_SEARCH_WITH_TOTAL,
+        "search_request_full": SQL_SEARCH_REQUEST_FULL,
+        "faiss_load_search": SQL_KNN_L2,
         "filter_only_topn": SQL_FILTER_ONLY_TOPN,
         "point_lookup": SQL_POINT_LOOKUP,
         "upsert_chain": SQL_UPSERT_CHAIN,
