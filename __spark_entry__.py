@@ -1452,6 +1452,70 @@ GROUP BY r_name
 # LLM-pipeline operators (north-star extensions): text analysis + dedup
 # ---------------------------------------------------------------------------
 
+MIX_FRACTIONS = {"en": 0.8, "de": 0.5, "zh": 0.25}
+MIX_QUOTA = 40
+PACK_MAX_TOKENS = 256
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-mix construction over the documents table: per-language
+    hash-gated sampling rates (reproducible, rand-free, stable under
+    corpus growth) followed by a per-language quota drawn in hash order
+    — the two mixing primitives a 100 TB data pipeline composes. The
+    gate is a pure Catalyst predicate (pushes to the scan); the quota
+    is one shuffle + per-group top-k (operators/sampling.py)."""
+    from gamma_spark.operators import sampling as S
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = S.sample_mixture(docs, "lang", MIX_FRACTIONS, key_col="doc_id")
+    quota = S.stratified_quota(mixed, "lang", MIX_QUOTA, key_col="doc_id", salt="q")
+    return quota.select("doc_id", "lang", "source")
+
+
+def _sql_mixture_sample() -> str:
+    from gamma_spark.operators.sampling import (
+        sql_sample_mixture,
+        sql_stratified_quota,
+    )
+
+    inner = (
+        "SELECT * FROM documents WHERE "
+        + sql_sample_mixture("lang", MIX_FRACTIONS, "doc_id")
+    )
+    return sql_stratified_quota(
+        f"({inner})", "lang", MIX_QUOTA, "doc_id", salt="q",
+        select="doc_id, lang, source",
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: lay the documents out into fixed-256-token
+    training sequences by contiguous concatenation in doc_id order —
+    the distributed two-level prefix-sum (cumsum within id-range
+    buckets + a #buckets-row offset scan; operators/packing.py), whose
+    result is bit-identical to the serial layout for every
+    bucket_width (property-tested)."""
+    from gamma_spark.functions.text import bpe_token_count
+    from gamma_spark.operators import packing as P
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", bpe_token_count("text").alias("n_tokens"))
+    out = P.pack_contiguous(
+        toks, "doc_id", "n_tokens", PACK_MAX_TOKENS, bucket_width=100
+    )
+    return out.select("doc_id", "n_tokens", "seq_id", "seq_offset", "spans")
+
+
+def _sql_pack_sequences() -> str:
+    from gamma_spark.functions.text import sql_bpe_token_count
+    from gamma_spark.operators.packing import sql_pack_contiguous
+
+    return sql_pack_contiguous(
+        "documents", "doc_id", sql_bpe_token_count("text"), PACK_MAX_TOKENS,
+        select="doc_id, _n::INT AS n_tokens",
+    )
+
+
 def q_text_stats(spark, sf_dir):
     from gamma_spark.functions import text as T
 
@@ -1682,6 +1746,8 @@ NEWLY_ADDED = {
     "faiss_load_search",
     "knn_ip_filtered_banded",
     "search_request_full",
+    "mixture_sample",
+    "pack_sequences",
     "knn_metrics_topk",
     "knn_graph_banded",
     "multimodal_resize",
@@ -1723,6 +1789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "faiss_load_search": q_faiss_load_search,
         "knn_ip_filtered_banded": q_knn_ip_filtered_banded,
         "search_request_full": q_search_request_full,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
         "knn_graph_banded": q_knn_graph_banded,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_audio": q_multimodal_audio,
@@ -1758,9 +1826,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
+        # dedup_jaccard folded into dedup_minhash_verified (exact
+        # n-gram Jaccard is its verify stage) and dedup_groups into
+        # curation_pipeline + semantic_dedup_groups (CC + keeper runs
+        # hash-checked in both) — functions remain for bench/pytest.
         "embedding_neardup": q_embedding_neardup,
-        "dedup_groups": q_dedup_groups,
         "curation_pipeline": q_curation_pipeline,
         "semantic_dedup_groups": q_semantic_dedup_groups,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -1815,9 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "text_stats": _sql_text_stats(),
         "dedup_exact": _sql_dedup_exact(),
-        "dedup_jaccard": _sql_dedup_jaccard(),
         "embedding_neardup": _sql_embedding_neardup(),
-        "dedup_groups": _sql_dedup_groups(),
         "curation_pipeline": _sql_curation_pipeline(),
         "semantic_dedup_groups": _sql_semantic_dedup_groups(),
         "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),
@@ -1828,6 +1896,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall_check": SQL_PQ_RECALL_CHECK,
         "hnsw_recall_check": SQL_HNSW_RECALL_CHECK,
         "scann_recall_check": SQL_SCANN_RECALL_CHECK,
+        "mixture_sample": _sql_mixture_sample(),
+        "pack_sequences": _sql_pack_sequences(),
         "knn_graph_exact": SQL_KNN_GRAPH,
         "pq_graph_exact": SQL_KNN_GRAPH,
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,

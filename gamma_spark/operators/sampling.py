@@ -1,0 +1,135 @@
+"""Deterministic sampling / data-mixing operators (north-star
+extension, like functions/text.py: not reference surface — gamma has no
+sampling — but core operations of a 100 TB training-data pipeline:
+building a training mix means drawing reproducible per-source /
+per-language fractions and quotas from the curated corpus).
+
+Everything is **hash-gated, never rand()**: a row's fate depends only
+on its key, so samples are reproducible across runs, engines, cluster
+sizes and retries (rand() is none of those under task retry), the gate
+is a pure Catalyst predicate (pushes down to the scan — a 1% sample
+reads like a filter, not a shuffle), and membership is *stable under
+corpus growth*: adding rows never flips an existing row in or out.
+
+The hash is the md5-derived 60-bit int from functions/text.py, verified
+bit-identical between Spark and DuckDB, so every operator here has an
+exact SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gamma_spark.functions.text import hash60, sql_hash60
+
+#: hash-gate resolution: fraction f keeps rows with unit < f where
+#: unit = hash60/2^60 in [0, 1)
+_HASH_SPAN = float(1 << 60)
+
+
+def _unit(key: Column | str, salt: str = "") -> Column:
+    key = F.col(key) if isinstance(key, str) else key
+    k = key.cast("string")
+    if salt:
+        k = F.concat(F.lit(salt), F.lit(":"), k)
+    return hash60(k).cast("double") / F.lit(_HASH_SPAN)
+
+
+def sql_unit(key: str, salt: str = "") -> str:
+    k = f"({key})::VARCHAR"
+    if salt:
+        k = f"'{salt}:' || {k}"
+    return f"(({sql_hash60(k)})::DOUBLE / {_HASH_SPAN!r})"
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided by the key hash alone.
+    ``salt`` decorrelates independent samples over the same keys
+    (e.g. a train/eval split uses two salts)."""
+    return df.filter(_unit(key_col, salt) < F.lit(float(fraction)))
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group sampling rates in one pass — the data-mixing
+    primitive ("keep 100% of lang A, 30% of B, drop the rest"). The
+    per-row gate is a CASE over ``fractions``; groups not listed get
+    ``default``."""
+    rate = F.lit(float(default))
+    for g, f in sorted(fractions.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(rate)
+    return df.filter(_unit(key_col, salt) < rate)
+
+
+def sql_sample_mixture(
+    group_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default: float = 0.0,
+    salt: str = "",
+) -> str:
+    """WHERE-clause twin of :func:`sample_mixture` (CASE evaluation
+    order is irrelevant: arms are mutually exclusive equality tests)."""
+    arms = " ".join(
+        f"WHEN {group_col} = '{g}' THEN {float(f)!r}"
+        for g, f in sorted(fractions.items())
+    )
+    return f"{sql_unit(key_col, salt)} < (CASE {arms} ELSE {float(default)!r} END)"
+
+
+def stratified_quota(
+    df: DataFrame, group_col: str, quota: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen by hash order (a
+    deterministic uniform draw without replacement) — "take 10k docs
+    per language". Hash order, not data order: a head()/limit() per
+    group would bias toward storage order.
+
+    Scale shape: one shuffle on ``group_col`` + per-group top-k window
+    — identical profile to the engine's top-k operator. Skewed groups
+    bound at quota rows out per group."""
+    w = Window.partitionBy(group_col).orderBy(
+        _unit(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_sq_rn", F.row_number().over(w))
+        .filter(F.col("_sq_rn") <= quota)
+        .drop("_sq_rn")
+    )
+
+
+def sql_stratified_quota(
+    table: str, group_col: str, quota: int, key_col: str, salt: str = "",
+    select: str = "*",
+) -> str:
+    u = sql_unit(key_col, salt)
+    return f"""
+SELECT {select} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col} ORDER BY {u} ASC, {key_col} ASC) AS _sq_rn
+  FROM {table}
+) t WHERE _sq_rn <= {quota}
+"""
+
+
+def train_eval_split(
+    df: DataFrame, key_col: str, eval_fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Adds a ``_split`` column ('train'/'eval') — disjoint by
+    construction (one hash, one threshold), stable under corpus
+    growth, and leakage-free for exact duplicates IF keyed by a
+    content hash (pass e.g. the text fingerprint as ``key_col``)."""
+    return df.withColumn(
+        "_split",
+        F.when(_unit(key_col, salt) < F.lit(float(eval_fraction)), F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )
