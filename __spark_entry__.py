@@ -1462,8 +1462,9 @@ def q_mixture_sample(spark, sf_dir):
     hash-gated sampling rates (reproducible, rand-free, stable under
     corpus growth) followed by a per-language quota drawn in hash order
     — the two mixing primitives a 100 TB data pipeline composes. The
-    gate is a pure Catalyst predicate (pushes to the scan); the quota
-    is one shuffle + per-group top-k (operators/sampling.py)."""
+    gate is a pure Catalyst predicate evaluated in the scan stage (no
+    UDF, no shuffle); the quota is one shuffle + per-group top-k
+    (operators/sampling.py)."""
     from gamma_spark.operators import sampling as S
 
     docs = _t(spark, sf_dir, "documents")

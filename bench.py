@@ -90,6 +90,36 @@ def bench_knn_graph_10kq(spark, sf_dir):
     return idx.knn_join_distributed(q, k=10, metric="L2", nprobe=8, salts=2).count()
 
 
+def bench_hnsw(spark, sf_dir):
+    """Sharded-HNSW build + 512-query fan-out search (SURVEY K5,
+    new r4): per-shard graph build in applyInPandas, one cogroup
+    shuffle per search."""
+    from gamma_spark.operators.hnsw import HnswIndex
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = HnswIndex.build(docs, nshards=8, m=16, ef_construction=80, metric="L2")
+    idx.index_df.cache().count()
+    queries = docs.select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(512)
+    n = idx.search(None, queries, k=10, ef_search=64).count()
+    idx.index_df.unpersist()
+    return n
+
+
+def bench_vearch(spark, sf_dir):
+    """Anisotropic 4-bit VEARCH build + 512-query ADC+rerank search
+    (SURVEY K7, new r4)."""
+    from gamma_spark.operators.pq import VearchIndex
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = VearchIndex.build(docs, ncentroids=32, nsubvector=8, seed=42)
+    queries = docs.select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(512)
+    return idx.search(None, queries, k=10, metric="IP", nprobe=8).count()
+
+
 def bench_neardup_banded(spark, sf_dir):
     """Multi-band hyperplane-LSH embedding near-dup on its scale path
     (Arrow matmul signatures + vectorized verify); the contract query
@@ -146,6 +176,8 @@ def main():
         "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
         "simhash_signatures": entry_mod.q_simhash_signatures,
         "multimodal_features": entry_mod.q_multimodal_features,
+        "upsert_last_wins": entry_mod.q_upsert_last_wins,
+        "dedup_groups": entry_mod.q_dedup_groups,
     }
     run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
     run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
@@ -170,6 +202,10 @@ def main():
         "simhash_signatures",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
+    run("hnsw_build_search_512q", lambda: bench_hnsw(spark, sf_dir))
+    run("vearch_build_search_512q", lambda: bench_vearch(spark, sf_dir))
+    run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
+    run("pack_sequences", lambda: qs["pack_sequences"](spark, sf_dir).count())
     run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
     run("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
     run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))

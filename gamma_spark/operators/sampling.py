@@ -7,9 +7,12 @@ per-language fractions and quotas from the curated corpus).
 Everything is **hash-gated, never rand()**: a row's fate depends only
 on its key, so samples are reproducible across runs, engines, cluster
 sizes and retries (rand() is none of those under task retry), the gate
-is a pure Catalyst predicate (pushes down to the scan — a 1% sample
-reads like a filter, not a shuffle), and membership is *stable under
-corpus growth*: adding rows never flips an existing row in or out.
+is a pure Catalyst expression predicate evaluated in the scan stage
+(no UDF, no shuffle — a 1% sample is a narrow filter; the md5
+derivation itself is not a parquet-pushable predicate, but nothing
+past the scan ever sees a dropped row), and membership is *stable
+under corpus growth*: adding rows never flips an existing row in or
+out.
 
 The hash is the md5-derived 60-bit int from functions/text.py, verified
 bit-identical between Spark and DuckDB, so every operator here has an
