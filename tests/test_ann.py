@@ -120,8 +120,14 @@ def test_binaryivf_hamming(docs, queries):
 def test_registry():
     assert get_model("flat") is FlatIndex
     assert get_model("IVFFLAT") is IvfFlatIndex
+    # K5/K7 flipped from non-goals to registered models in r4
+    from gamma_spark.operators.hnsw import HnswIndex
+    from gamma_spark.operators.pq import VearchIndex
+
+    assert get_model("HNSW") is HnswIndex
+    assert get_model("VEARCH") is VearchIndex
     with pytest.raises(ValueError):
-        get_model("HNSW")
+        get_model("GPU_IVFPQ")
 
 
 def test_knn_join_distributed_exact_parity(queries, ivf, exact):
