@@ -396,6 +396,58 @@ class HnswIndex:
             graph = docs.sparkSession.read.parquet(os.path.join(path, "graph"))
         return cls(graph, nshards, metric_u, doc_vec, m=m, path=path)
 
+    def append(
+        self,
+        new_docs: DataFrame,
+        nshards: int = 1,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        seed: int = 42,
+    ) -> "HnswIndex":
+        """T2-style micro-batch append: the new docs become ``nshards``
+        fresh graph segments (ids continue past the existing shards) —
+        the per-segment growth pattern of Lucene/Vespa HNSW. Existing
+        graphs are never touched (append-only, no retrain, mirroring
+        gamma's background AddRTVecsToIndex contract,
+        `vector/vector_manager.cc:280-382`); search fan-out widens to
+        the new segment count. Periodic compaction = rebuild at a
+        larger nshards."""
+        base = self.nshards
+        fresh = HnswIndex.build(
+            new_docs,
+            doc_vec=self.doc_vec,
+            nshards=nshards,
+            m=self.m,
+            ef_construction=ef_construction,
+            metric=self.metric,
+            seed=seed + base,
+        )
+        shifted = fresh.index_df.withColumn(
+            "_shard", (F.col("_shard") + F.lit(base)).cast("int")
+        )
+        merged = self.index_df.unionByName(shifted)
+        if self.path:
+            shifted.repartition("_shard").write.mode("append").partitionBy(
+                "_shard"
+            ).parquet(os.path.join(self.path, "graph"))
+            with open(os.path.join(self.path, "meta.json"), "w") as fh:
+                json.dump(
+                    {
+                        "model": self.name,
+                        "nshards": base + nshards,
+                        "metric": self.metric,
+                        "doc_vec": self.doc_vec,
+                        "m": self.m,
+                    },
+                    fh,
+                )
+            merged = self.index_df.sparkSession.read.parquet(
+                os.path.join(self.path, "graph")
+            )
+        return HnswIndex(
+            merged, base + nshards, self.metric, self.doc_vec, m=self.m,
+            path=self.path,
+        )
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "HnswIndex":
         with open(os.path.join(path, "meta.json")) as fh:

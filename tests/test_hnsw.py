@@ -190,3 +190,29 @@ def test_hnsw_probe_end_to_end(docs, queries):
     out = idx.search(None, queries, k=10, metric="L2", nprobe=4).collect()
     exact = knn.knn_join(docs, queries, k=10, metric="L2").collect()
     assert _recall(out, exact) >= 0.5  # same floor as the brute probe at nprobe=4/16
+
+
+def test_hnsw_append_segments(docs, queries, tmp_path):
+    """T2 micro-batch append: old graphs untouched, new docs land in
+    fresh segments, search covers both, persistence round-trips."""
+    old = docs.filter(F.col("_docid") < 400)
+    new = docs.filter(F.col("_docid") >= 400)
+    path = str(tmp_path / "grow")
+    idx = HnswIndex.build(old, nshards=2, m=16, metric="L2", path=path)
+    grown = idx.append(new, nshards=1)
+    assert grown.nshards == 3
+    assert grown.index_df.count() == docs.count()
+    # old shard rows byte-identical (append-only)
+    old_rows = idx.index_df.filter(F.col("_shard") < 2).count()
+    assert grown.index_df.filter(F.col("_shard") < 2).count() == old_rows
+    # a query targeting a new doc finds it
+    target = new.orderBy("_docid").limit(1).collect()[0]
+    q = docs.sparkSession.createDataFrame(
+        [(int(target._docid), [float(x) for x in target.embedding])],
+        "qid long, qvec array<float>",
+    )
+    hits = grown.search(None, q, k=3, ef_search=64).collect()
+    assert hits[0]._docid == target._docid
+    # reload sees the appended segments
+    reloaded = HnswIndex.load(docs.sparkSession, path)
+    assert reloaded.nshards == 3 and reloaded.index_df.count() == docs.count()
