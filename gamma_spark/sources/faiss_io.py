@@ -22,6 +22,12 @@ ingest dependency-free:
                  invlists: fourcc 'ilar', nlist:uint64 code_size:uint64,
                  fourcc 'full', sizes:vec<uint64>,
                  then per list: codes(uint8[n*code_size]) ids(int64[n])
+    IwPQ (IndexIVFPQ):
+                 header, nlist:uint64 nprobe:uint64, <quantizer>,
+                 direct_map, by_residual:uint8 code_size:uint64,
+                 pq := d:uint64 M:uint64 nbits:uint64
+                       centroids:vec<float32>(M*ksub*dsub),
+                 invlists as above with code_size = M (nbits=8)
     vec<T>    := count:uint64 T[count]
 
 (metric_type: 0 = inner product, 1 = L2 — faiss MetricType.)
@@ -132,10 +138,10 @@ def parse_faiss(path: str) -> dict:
         if fourcc in _FLAT_FOURCC:
             hdr, mat = _read_flat(r, fourcc)
             return {"kind": "flat", "metric": hdr["metric_name"], "vectors": mat}
-        if fourcc != b"IwFl":
+        if fourcc not in (b"IwFl", b"IwPQ"):
             raise ValueError(
                 f"unsupported faiss index fourcc {fourcc!r} (supported: "
-                f"IxFI/IxF2/IxFl flat, IwFl IVFFlat)"
+                f"IxFI/IxF2/IxFl flat, IwFl IVFFlat, IwPQ IVFPQ)"
             )
         hdr = _read_header(r)
         metric = "IP" if hdr["metric"] == METRIC_INNER_PRODUCT else "L2"
@@ -151,6 +157,43 @@ def parse_faiss(path: str) -> dict:
         r.u8()
         dm_n = r.u64()
         r.i64s(dm_n)
+
+        out = {
+            "metric": metric,
+            "centroids": np.asarray(centroids, dtype=np.float64),
+            "nprobe": int(nprobe),
+        }
+        if fourcc == b"IwPQ":
+            by_residual = bool(r.u8())
+            pq_code_size = r.u64()
+            pq_d = r.u64()
+            pq_m = r.u64()
+            pq_nbits = r.u64()
+            if pq_nbits != 8:
+                raise ValueError("only 8-bit PQ codes supported")
+            if pq_d != hdr["d"]:
+                raise ValueError("PQ d != index d")
+            ksub, dsub = 1 << pq_nbits, hdr["d"] // pq_m
+            ncent = r.u64()
+            if ncent != pq_m * ksub * dsub:
+                raise ValueError("PQ centroid count mismatch")
+            codebooks = (
+                r.f32s(ncent).astype(np.float64).reshape(pq_m, ksub, dsub)
+            )
+            expected_code_size = pq_m  # nbits=8: one byte per subquantizer
+            if pq_code_size != expected_code_size:
+                raise ValueError("PQ code_size mismatch")
+            out.update(
+                kind="ivfpq",
+                by_residual=by_residual,
+                codebooks=codebooks,
+                nsubvector=int(pq_m),
+            )
+            entry_bytes = pq_m
+        else:
+            out["kind"] = "ivfflat"
+            entry_bytes = 4 * hdr["d"]
+
         ilcc = r.fourcc()
         if ilcc != b"ilar":
             raise ValueError(
@@ -161,10 +204,8 @@ def parse_faiss(path: str) -> dict:
         code_size = r.u64()
         if il_nlist != nlist:
             raise ValueError("invlists nlist mismatch")
-        if code_size != 4 * hdr["d"]:
-            raise ValueError(
-                f"code_size {code_size} != 4*d (only IVFFlat float codes)"
-            )
+        if code_size != entry_bytes:
+            raise ValueError(f"code_size {code_size} != expected {entry_bytes}")
         listcc = r.fourcc()
         if listcc != b"full":
             raise ValueError(f"unsupported list-size encoding {listcc!r}")
@@ -175,19 +216,24 @@ def parse_faiss(path: str) -> dict:
         lists = []
         for n in sizes:
             n = int(n)
-            codes = r.f32s(n * hdr["d"]).reshape(n, hdr["d"])
+            if fourcc == b"IwPQ":
+                codes = np.frombuffer(
+                    r.read(n * entry_bytes), dtype=np.uint8
+                ).reshape(n, entry_bytes)
+            else:
+                codes = r.f32s(n * hdr["d"]).reshape(n, hdr["d"])
             ids = r.i64s(n)
             lists.append((ids, codes))
-        return {
-            "kind": "ivfflat",
-            "metric": metric,
-            "centroids": np.asarray(centroids, dtype=np.float64),
-            "lists": lists,
-            "nprobe": int(nprobe),
-        }
+        out["lists"] = lists
+        return out
 
 
-def load_from_faiss(spark: SparkSession, faiss_path: str, out_path: str):
+def load_from_faiss(
+    spark: SparkSession,
+    faiss_path: str,
+    out_path: str,
+    raw_docs: DataFrame | None = None,
+):
     """Materialize a faiss dump as the engine's own parquet index
     layout and return a searchable index (gamma's LoadFromFaiss,
     `search/gamma_engine.cc:1287-1329`).
@@ -201,6 +247,12 @@ def load_from_faiss(spark: SparkSession, faiss_path: str, out_path: str):
       round-trips it and search is immediately nprobe-pruned; the
       imported quantizer is NOT retrained (list membership is
       preserved verbatim from the dump).
+    - IVFPQ -> the :meth:`IvfPqIndex.build` layout (codes parquet +
+      centroids/codebooks/identity-rotation npy). ``raw_docs`` is the
+      analogue of gamma's separate raw-feature file: without it the
+      index serves ADC-only (``has_rank=False``); with it, exact
+      rerank works too. Only ``by_residual`` dumps are accepted
+      (faiss's default and our encoding).
     """
     from pyspark.sql import functions as F  # noqa: F401 (parity imports)
 
@@ -229,6 +281,9 @@ def load_from_faiss(spark: SparkSession, faiss_path: str, out_path: str):
             writer = True
         docs = spark.read.parquet(target)
         return {"docs": docs, "metric": parsed["metric"], "index": FlatIndex()}
+
+    if parsed["kind"] == "ivfpq":
+        return _load_ivfpq(spark, parsed, out_path, raw_docs)
 
     cents = parsed["centroids"]
     target = os.path.join(out_path, "index")
@@ -281,6 +336,78 @@ def load_from_faiss(spark: SparkSession, faiss_path: str, out_path: str):
         )
     idx = IvfFlatIndex.load(spark, out_path)
     return {"docs": idx.index_df, "metric": parsed["metric"], "index": idx}
+
+
+def _load_ivfpq(spark, parsed, out_path, raw_docs):
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    if not parsed["by_residual"]:
+        raise ValueError(
+            "only by_residual IVFPQ dumps supported (faiss default; our "
+            "ADC kernels assume residual encoding)"
+        )
+    cents = parsed["centroids"]
+    target = os.path.join(out_path, "codes")
+    first = True
+    rows_ids, rows_cid, rows_codes, buffered = [], [], [], 0
+
+    def flush():
+        nonlocal first, rows_ids, rows_cid, rows_codes, buffered
+        if not buffered:
+            return
+        pdf = pd.DataFrame(
+            {
+                "_docid": np.concatenate(rows_ids),
+                "cluster_id": np.concatenate(rows_cid).astype(np.int32),
+                "codes": [c for arr in rows_codes for c in arr],
+            }
+        )
+        df = spark.createDataFrame(
+            pdf, schema="_docid long, cluster_id int, codes array<int>"
+        )
+        df.repartition("cluster_id").write.mode(
+            "overwrite" if first else "append"
+        ).partitionBy("cluster_id").parquet(target)
+        first = False
+        rows_ids, rows_cid, rows_codes, buffered = [], [], [], 0
+
+    for cid, (ids, codes) in enumerate(parsed["lists"]):
+        if not len(ids):
+            continue
+        rows_ids.append(ids.astype(np.int64))
+        rows_cid.append(np.full(len(ids), cid, dtype=np.int64))
+        rows_codes.append([row.astype(np.int32).tolist() for row in codes])
+        buffered += len(ids)
+        if buffered >= BATCH_ROWS:
+            flush()
+    flush()
+    d = cents.shape[1]
+    np.save(os.path.join(out_path, "centroids.npy"), cents)
+    np.save(os.path.join(out_path, "codebooks.npy"), parsed["codebooks"])
+    np.save(os.path.join(out_path, "rotation.npy"), np.eye(d))
+    with open(os.path.join(out_path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "model": "IVFPQ",
+                "nsubvector": parsed["nsubvector"],
+                "doc_vec": "embedding",
+                "source": "faiss:IwPQ",
+                "faiss_nprobe": parsed["nprobe"],
+            },
+            fh,
+        )
+    if raw_docs is None:
+        # no raw-feature source: ADC-only serving; a docid-only relation
+        # stands in so predicate/tombstone pruning still works
+        codes_df = spark.read.parquet(target)
+        raw_docs = codes_df.select("_docid")
+        idx = IvfPqIndex(
+            cents, parsed["codebooks"], np.eye(d), codes_df, raw_docs,
+            "embedding", out_path,
+        )
+    else:
+        idx = IvfPqIndex.load(spark, out_path, raw_docs)
+    return {"docs": raw_docs, "metric": parsed["metric"], "index": idx}
 
 
 # ---------------------------------------------------------------------------
@@ -371,4 +498,57 @@ def write_faiss_ivfflat(
             if not mask.any():
                 continue
             w.f32s(vectors[mask].reshape(-1))
+            w.i64s(ids[mask])
+
+
+def write_faiss_ivfpq(
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,  # (M, ksub, dsub), ksub == 256
+    ids: np.ndarray,
+    codes: np.ndarray,  # (n, M) uint8
+    assignments: np.ndarray,
+    metric: str = "L2",
+    nprobe: int = 1,
+) -> None:
+    """Serialize PQ codes + codebooks as a faiss IndexIVFPQ file
+    (by_residual, 8-bit) — the export direction for PQ indexes."""
+    centroids = np.asarray(centroids)
+    nlist, d = centroids.shape
+    m, ksub, dsub = codebooks.shape
+    if ksub != 256:
+        raise ValueError("faiss IVFPQ export requires 8-bit codebooks (ksub=256)")
+    if m * dsub != d:
+        raise ValueError("codebook geometry does not cover d")
+    ids = np.asarray(ids, dtype=np.int64)
+    codes = np.asarray(codes, dtype=np.uint8)
+    assignments = np.asarray(assignments, dtype=np.int64)
+    with open(path, "wb") as fh:
+        w = _Writer(fh)
+        w.fh.write(b"IwPQ")
+        _write_header(w, d, len(ids), metric)
+        w.u64(nlist)
+        w.u64(nprobe)
+        _write_flat(w, centroids, "L2")
+        w.u8(0)   # direct map: NoMap
+        w.u64(0)  # + empty array
+        w.u8(1)   # by_residual
+        w.u64(m)  # code_size (one byte per subquantizer at nbits=8)
+        w.u64(d)
+        w.u64(m)
+        w.u64(8)  # nbits
+        w.u64(m * ksub * dsub)
+        w.f32s(codebooks.reshape(-1))
+        w.fh.write(b"ilar")
+        w.u64(nlist)
+        w.u64(m)
+        w.fh.write(b"full")
+        sizes = np.bincount(assignments, minlength=nlist)
+        w.u64(nlist)
+        w.fh.write(sizes.astype("<u8").tobytes())
+        for c in range(nlist):
+            mask = assignments == c
+            if not mask.any():
+                continue
+            w.fh.write(codes[mask].tobytes())
             w.i64s(ids[mask])
