@@ -180,3 +180,34 @@ def test_staged_dedup_self_join_reuses_cache(documents):
     # plan), none for a pair-level distinct
     post_join = plan.split("Join")[-1]
     assert "HashAggregate" not in post_join
+
+
+def test_sampling_gate_is_scan_stage_filter(documents):
+    """The hash gate must be a plain Filter over the scan — no
+    Exchange, no Python eval, no window — so a 1% sample costs one
+    narrow map stage."""
+    from gamma_spark.operators import sampling as S
+
+    plan = plan_of(S.deterministic_sample(documents, "doc_id", 0.1))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF — pure expression
+    assert "Filter" in plan
+
+
+def test_pack_contiguous_no_global_window(documents):
+    """The big relation must only see a BUCKET-partitioned window; the
+    only unpartitioned window runs over the tiny per-bucket totals
+    (its input is an aggregated relation, visible as an upstream
+    HashAggregate), never over the corpus."""
+    from gamma_spark.functions.text import bpe_token_count
+    from gamma_spark.operators import packing as P
+
+    toks = documents.select("doc_id", bpe_token_count("text").alias("n_tokens"))
+    plan = plan_of(P.pack_contiguous(toks, "doc_id", "n_tokens", 256))
+    # the corpus-side window is partitioned by the bucket column
+    assert "_pk_bucket" in plan
+    # the bucket-offset side reaches its (single-partition) window only
+    # after a full aggregation collapsed it to #buckets rows
+    assert "HashAggregate" in plan
+    # and the offsets come back via broadcast, not a shuffled join
+    assert "BroadcastExchange" in plan
