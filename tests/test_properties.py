@@ -371,3 +371,46 @@ def test_binaryivf_distributed_hamming_matches_exact(spark, n, k, salts, hier, s
     g = {(r.qid, r.rank): (r._docid, r.score) for r in got.collect()}
     w = {(r.qid, r.rank): (r._docid, r.score) for r in want.collect()}
     assert g == w
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    max_tokens=st.integers(min_value=16, max_value=512),
+    bucket_width=st.sampled_from([1, 3, 7, 1000]),
+)
+def test_pack_contiguous_equals_serial(spark, tokens, max_tokens, bucket_width):
+    """For ANY token sizes / budget / bucketing, the distributed
+    two-level prefix sum equals the serial concatenation layout."""
+    from gamma_spark.operators.packing import pack_contiguous
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id long, n long"
+    ).repartition(4)
+    rows = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.spans)
+        for r in pack_contiguous(df, "doc_id", "n", max_tokens, bucket_width).collect()
+    }
+    cum = 0
+    for i, n in enumerate(tokens):
+        assert rows[i] == (
+            cum // max_tokens,
+            cum % max_tokens,
+            (cum + n - 1) // max_tokens > cum // max_tokens,
+        )
+        cum += n
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    frac_lo=st.floats(min_value=0.05, max_value=0.45),
+    frac_hi=st.floats(min_value=0.5, max_value=0.95),
+)
+def test_deterministic_sample_monotone(documents_cached, frac_lo, frac_hi):
+    """Raising the rate only ADDS members — the hash gate is a
+    threshold over a fixed per-key draw."""
+    from gamma_spark.operators.sampling import deterministic_sample
+
+    lo = {r.doc_id for r in deterministic_sample(documents_cached, "doc_id", frac_lo).collect()}
+    hi = {r.doc_id for r in deterministic_sample(documents_cached, "doc_id", frac_hi).collect()}
+    assert lo <= hi
