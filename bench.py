@@ -150,6 +150,17 @@ def main():
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
+    def _reset():
+        # drop cross-query JVM state: cached/localCheckpoint blocks and
+        # garbage from earlier entries otherwise tax later ones (the
+        # 31-entry suite measured tail entries ~1.7x their isolated
+        # time before this; with it each entry measures its own work)
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     def run(name, fn, repeats: int = 2):
         # best-of-N: single-machine runs at toy SFs have +-50% noise
         # from GC/AQE; the min is the stable signal.
@@ -157,15 +168,21 @@ def main():
         # whole artifact (round-2 post-mortem) — record the error type
         # and keep going; the final JSON line always prints.
         best = float("inf")
-        for _ in range(repeats):
-            try:
-                t0 = time.time()
-                fn()
-                best = min(best, time.time() - t0)
-            except Exception as exc:  # noqa: BLE001 — isolate per query
-                errors[name] = f"error:{type(exc).__name__}"
-                print(f"[bench] {name} failed: {exc}", file=sys.stderr)
-                return
+        try:
+            for _ in range(repeats):
+                try:
+                    t0 = time.time()
+                    fn()
+                    best = min(best, time.time() - t0)
+                except Exception as exc:  # noqa: BLE001 — isolate per query
+                    errors[name] = f"error:{type(exc).__name__}"
+                    print(f"[bench] {name} failed: {exc}", file=sys.stderr)
+                    return
+        finally:
+            # between QUERIES only — repeats keep their warm caches (the
+            # round-3 measurement protocol; operators that stage
+            # intermediates legitimately reuse them on the second pass)
+            _reset()
         timings[name] = round(best, 3)
 
     # registry callables + round-over-round-stable names whose registry
