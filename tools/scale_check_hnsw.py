@@ -85,6 +85,17 @@ def main():
     results["ivf_np32_s"] = round(time.time() - t0, 2)
     results["ivf_np32_recall"] = round(len(got & exact) / len(exact), 4)
 
+    # corpus x corpus shape: a 50k-query RELATION through the fan-out
+    # join (never collected), query-split so no task holds them all
+    nq_big = min(50_000, n)
+    qrel = docs.filter(F.col("_docid") < nq_big).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    t0 = time.time()
+    cnt = hnsw.knn_join_distributed(qrel, k=K, ef_search=64, qsplits=8).count()
+    results["hnsw_join_50kq_s"] = round(time.time() - t0, 2)
+    results["hnsw_join_50kq_rows"] = cnt
+
     print(json.dumps(results))
 
 
