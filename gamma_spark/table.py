@@ -220,6 +220,19 @@ class GammaTable:
             "cache": dict(self._config["cache"]),
         }
 
+    # -- index build (CreateTable retrieval_type) ------------------------
+    def build_index(self, model: str = "IVFFLAT", **params):
+        """Build the named retrieval model over this table's live view
+        through the registry — the CreateTable ``retrieval_type`` +
+        ``retrieval_param`` surface (`search/gamma_engine.cc:524-617`;
+        model lookup mirrors REGISTER_MODEL reflection,
+        `index/reflector.h`). Any of FLAT / IVFFLAT / IVFPQ /
+        BINARYIVF / HNSW / VEARCH; params pass through to the model's
+        build()."""
+        from gamma_spark.operators.ann import get_model
+
+        return get_model(model).build(self.df, **params)
+
     # -- search (the user-facing engine.Search) --------------------------
     def search(self, request, index=None):
         """Run a SearchRequest against this table's live view — the

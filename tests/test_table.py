@@ -353,3 +353,32 @@ def test_normalize_event_time_restores_session_tz(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_build_index_via_registry(spark, embeddings):
+    """CreateTable retrieval_type surface: any registered model builds
+    from the table's live view and serves table.search()."""
+    from gamma_spark.plans.search import SearchRequest, VectorQuery
+    from gamma_spark.table import GammaTable
+
+    docs = embeddings.withColumnRenamed("vec_id", "_id")
+    table = GammaTable(spark, docs, id_col="_id")
+    queries = spark.createDataFrame(
+        [(int(r._id), [float(x) for x in r.embedding])
+         for r in docs.orderBy("_id").limit(3).collect()],
+        "qid long, qvec array<float>",
+    )
+    for model, params in [
+        ("HNSW", {"nshards": 2, "m": 8, "ef_construction": 40}),
+        ("VEARCH", {"ncentroids": 8, "nsubvector": 8}),
+    ]:
+        idx = table.build_index(model, **params)
+        req = SearchRequest(
+            vector_queries=[VectorQuery(field="embedding", queries=queries, metric="L2")]
+            if model == "HNSW"
+            else [VectorQuery(field="embedding", queries=queries, metric="L2",
+                              retrieval_params={"nprobe": 8})],
+            topn=5,
+        )
+        out = table.search(req, index=idx)
+        assert out.count() == 15
