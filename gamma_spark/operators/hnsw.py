@@ -148,39 +148,49 @@ class NpHnsw:
     ) -> list[tuple[float, int]]:
         """Best-first expansion keeping the ef closest; returns
         (dist, node) sorted ascending. Frontier neighbor blocks are
-        scored as one vectorized gather+BLAS call."""
+        scored as one vectorized gather+BLAS call; the visited set is a
+        reusable bool array (O(1) membership, no per-node hashing)."""
         eps = list(dict.fromkeys(eps))
         d0 = self._dists(q, np.asarray(eps, dtype=np.int64))
-        visited = set(eps)
+        visited = self._visited_buf()
+        visited[eps] = True
         cand = [(float(d), int(e)) for d, e in zip(d0, eps)]  # min-heap
         heapq.heapify(cand)
         res = [(-float(d), int(e)) for d, e in zip(d0, eps)]  # max-heap
         heapq.heapify(res)
         while len(res) > ef:
             heapq.heappop(res)
+        push_c, pop_c, push_r, pop_r = (
+            heapq.heappush, heapq.heappop, heapq.heappush, heapq.heappop,
+        )
         while cand:
-            d, c = heapq.heappop(cand)
+            d, c = pop_c(cand)
             if len(res) >= ef and d > -res[0][0]:
                 break
             nbrs = self.adj[c][level]
             if len(nbrs) == 0:
                 continue
-            fresh = np.array(
-                [nb for nb in nbrs if nb not in visited], dtype=np.int64
-            )
+            fresh = nbrs[~visited[nbrs]]
             if len(fresh) == 0:
                 continue
-            visited.update(int(x) for x in fresh)
+            visited[fresh] = True
             nd = self._dists(q, fresh)
             worst = -res[0][0] if len(res) >= ef else np.inf
-            for dd, nb in zip(nd, fresh):
+            for dd, nb in zip(nd.tolist(), fresh.tolist()):
                 if len(res) < ef or dd < worst:
-                    heapq.heappush(cand, (float(dd), int(nb)))
-                    heapq.heappush(res, (-float(dd), int(nb)))
+                    push_c(cand, (dd, nb))
+                    push_r(res, (-dd, nb))
                     if len(res) > ef:
-                        heapq.heappop(res)
-                    worst = -res[0][0] if len(res) >= ef else np.inf
+                        pop_r(res)
+                        worst = -res[0][0]
+                    elif len(res) >= ef:
+                        worst = -res[0][0]
         return sorted((-d, n) for d, n in res)
+
+    def _visited_buf(self) -> np.ndarray:
+        """Zeroed bool scratch of current graph size (fresh array —
+        cheap next to traversal, and re-entrancy-safe)."""
+        return np.zeros(len(self.vecs), dtype=bool)
 
     def _select_heuristic(
         self, cands: list[tuple[float, int]], m: int
