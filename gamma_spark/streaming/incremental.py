@@ -33,25 +33,36 @@ from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
 from gamma_spark.operators.topk import topk
 
 
-def index_append_batch(index, batch_df: DataFrame, path: str) -> None:
+def index_append_batch(index, batch_df: DataFrame, path: str):
     """T2: assign the micro-batch to inverted lists with the trained
     quantizer and append — the Spark analogue of AddRTVecsToIndex's
     <=1000-vector chunked appends. Map-only + partitioned append; no
     retrain, no shuffle. Dispatches on index kind: IVFFLAT appends raw
     rows to ``index/``; IVFPQ encodes the batch with the trained
-    codebooks and appends to ``codes/``."""
+    codebooks and appends to ``codes/``; HNSW grows by fresh graph
+    segments. Returns the index to use for the NEXT batch (a new
+    object for HNSW — segment ids advance with it; unchanged
+    otherwise)."""
+    from gamma_spark.operators.hnsw import HnswIndex
     from gamma_spark.operators.pq import IvfPqIndex
 
     if isinstance(index, IvfPqIndex):
         index.encode_df(batch_df).write.mode("append").partitionBy(
             "cluster_id"
         ).parquet(os.path.join(path, "codes"))
-        return
+        return index
+    if isinstance(index, HnswIndex):
+        # HNSW micro-batches become fresh graph segments (append-only,
+        # existing graphs untouched — Lucene/Vespa per-segment growth);
+        # compaction = rebuild at larger nshards. The RETURNED index
+        # must be used for the next batch: its segment-id base advanced
+        return index.append(batch_df, nshards=1)
     meta_vec = _index_vec_col(path)
     assigned = assign_clusters(batch_df, index.centroids, meta_vec)
     assigned.write.mode("append").partitionBy("cluster_id").parquet(
         os.path.join(path, "index")
     )
+    return index
 
 
 def _index_vec_col(path: str) -> str:
@@ -66,10 +77,12 @@ def stream_index_appender(stream_df: DataFrame, index, path: str):
     as micro-batches arrive. Returns the DataStreamWriter (caller picks
     trigger/checkpoint and calls .start())."""
 
+    state = {"index": index}
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index_append_batch(index, batch_df, path)
+        state["index"] = index_append_batch(state["index"], batch_df, path)
 
     return stream_df.writeStream.foreachBatch(handle)
 

@@ -206,3 +206,34 @@ def test_windowed_event_stats_stream_matches_batch(tmp_path, spark, events):
     assert got, "stream produced no closed windows"
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_hnsw_micro_batch_append(spark, embeddings, tmp_path):
+    """T2 for the graph model: successive micro-batches become fresh
+    segments with non-colliding shard ids (the returned index must
+    carry the advanced base), and search covers all of them."""
+    from pyspark.sql import functions as F
+
+    from gamma_spark.operators.hnsw import HnswIndex
+    from gamma_spark.streaming.incremental import index_append_batch
+
+    docs = embeddings.withColumnRenamed("vec_id", "_docid")
+    first = docs.filter(F.col("_docid") < 300)
+    b1 = docs.filter((F.col("_docid") >= 300) & (F.col("_docid") < 400))
+    b2 = docs.filter(F.col("_docid") >= 400)
+    path = str(tmp_path / "hnsw_stream")
+    idx = HnswIndex.build(first, nshards=2, m=8, ef_construction=40,
+                          metric="L2", path=path)
+    idx = index_append_batch(idx, b1, path)
+    idx = index_append_batch(idx, b2, path)
+    assert idx.nshards == 4
+    shards = {r._shard for r in idx.index_df.select("_shard").distinct().collect()}
+    assert shards == {0, 1, 2, 3}  # no segment-id collision
+    assert idx.index_df.count() == docs.count()
+    target = b2.orderBy("_docid").limit(1).collect()[0]
+    q = spark.createDataFrame(
+        [(int(target._docid), [float(x) for x in target.embedding])],
+        "qid long, qvec array<float>",
+    )
+    hits = idx.search(None, q, k=3, ef_search=64).collect()
+    assert hits[0]._docid == target._docid
