@@ -87,6 +87,10 @@ def main():
 
     # corpus x corpus shape: a 50k-query RELATION through the fan-out
     # join (never collected), query-split so no task holds them all
+    # (skip with SKIP_JOIN=1 for build/search-focused runs)
+    if os.environ.get("SKIP_JOIN"):
+        print(json.dumps(results))
+        return
     nq_big = min(50_000, n)
     qrel = docs.filter(F.col("_docid") < nq_big).select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
