@@ -136,3 +136,33 @@ def train_eval_split(
         F.when(_unit(key_col, salt) < F.lit(float(eval_fraction)), F.lit("eval"))
         .otherwise(F.lit("train")),
     )
+
+
+def plan_mixture(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    targets: dict[str, float],
+) -> dict[str, float]:
+    """Turn per-group TOKEN budgets into sampling fractions — real
+    mixes are specified in tokens ("300B tokens of web, 50B of code"),
+    not row fractions. One map-combinable aggregate measures what each
+    group actually has; the returned fractions (capped at 1.0 — a
+    group cannot yield more than it holds) feed
+    :func:`sample_mixture`. The collect is G rows — one per group.
+
+    Note the gate stays per-ROW, so realized token counts concentrate
+    around the target (doc lengths are i.i.d. w.r.t. the key hash);
+    exact-to-the-token cuts would need the packing prefix sum instead.
+    """
+    rows = (
+        df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col)).alias("_tok"))
+        .collect()
+    )
+    have = {r[0]: int(r[1]) for r in rows}
+    out = {}
+    for g, want in targets.items():
+        tot = have.get(g, 0)
+        out[g] = 1.0 if tot == 0 else min(1.0, float(want) / tot)
+    return out

@@ -117,3 +117,26 @@ def test_pack_first_fit_capacity_and_coverage(docs):
     again = {(r.doc_id, r.seq_id) for r in
              P.pack_first_fit(toks, "doc_id", "n_tokens", max_tokens=cap, nshards=4).collect()}
     assert again == {(r.doc_id, r.seq_id) for r in rows}
+
+
+def test_plan_mixture_token_budgets(docs):
+    from gamma_spark.functions.text import bpe_token_count
+    from gamma_spark.operators.sampling import plan_mixture, sample_mixture
+
+    toks = docs.select("doc_id", "lang", bpe_token_count("text").alias("n_tokens"))
+    have = {
+        r.lang: r.tot for r in
+        toks.groupBy("lang").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    targets = {"en": have["en"] * 0.4, "de": have["de"] * 2.0}  # de over-asks
+    fracs = plan_mixture(toks, "lang", "n_tokens", targets)
+    assert fracs["de"] == 1.0  # capped: can't yield more than it holds
+    assert 0.3 < fracs["en"] < 0.5
+    mixed = sample_mixture(toks, "lang", fracs, key_col="doc_id")
+    got = {
+        r.lang: r.tot for r in
+        mixed.groupBy("lang").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    assert got["de"] == have["de"]  # rate 1.0 keeps every de token
+    # realized en tokens land near the target (per-row hash gate)
+    assert 0.2 * have["en"] < got["en"] < 0.6 * have["en"]

@@ -109,3 +109,21 @@ def test_vearch_registered():
 
     assert get_model("VEARCH") is VearchIndex
     assert get_model("SCANN") is VearchIndex
+
+
+def test_vearch_composes_with_opq(docs, queries):
+    """Anisotropic training composes with the OPQ rotation; the
+    exact-degenerate configuration stays exact regardless."""
+    idx = VearchIndex.build(docs, ncentroids=8, nsubvector=8, opq=True, seed=42)
+    n = docs.count()
+    exact = {
+        (r.qid, r.rank): r._docid
+        for r in knn.knn_join(docs, queries, k=5, metric="L2").collect()
+    }
+    got = {
+        (r.qid, r.rank): r._docid
+        for r in idx.search(
+            None, queries, k=5, metric="L2", nprobe=8, recall_num=n
+        ).collect()
+    }
+    assert got == exact
