@@ -306,6 +306,24 @@ class IvfPqIndex:
             doc_vec or self.doc_vec,
         )
 
+    def _coarse(self) -> IvfFlatIndex:
+        """Cached coarse-quantizer view over the centroids (so an
+        HNSW-accelerated probe survives across search() calls)."""
+        c = getattr(self, "_coarse_idx", None)
+        if c is None:
+            c = IvfFlatIndex(self.centroids, self.codes_df)
+            self._coarse_idx = c
+        return c
+
+    def enable_hnsw_probe(self, **kw) -> "IvfPqIndex":
+        """The reference's optional HNSW coarse quantizer for IVFPQ
+        (SURVEY K3): accelerate the nprobe assignment with a graph over
+        the centroid set. Delegates to
+        :meth:`IvfFlatIndex.enable_hnsw_probe`; the degenerate
+        nprobe == ncentroids oracle path stays brute-force exact."""
+        self._coarse().enable_hnsw_probe(**kw)
+        return self
+
     # -- search -----------------------------------------------------------
     def search(
         self,
@@ -344,8 +362,7 @@ class IvfPqIndex:
         qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
         qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
 
-        coarse = IvfFlatIndex(self.centroids, self.codes_df)
-        probes = coarse.probe_clusters(qmat, nprobe)
+        probes = self._coarse().probe_clusters(qmat, nprobe)
         wanted = sorted({int(c) for row in probes for c in row})
         probe_mask = np.zeros((len(qids), len(self.centroids)), dtype=bool)
         for qi, row in enumerate(probes):

@@ -15,6 +15,8 @@ ingest dependency-free:
                  [metric_arg:float32 if metric_type > 1]
     IxFI/IxF2/IxFl (IndexFlat*):
                  header, xb: size:uint64(float count) float32[size]
+    IxMp (IndexIDMap — how faiss users attach ids to a flat index):
+                 header, <wrapped index>, id_map:vec<int64>
     IwFl (IndexIVFFlat):
                  header, nlist:uint64 nprobe:uint64,
                  <embedded flat index = the coarse quantizer>,
@@ -138,10 +140,29 @@ def parse_faiss(path: str) -> dict:
         if fourcc in _FLAT_FOURCC:
             hdr, mat = _read_flat(r, fourcc)
             return {"kind": "flat", "metric": hdr["metric_name"], "vectors": mat}
+        if fourcc == b"IxMp":
+            _read_header(r)  # the IDMap wrapper's own header
+            sub_cc = r.fourcc()
+            if sub_cc not in _FLAT_FOURCC:
+                raise ValueError(
+                    f"IndexIDMap over {sub_cc!r} unsupported (flat only)"
+                )
+            hdr, mat = _read_flat(r, sub_cc)
+            nid = r.u64()
+            if nid != len(mat):
+                raise ValueError("id_map length != ntotal")
+            ids = r.i64s(nid)
+            return {
+                "kind": "flat",
+                "metric": hdr["metric_name"],
+                "vectors": mat,
+                "ids": np.asarray(ids, dtype=np.int64),
+            }
         if fourcc not in (b"IwFl", b"IwPQ"):
             raise ValueError(
                 f"unsupported faiss index fourcc {fourcc!r} (supported: "
-                f"IxFI/IxF2/IxFl flat, IwFl IVFFlat, IwPQ IVFPQ)"
+                f"IxFI/IxF2/IxFl flat [+IxMp id wrapper], IwFl IVFFlat, "
+                f"IwPQ IVFPQ)"
             )
         hdr = _read_header(r)
         metric = "IP" if hdr["metric"] == METRIC_INNER_PRODUCT else "L2"
@@ -265,13 +286,16 @@ def load_from_faiss(
 
     if parsed["kind"] == "flat":
         mat = parsed["vectors"]
+        all_ids = parsed.get("ids")  # IxMp wrapper carries explicit ids
+        if all_ids is None:
+            all_ids = np.arange(len(mat), dtype=np.int64)
         target = os.path.join(out_path, "docs")
         writer = None
         for lo in range(0, len(mat), BATCH_ROWS):
             chunk = mat[lo : lo + BATCH_ROWS]
             pdf = pd.DataFrame(
                 {
-                    "_docid": np.arange(lo, lo + len(chunk), dtype=np.int64),
+                    "_docid": all_ids[lo : lo + len(chunk)],
                     "embedding": [row.tolist() for row in chunk],
                 }
             )
@@ -552,3 +576,20 @@ def write_faiss_ivfpq(
                 continue
             w.fh.write(codes[mask].tobytes())
             w.i64s(ids[mask])
+
+
+def write_faiss_idmap_flat(
+    path: str, ids: np.ndarray, mat: np.ndarray, metric: str = "L2"
+) -> None:
+    """Serialize (ids, vectors) as faiss IndexIDMap(IndexFlat) — the
+    common shape real deployments dump (explicit ids over a flat
+    index)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(mat)
+    with open(path, "wb") as fh:
+        w = _Writer(fh)
+        w.fh.write(b"IxMp")
+        _write_header(w, mat.shape[1], len(ids), metric)
+        _write_flat(w, mat, metric)
+        w.u64(len(ids))
+        w.i64s(ids)

@@ -174,3 +174,18 @@ def test_ivfpq_roundtrip_and_adc_search(spark, embeddings, tmp_path):
     loaded2 = load_from_faiss(spark, p, str(tmp_path / "imported2"), raw_docs=docs)
     rer = loaded2["index"].search(None, queries, k=5, metric="L2", nprobe=8)
     assert rer.count() == 20
+
+
+def test_idmap_flat_preserves_ids(spark, tmp_path):
+    from gamma_spark.sources.faiss_io import write_faiss_idmap_flat
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(size=(50, 8)).astype(np.float32)
+    ids = (np.arange(50) * 7 + 1000).astype(np.int64)  # non-dense ids
+    p = str(tmp_path / "idmap.faiss")
+    write_faiss_idmap_flat(p, ids, mat, metric="IP")
+    parsed = parse_faiss(p)
+    assert parsed["kind"] == "flat" and (parsed["ids"] == ids).all()
+    loaded = load_from_faiss(spark, p, str(tmp_path / "out"))
+    got = {r._docid for r in loaded["docs"].collect()}
+    assert got == set(ids.tolist())
