@@ -11,10 +11,10 @@ filtered top-k nearest-neighbor queries with real-time indexing
 - The one query operator (``Search``: filters AND kNN -> fuse -> top-k
   -> project) becomes a composition of DataFrame operators built by
   :mod:`gamma_spark.plans.search`.
-- ANN models (FLAT / IVFFLAT / IVFPQ / BINARYIVF) become batch index
-  builds (MLlib-style k-means, PQ codebooks) producing *index tables*
-  that accelerate the same DataFrame plan via partition pruning and
-  two-phase rerank.
+- ANN models (FLAT / IVFFLAT / IVFPQ / BINARYIVF / HNSW / VEARCH)
+  become batch index builds (k-means quantizers, PQ codebooks, sharded
+  small-world graphs) producing *index tables* that accelerate the
+  same DataFrame plan via partition pruning and two-phase rerank.
 - DML (AddOrUpdateDocs / DeleteDoc / GetDocByID) becomes MERGE-style
   batch jobs with last-write-wins semantics.
 
@@ -40,6 +40,11 @@ __all__ = [
     "get_model",
     "curate_corpus",
     "resolve_groups",
+    "load_from_faiss",
+    "sample_mixture",
+    "plan_mixture",
+    "stratified_quota",
+    "pack_contiguous",
 ]
 __version__ = "0.1.0"
 
@@ -73,4 +78,16 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators.groups import resolve_groups
 
         return resolve_groups
+    if name == "load_from_faiss":
+        from gamma_spark.sources.faiss_io import load_from_faiss
+
+        return load_from_faiss
+    if name in ("sample_mixture", "plan_mixture", "stratified_quota"):
+        from gamma_spark.operators import sampling as _sp
+
+        return getattr(_sp, name)
+    if name == "pack_contiguous":
+        from gamma_spark.operators.packing import pack_contiguous
+
+        return pack_contiguous
     raise AttributeError(name)
