@@ -878,14 +878,19 @@ class IvfFlatIndex:
                 # select top-kk by (score, doc position); positions are
                 # docid-ordered, so this is exactly the oracle's
                 # (score, _docid) tie order. argpartition bounds the
-                # per-row lexsort to kk candidates.
+                # per-row lexsort — but it picks ARBITRARY members among
+                # ties straddling the kk boundary, so extend the
+                # candidate set to every position tied with the kk-th
+                # value before the lexsort (integer-valued metrics like
+                # HAMMING tie constantly; property-tested).
                 sel = np.empty((len(qc), kk), dtype=np.int64)
                 if len(ids) > kk:
-                    pre = np.argpartition(s if asc else -s, kk - 1, axis=1)[:, :kk]
-                    pre_s = np.take_along_axis(s, pre, axis=1)
+                    skey = s if asc else -s
+                    pre = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
+                    thr = np.take_along_axis(skey, pre, axis=1).max(axis=1)
                     for r in range(len(qc)):
-                        row_sc = pre_s[r] if asc else -pre_s[r]
-                        sel[r] = pre[r][np.lexsort((pre[r], row_sc))[:kk]]
+                        cand = np.flatnonzero(skey[r] <= thr[r])
+                        sel[r] = cand[np.lexsort((cand, skey[r][cand]))[:kk]]
                 else:
                     pos = np.arange(len(ids))
                     for r in range(len(qc)):

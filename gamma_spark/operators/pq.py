@@ -661,13 +661,19 @@ class IvfPqIndex:
                     s = np.where(s >= kmin, s, worst)
                 if kmax is not None:
                     s = np.where(s <= kmax, s, worst)
+                # tie-aware preselection: argpartition alone may pick
+                # arbitrary members among ties straddling the kk
+                # boundary, dropping the docid-smallest tied candidate
+                # (same fix as the IVF twin; ADC scores tie on
+                # low-entropy codes)
                 sel = np.empty((len(qc), kk), dtype=np.int64)
                 if len(ids) > kk:
-                    pre = np.argpartition(s if asc else -s, kk - 1, axis=1)[:, :kk]
-                    pre_s = np.take_along_axis(s, pre, axis=1)
+                    skey = s if asc else -s
+                    pre = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
+                    thr = np.take_along_axis(skey, pre, axis=1).max(axis=1)
                     for r in range(len(qc)):
-                        row_sc = pre_s[r] if asc else -pre_s[r]
-                        sel[r] = pre[r][np.lexsort((pre[r], row_sc))[:kk]]
+                        cand = np.flatnonzero(skey[r] <= thr[r])
+                        sel[r] = cand[np.lexsort((cand, skey[r][cand]))[:kk]]
                 else:
                     pos = np.arange(len(ids))
                     for r in range(len(qc)):
