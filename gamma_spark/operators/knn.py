@@ -160,17 +160,29 @@ def knn_scan(
                 s = np.where(s >= min_score, s, np.inf if asc else -np.inf)
             if max_score is not None:
                 s = np.where(s <= max_score, s, np.inf if asc else -np.inf)
-            # merge batch into running top-k: concat + argpartition
+            # merge batch into running top-k: concat + argpartition.
+            # Ties straddling the k boundary must keep the SMALLEST
+            # docids (the oracle's tie order) — argpartition alone keeps
+            # arbitrary tied members, so rows with boundary ties (exact
+            # duplicate vectors produce them even on float metrics) get
+            # a (score, docid) lexsort repair.
             cand_scores = np.concatenate([best_scores, s.T], axis=1)  # (Q, k+B)
             cand_ids = np.concatenate(
                 [best_ids, np.broadcast_to(ids, (len(qids), len(ids)))], axis=1
             )
             kk = min(k, cand_scores.shape[1])
-            part = np.argpartition(
-                cand_scores if asc else -cand_scores, kk - 1, axis=1
-            )[:, :kk]
-            best_scores = np.take_along_axis(cand_scores, part, axis=1)
-            best_ids = np.take_along_axis(cand_ids, part, axis=1)
+            skey = cand_scores if asc else -cand_scores
+            part = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
+            thr = np.take_along_axis(skey, part, axis=1).max(axis=1)
+            tied = np.flatnonzero((skey <= thr[:, None]).sum(axis=1) > kk)
+            new_scores = np.take_along_axis(cand_scores, part, axis=1)
+            new_ids = np.take_along_axis(cand_ids, part, axis=1)
+            for r in tied:
+                cand = np.flatnonzero(skey[r] <= thr[r])
+                sel = cand[np.lexsort((cand_ids[r][cand], skey[r][cand]))[:kk]]
+                new_scores[r] = cand_scores[r][sel]
+                new_ids[r] = cand_ids[r][sel]
+            best_scores, best_ids = new_scores, new_ids
         if n_seen == 0:
             return
         valid = (best_ids.ravel() >= 0) & np.isfinite(best_scores.ravel())

@@ -451,11 +451,21 @@ class IvfPqIndex:
                         axis=1,
                     )
                     kk = min(rn, cand_s.shape[1])
-                    part = np.argpartition(
-                        cand_s if asc_l else -cand_s, kk - 1, axis=1
-                    )[:, :kk]
-                    best_s[qsel, :kk] = np.take_along_axis(cand_s, part, axis=1)
-                    best_i[qsel, :kk] = np.take_along_axis(cand_i, part, axis=1)
+                    skey = cand_s if asc_l else -cand_s
+                    part = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
+                    # boundary ties keep the smallest docids (same
+                    # repair as the scan/cogroup kernels)
+                    thr = np.take_along_axis(skey, part, axis=1).max(axis=1)
+                    tied = np.flatnonzero((skey <= thr[:, None]).sum(axis=1) > kk)
+                    new_s = np.take_along_axis(cand_s, part, axis=1)
+                    new_i = np.take_along_axis(cand_i, part, axis=1)
+                    for r in tied:
+                        cand = np.flatnonzero(skey[r] <= thr[r])
+                        sel = cand[np.lexsort((cand_i[r][cand], skey[r][cand]))[:kk]]
+                        new_s[r] = cand_s[r][sel]
+                        new_i[r] = cand_i[r][sel]
+                    best_s[qsel, :kk] = new_s
+                    best_i[qsel, :kk] = new_i
             if not seen:
                 return
             valid = (best_i.ravel() >= 0) & np.isfinite(best_s.ravel())

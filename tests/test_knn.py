@@ -99,3 +99,22 @@ def test_deleted_mask(docs, queries, spark):
     with_del = docs.withColumn("_deleted", F.col("_docid") % 2 == 0)
     res = knn.knn_join(with_del, queries, k=5, metric="IP")
     assert all(r._docid % 2 == 1 for r in res.collect())
+
+
+def test_scan_kernel_tie_order_on_duplicate_vectors(spark):
+    """Exact duplicate vectors tie on every metric; the scan kernel's
+    partition-local top-k must keep the SMALLEST docids among boundary
+    ties, matching the window-path (oracle) tie order."""
+    base = [[1.0, 0.0], [0.9, 0.1], [0.5, 0.5]]
+    rows = []
+    for rep in range(6):  # 18 docs: six copies of each vector
+        for j, v in enumerate(base):
+            rows.append((rep * 3 + j, v))
+    docs = spark.createDataFrame(rows, "_docid long, embedding array<float>")
+    queries = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<float>")
+    for metric in ("IP", "L2", "COSINE"):
+        a = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in
+             knn.knn_scan(docs, queries, k=4, metric=metric).collect()}
+        b = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in
+             knn.knn_join(docs, queries, k=4, metric=metric).collect()}
+        assert a == b, metric
