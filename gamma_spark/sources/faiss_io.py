@@ -130,9 +130,11 @@ def _read_flat(r: _Reader, fourcc: bytes) -> tuple[dict, np.ndarray]:
 def parse_faiss(path: str) -> dict:
     """Parse a faiss index file into numpy structures.
 
-    Returns for flat indexes: {kind: 'flat', metric, vectors}; for
-    IVFFlat: {kind: 'ivfflat', metric, centroids, lists: [(ids,
-    vectors), ...], nprobe}.
+    Returns for flat indexes: {kind: 'flat', metric, vectors[, ids]}
+    (ids present when wrapped in IndexIDMap); for IVFFlat: {kind:
+    'ivfflat', metric, centroids, lists: [(ids, vectors), ...],
+    nprobe}; for IVFPQ: {kind: 'ivfpq', ..., codebooks, nsubvector,
+    by_residual, lists: [(ids, codes), ...]}.
     """
     with open(path, "rb") as fh:
         r = _Reader(fh)
