@@ -802,3 +802,55 @@ FROM {table} a JOIN {table} b
   ON a.{id_col} < b.{id_col} AND {band_a} = {band_b}
 WHERE {cos} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Dolma): flag every
+    training document that shares at least one word ``n``-gram with any
+    document in the (much smaller) eval set. Returns
+    (id, n_contaminated) — the count of *distinct* training-doc
+    shingles that also occur somewhere in the eval set; clean docs are
+    absent.
+
+    Scale shape: the eval side collapses to a DISTINCT shingle set and
+    is broadcast; the training side is the usual shingle explode
+    (:func:`shingles` — the same relation the MinHash/Jaccard family
+    mines, so at 100 TB the explode is shared, not repeated). The only
+    shuffle is the per-doc count aggregation, bounded by the matched
+    shingles. No driver collect, no Python in the hot path.
+    """
+    tr = shingles(train, id_col, text_col, n)
+    ev = shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+def sql_decontaminate(
+    train_sql: str,
+    eval_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+) -> str:
+    """DuckDB twin of :func:`decontaminate` over two table expressions."""
+    tr = sql_shingles(f"({train_sql})", id_col, text_col, n)
+    ev = sql_shingles(f"({eval_sql})", id_col, text_col, n)
+    return f"""
+WITH tr AS ({tr}), ev AS (SELECT DISTINCT shingle FROM ({ev}) e)
+SELECT {id_col}, count(*) AS n_contaminated
+FROM tr JOIN ev USING (shingle)
+GROUP BY {id_col}
+"""

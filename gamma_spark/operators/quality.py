@@ -1,0 +1,158 @@
+"""Repetition / quality signals for training-data curation
+(Gopher-rule family: Rae et al. 2021 §A1.1, RefinedWeb / Dolma filters).
+
+The reference has no text analytics at all (SURVEY §2.6); these are
+north-star LLM-pipeline operators over the ``documents`` table,
+complementing the pure-projection signals in
+:mod:`gamma_spark.functions.text` with the *distributional* ones that
+need a per-document group-by:
+
+- ``dup_token_fraction``  — 1 − |distinct tokens| / |tokens| (pure
+  array expression, no shuffle);
+- ``top_bigram_fraction`` — share of the document's bigrams taken by
+  its most frequent bigram (repetition smell);
+- ``token_entropy``       — Shannon entropy of the unigram
+  distribution in nats (low entropy ⇒ template/spam).
+
+Scale shape: two explode → map-side-combinable count aggregations
+(unigrams, bigrams), keyed by (doc, gram) then reduced per doc — the
+same two-shuffle shape at any corpus size, no driver collects, no
+Python in the hot path. Token counts ``n``/``m`` ride the grouping key
+(functionally dependent on the doc) so no join back to the corpus is
+needed; the final assembly joins three doc-keyed relations of one row
+per doc each.
+
+Determinism contract: entropy terms are scalar doubles rounded to 7
+decimals and summed as DECIMAL(20,7) (exact, order-free), then cast
+back to double — the money-aggregate convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gamma_spark.functions import text as T
+
+
+def _bigrams(toks):
+    """Adjacent-token bigram array (order-preserving)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+        ),
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, dup_token_fraction, top_bigram_fraction,
+    token_entropy) — one row per input document (docs with < 2 tokens
+    get a 0.0 top_bigram_fraction)."""
+    toks = T.tokens(text_col)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("t"),
+        F.size(toks).alias("n"),
+    )
+    flat = base.select(
+        id_col,
+        "n",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("t")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("dup_token_fraction"),
+    )
+    # unigram distribution -> entropy; n rides the key (dep. on doc id)
+    uni = (
+        base.select(id_col, "n", F.explode("t").alias("g"))
+        .groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        uni.select(
+            id_col,
+            F.round(-p * F.log(p), 7).cast("decimal(20,7)").alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("e").cast("double").alias("token_entropy"))
+    )
+    # bigram distribution -> top-gram share
+    big = (
+        base.filter(F.col("n") >= 2)
+        .select(id_col, (F.col("n") - 1).alias("m"), F.explode(_bigrams(F.col("t"))).alias("g"))
+        .groupBy(id_col, "m", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c").cast("double") / F.first("m").cast("double")).alias(
+                "top_bigram_fraction"
+            )
+        )
+    )
+    return (
+        flat.join(ent, id_col, "left")
+        .join(big, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_tokens"),
+            "dup_token_fraction",
+            F.coalesce("top_bigram_fraction", F.lit(0.0)).alias(
+                "top_bigram_fraction"
+            ),
+            F.coalesce("token_entropy", F.lit(0.0)).alias("token_entropy"),
+        )
+    )
+
+
+def sql_repetition_signals(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`repetition_signals`."""
+    toks = T.sql_tokens(text_col)
+    return f"""
+WITH base AS (SELECT {id_col}, {toks} AS t, len({toks}) AS n FROM {table}),
+flat AS (
+  SELECT {id_col}, n,
+         1.0 - len(list_distinct(t))::DOUBLE / n::DOUBLE AS dup_token_fraction
+  FROM base
+),
+uni AS (
+  SELECT {id_col}, n, g, count(*) AS c
+  FROM (SELECT {id_col}, n, unnest(t) AS g FROM base) u
+  GROUP BY 1, 2, 3
+),
+ent AS (
+  SELECT {id_col},
+         (sum(round(-(c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE),
+                    7)::DECIMAL(20,7)))::DOUBLE AS token_entropy
+  FROM uni GROUP BY {id_col}
+),
+bigc AS (
+  SELECT {id_col}, m, g, count(*) AS c
+  FROM (
+    SELECT {id_col}, n - 1 AS m,
+           unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS g
+    FROM base WHERE n >= 2
+  ) u
+  GROUP BY 1, 2, 3
+),
+big AS (
+  SELECT {id_col}, max(c)::DOUBLE / first(m)::DOUBLE AS top_bigram_fraction
+  FROM bigc GROUP BY {id_col}
+)
+SELECT flat.{id_col},
+       flat.n::BIGINT AS n_tokens,
+       flat.dup_token_fraction,
+       coalesce(big.top_bigram_fraction, 0.0) AS top_bigram_fraction,
+       coalesce(ent.token_entropy, 0.0) AS token_entropy
+FROM flat
+LEFT JOIN ent USING ({id_col})
+LEFT JOIN big USING ({id_col})
+"""

@@ -1,0 +1,238 @@
+"""BM25 keyword retrieval + reciprocal-rank-fusion hybrid search.
+
+Beyond-reference capability (north-star extension, BASELINE.json):
+gamma retrieves by vector similarity only — its TermFilter is a hard
+predicate, not a scorer (SURVEY §2.3). A training-data / search engine
+at 100 TB also needs lexical retrieval and a way to fuse it with the
+kNN path ("hybrid search"). BM25 (Robertson et al.; the Lucene
+``k1/b`` variant) is the standard lexical scorer, and reciprocal-rank
+fusion (Cormack, Clarke & Buettcher, SIGIR'09) is the standard
+score-free fusion rule, so both are implemented here Spark-first:
+
+- the postings relation is ONE explode + map-side-combinable count —
+  the only corpus-sized shuffle;
+- every join against the corpus-sized side is broadcast (query terms,
+  per-term document frequencies, the 1-row corpus stats);
+- the per-(query, doc) score aggregation touches only postings that
+  match a query term (semi-join-pruned), so its shuffle volume is
+  bounded by the matched postings, not the corpus;
+- final top-k goes through the shared heap-friendly
+  :func:`gamma_spark.operators.topk.topk`.
+
+Determinism contract (driver value-hash): each per-term contribution
+is a scalar double expression (bit-stable given identical inputs),
+rounded to 7 decimals and summed as DECIMAL(20,7) — exact and
+order-independent — then cast back to double, mirroring the
+money-aggregate convention in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gamma_spark.functions import text as T
+from gamma_spark.operators.topk import topk
+
+#: Lucene-default BM25 parameters.
+BM25_K1 = 1.2
+BM25_B = 0.75
+#: RRF smoothing constant (SIGIR'09 uses 60).
+RRF_C = 60
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term, tf, dl): term frequencies plus the doc's token count.
+
+    One explode + one map-side-combinable aggregation; ``dl`` rides the
+    grouping key (functionally dependent on the doc id) so document
+    lengths need no second corpus pass.
+    """
+    toks = T.tokens(text_col)
+    return (
+        docs.select(
+            F.col(id_col).alias("_docid"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("_docid", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def sql_term_postings(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT _docid, dl, term, count(*) AS tf
+FROM (
+  SELECT {id_col} AS _docid, len(t) AS dl, unnest(t) AS term
+  FROM (SELECT {id_col}, {T.sql_tokens(text_col)} AS t FROM {table}) s
+) u
+GROUP BY 1, 2, 3
+"""
+
+
+def _contrib(avgdl_col, n_col, k1: float, b: float):
+    """Per-(query-term, doc) BM25 contribution as a scalar double
+    expression: idf(term) * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    Inputs are exact ints (tf, dl, df, N) and one exact ratio (avgdl),
+    so the expression is bit-stable across engines up to libm `ln`
+    ulps, which the round-to-7 kills."""
+    idf = F.log(
+        F.lit(1.0)
+        + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_col
+    )
+    return idf * tf * F.lit(k1 + 1.0) / denom
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 retrieval: ``query_terms`` is a (qid, term) relation
+    (a few rows per query — always broadcast-sized); returns
+    (qid, _docid, score, rank).
+
+    Scale path: corpus-sized relations are only ever on the probe side
+    of broadcast joins; the score aggregation shuffles only postings
+    whose term appears in some query.
+    """
+    postings = term_postings(docs, id_col, text_col)
+    qset = query_terms.select("term").distinct()
+    # semi-join-prune the postings before anything heavy
+    tpost = postings.join(F.broadcast(qset), "term")
+    # per-term document frequency over the FULL corpus (tpost keeps
+    # every doc containing the term; one tiny agg over pruned postings)
+    dfs = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(T.tokens(text_col))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    cand = (
+        tpost.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(query_terms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = _contrib(F.col("avgdl"), F.col("n_docs"), k1, b)
+    scores = (
+        cand.select(
+            "qid",
+            "_docid",
+            F.round(contrib, 7).cast("decimal(20,7)").alias("c"),
+        )
+        .groupBy("qid", "_docid")
+        .agg(F.sum("c").cast("double").alias("score"))
+    )
+    return topk(
+        scores, ["qid"], "score", k, ascending=False, tiebreak_cols=["_docid"]
+    ).select("qid", "_docid", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_bm25_search(
+    table: str,
+    query_terms_sql: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_search` (same rounding + decimal sum)."""
+    return f"""
+WITH post AS ({sql_term_postings(table, id_col, text_col)}),
+q AS ({query_terms_sql}),
+tpost AS (SELECT post.* FROM post JOIN (SELECT DISTINCT term FROM q) qs USING (term)),
+dfs AS (SELECT term, count(*) AS df FROM tpost GROUP BY term),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum(len({T.sql_tokens(text_col)}))::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM {table}
+),
+cand AS (
+  SELECT q.qid, tpost._docid,
+         round(
+           ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tpost.tf::DOUBLE * {k1 + 1.0}
+           / (tpost.tf::DOUBLE + {k1} * ({1.0 - b} + {b} * tpost.dl / stats.avgdl)),
+           7)::DECIMAL(20,7) AS c
+  FROM tpost JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN stats
+),
+scores AS (
+  SELECT qid, _docid, (sum(c))::DOUBLE AS score
+  FROM cand GROUP BY qid, _docid
+)
+SELECT qid, _docid, score, rank FROM (
+  SELECT qid, _docid, score,
+         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, _docid ASC))::INT AS rank
+  FROM scores
+) r WHERE rank <= {k}
+"""
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Reciprocal-rank fusion: each input is (qid, _docid, rank);
+    fused score = Σ_i 1/(c + rank_i) over the systems that returned the
+    doc (absent system contributes 0 — RRF's union semantics, unlike
+    gamma's R2 intersection). Returns (qid, _docid, score, rank).
+
+    The fused score is a fixed-arity scalar sum of coalesced doubles —
+    no aggregation, so no float-order nondeterminism. Inputs are top-k
+    relations (k rows per query), so every join here is tiny.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    sides = [
+        r.select("qid", "_docid", F.col("rank").alias(f"_r{i}"))
+        for i, r in enumerate(rankings)
+    ]
+    j = sides[0]
+    for s in sides[1:]:
+        j = j.join(s, ["qid", "_docid"], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(c).cast("double") + F.col(f"_r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    fused = j.select("qid", "_docid", score.alias("score"))
+    return topk(
+        fused, ["qid"], "score", k, ascending=False, tiebreak_cols=["_docid"]
+    ).select("qid", "_docid", "score", F.col("rank").cast("int").alias("rank"))
+
+
+def sql_rrf_fuse(ranking_sqls: list[str], k: int = 10, c: int = RRF_C) -> str:
+    """DuckDB twin of :func:`rrf_fuse` over the same ranking SQLs."""
+    ctes = ",\n".join(f"r{i} AS ({s})" for i, s in enumerate(ranking_sqls))
+    joins = "r0"
+    for i in range(1, len(ranking_sqls)):
+        joins = f"({joins} FULL OUTER JOIN r{i} USING (qid, _docid))"
+    terms = " + ".join(
+        f"coalesce(1.0 / ({c}::DOUBLE + r{i}.rank), 0.0)"
+        for i in range(len(ranking_sqls))
+    )
+    return f"""
+WITH {ctes},
+fused AS (SELECT qid, _docid, {terms} AS score FROM {joins})
+SELECT qid, _docid, score, rank FROM (
+  SELECT qid, _docid, score,
+         (row_number() OVER (PARTITION BY qid ORDER BY score DESC, _docid ASC))::INT AS rank
+  FROM fused
+) r WHERE rank <= {k}
+"""

@@ -1,0 +1,136 @@
+"""BM25 lexical retrieval, RRF hybrid fusion, repetition signals and
+decontamination (round-5 north-star operators): semantic checks against
+hand-computed references plus determinism properties."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import dedup as D
+from gamma_spark.operators import retrieval as R
+from gamma_spark.operators.quality import repetition_signals
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark runs fast queries"),
+        (1, "spark shuffles data fast"),
+        (2, "ducks swim on the pond"),
+        (3, "the pond is calm today"),
+        (4, "fast fast fast spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_reference(corpus_rows, qterms, k1=R.BM25_K1, b=R.BM25_B):
+    """Plain-python BM25 (Lucene variant) for the expected scores."""
+    docs = {i: t.split(" ") for i, t in corpus_rows}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    scores = {}
+    for term in qterms:
+        df = sum(1 for t in docs.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i, toks in docs.items():
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            contrib = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            scores[i] = scores.get(i, 0.0) + round(contrib, 7)
+    return scores
+
+
+def test_bm25_matches_reference(spark, corpus):
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "fast"), (1, "pond")], "qid long, term string"
+    )
+    got = {
+        (r.qid, r._docid): r.score
+        for r in R.bm25_search(corpus, qt, k=5).collect()
+    }
+    rows = [(r.doc_id, r.text) for r in corpus.collect()]
+    want0 = _bm25_reference(rows, ["spark", "fast"])
+    want1 = _bm25_reference(rows, ["pond"])
+    for (qid, doc), score in got.items():
+        want = (want0 if qid == 0 else want1)[doc]
+        assert score == pytest.approx(want, abs=1e-6), (qid, doc)
+    # ranking: doc 4 says "fast" 3x + "spark" -> top for query 0
+    ranks = {
+        (r.qid, r.rank): r._docid for r in R.bm25_search(corpus, qt, k=5).collect()
+    }
+    assert ranks[(0, 1)] == 4
+    # query 1 only matches the two pond docs
+    assert {d for (q, _), d in ranks.items() if q == 1} == {2, 3}
+
+
+def test_bm25_respects_k_and_ties(spark, corpus):
+    qt = spark.createDataFrame([(7, "the")], "qid long, term string")
+    out = R.bm25_search(corpus, qt, k=1).collect()
+    assert len(out) == 1 and out[0].rank == 1
+    # both pond docs contain "the" once with equal dl -> tie broken by _docid
+    assert out[0]._docid == 2
+
+
+def test_rrf_union_semantics(spark):
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)], "qid long, _docid long, rank int")
+    b = spark.createDataFrame([(0, 11, 1), (0, 12, 2)], "qid long, _docid long, rank int")
+    got = {r._docid: r.score for r in R.rrf_fuse([a, b], k=10).collect()}
+    c = R.RRF_C
+    assert set(got) == {10, 11, 12}  # union, not intersection
+    assert got[11] == pytest.approx(1 / (c + 2) + 1 / (c + 1))
+    assert got[10] == pytest.approx(1 / (c + 1))
+    assert got[12] == pytest.approx(1 / (c + 2))
+    # doc present in both systems outranks single-system docs here
+    ranks = {r.rank: r._docid for r in R.rrf_fuse([a, b], k=10).collect()}
+    assert ranks[1] == 11
+
+
+def test_repetition_signals_hand_computed(spark):
+    df = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    row = repetition_signals(df).collect()[0]
+    assert row.n_tokens == 4
+    assert row.dup_token_fraction == pytest.approx(1 - 2 / 4)
+    # bigrams: "a a" x2, "a b" x1 -> 2/3
+    assert row.top_bigram_fraction == pytest.approx(2 / 3)
+    want_ent = -(0.75 * math.log(0.75)) - (0.25 * math.log(0.25))
+    assert row.token_entropy == pytest.approx(want_ent, abs=1e-6)
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x x x x")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # single token: no bigrams, zero entropy, no dup
+    assert rows[0].top_bigram_fraction == 0.0
+    assert rows[0].token_entropy == 0.0
+    assert rows[0].dup_token_fraction == 0.0
+    # pure repetition: entropy 0, everything duplicated
+    assert rows[1].token_entropy == 0.0
+    assert rows[1].dup_token_fraction == pytest.approx(0.75)
+    assert rows[1].top_bigram_fraction == pytest.approx(1.0)
+
+
+def test_decontaminate_planted(spark):
+    shared = "one two three four five six"
+    train = spark.createDataFrame(
+        [(0, f"clean text with no overlap at all padding words here"),
+         (1, f"prefix {shared} suffix tokens")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(100, f"{shared} tail")], "doc_id long, text string")
+    got = {r.doc_id: r.n_contaminated for r in
+           D.decontaminate(train, ev, n=6).collect()}
+    assert 1 in got and 0 not in got
+    assert got[1] >= 1
+
+
+def test_bm25_plan_broadcasts_query_side(spark, corpus):
+    qt = spark.createDataFrame([(0, "spark")], "qid long, term string")
+    plan = R.bm25_search(corpus, qt, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
