@@ -223,6 +223,10 @@ def main():
     run("vearch_build_search_512q", lambda: bench_vearch(spark, sf_dir))
     run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
     run("pack_sequences", lambda: qs["pack_sequences"](spark, sf_dir).count())
+    run("bm25_topk", lambda: qs["bm25_topk"](spark, sf_dir).count())
+    run("hybrid_rrf", lambda: qs["hybrid_rrf"](spark, sf_dir).count())
+    run("quality_signals", lambda: qs["quality_signals"](spark, sf_dir).count())
+    run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir).count())
     run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
     run("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
     run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))

@@ -34,7 +34,12 @@ __all__ = [
     "BucketedDocStore",
     "SearchRequest",
     "VectorQuery",
+    "TextQuery",
     "search",
+    "bm25_search",
+    "rrf_fuse",
+    "repetition_signals",
+    "decontaminate",
     "RangeFilter",
     "TermFilter",
     "get_model",
@@ -58,7 +63,7 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.table import BucketedDocStore
 
         return BucketedDocStore
-    if name in ("SearchRequest", "VectorQuery", "search"):
+    if name in ("SearchRequest", "VectorQuery", "TextQuery", "search"):
         from gamma_spark.plans import search as _s
 
         return getattr(_s, name)
@@ -66,6 +71,18 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark import filters as _f
 
         return getattr(_f, name)
+    if name in ("bm25_search", "rrf_fuse"):
+        from gamma_spark.operators import retrieval as _r
+
+        return getattr(_r, name)
+    if name == "repetition_signals":
+        from gamma_spark.operators.quality import repetition_signals
+
+        return repetition_signals
+    if name == "decontaminate":
+        from gamma_spark.operators.dedup import decontaminate
+
+        return decontaminate
     if name == "get_model":
         from gamma_spark.operators.ann import get_model
 

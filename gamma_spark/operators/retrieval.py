@@ -73,23 +73,6 @@ GROUP BY 1, 2, 3
 """
 
 
-def _contrib(avgdl_col, n_col, k1: float, b: float):
-    """Per-(query-term, doc) BM25 contribution as a scalar double
-    expression: idf(term) * tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
-    Inputs are exact ints (tf, dl, df, N) and one exact ratio (avgdl),
-    so the expression is bit-stable across engines up to libm `ln`
-    ulps, which the round-to-7 kills."""
-    idf = F.log(
-        F.lit(1.0)
-        + (n_col - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf = F.col("tf").cast("double")
-    denom = tf + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_col
-    )
-    return idf * tf * F.lit(k1 + 1.0) / denom
-
-
 def bm25_search(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -98,6 +81,7 @@ def bm25_search(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    champions: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 retrieval: ``query_terms`` is a (qid, term) relation
     (a few rows per query — always broadcast-sized); returns
@@ -105,15 +89,19 @@ def bm25_search(
 
     Scale path: corpus-sized relations are only ever on the probe side
     of broadcast joins; the score aggregation shuffles only postings
-    whose term appears in some query.
+    whose term appears in some query. When query terms are high-df
+    (stop-word-like), that volume is |matching docs| × |query terms| —
+    ``champions=R`` bounds it with the classic impact-ordered champion
+    list (Manning/Raghavan/Schütze IR §7.1.3): keep only each term's R
+    best postings by the tf-normalization (the within-term BM25 order —
+    idf is constant per term, so this IS the per-term score order),
+    making the aggregation O(|terms|·R). Approximate in the same sense
+    an IVF probe is (a doc mediocre on every term can drop out);
+    measured overlap@10 at the rehearsal shape is in docs/SCALING.md,
+    and the exact mode stays the oracle-checked default.
     """
     postings = term_postings(docs, id_col, text_col)
     qset = query_terms.select("term").distinct()
-    # semi-join-prune the postings before anything heavy
-    tpost = postings.join(F.broadcast(qset), "term")
-    # per-term document frequency over the FULL corpus (tpost keeps
-    # every doc containing the term; one tiny agg over pruned postings)
-    dfs = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
@@ -121,17 +109,37 @@ def bm25_search(
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    cand = (
-        tpost.join(F.broadcast(dfs), "term")
-        .join(F.broadcast(query_terms), "term")
-        .crossJoin(F.broadcast(stats))
+    # semi-join-prune the postings before anything heavy
+    tpost = postings.join(F.broadcast(qset), "term")
+    # per-term document frequency over the FULL corpus (tpost keeps
+    # every doc containing the term; one tiny agg over pruned postings)
+    dfs = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # tf-normalization tfn = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl));
+    # contribution = idf · tfn (same association on the oracle side)
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
-    contrib = _contrib(F.col("avgdl"), F.col("n_docs"), k1, b)
+    scored = tpost.crossJoin(F.broadcast(stats)).withColumn(
+        "tfn", tf * F.lit(k1 + 1.0) / denom
+    )
+    if champions is not None:
+        scored = topk(
+            scored, ["term"], "tfn", champions,
+            ascending=False, rank_col=None, tiebreak_cols=["_docid"],
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    cand = scored.join(F.broadcast(dfs), "term").join(
+        F.broadcast(query_terms), "term"
+    )
     scores = (
         cand.select(
             "qid",
             "_docid",
-            F.round(contrib, 7).cast("decimal(20,7)").alias("c"),
+            F.round(idf * F.col("tfn"), 7).cast("decimal(20,7)").alias("c"),
         )
         .groupBy("qid", "_docid")
         .agg(F.sum("c").cast("double").alias("score"))
@@ -162,11 +170,12 @@ stats AS (
   FROM {table}
 ),
 cand AS (
+  -- same association order as the Spark side: idf * (tf*(k1+1)/denom)
   SELECT q.qid, tpost._docid,
          round(
            ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tpost.tf::DOUBLE * {k1 + 1.0}
-           / (tpost.tf::DOUBLE + {k1} * ({1.0 - b} + {b} * tpost.dl / stats.avgdl)),
+           * (tpost.tf::DOUBLE * {k1 + 1.0}
+              / (tpost.tf::DOUBLE + {k1} * ({1.0 - b} + {b} * tpost.dl / stats.avgdl))),
            7)::DECIMAL(20,7) AS c
   FROM tpost JOIN dfs USING (term) JOIN q USING (term) CROSS JOIN stats
 ),

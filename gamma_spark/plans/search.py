@@ -68,10 +68,32 @@ class VectorQuery:
 
 
 @dataclass
+class TextQuery:
+    """One lexical (BM25) query leg — beyond-reference capability
+    (gamma's TermFilter is a hard predicate, never a scorer; SURVEY
+    §2.3). ``query_terms`` is a (qid, term) relation, broadcast-sized
+    by construction. ``champions`` enables impact-ordered per-term
+    pruning for stop-word-heavy workloads (the lexical analogue of an
+    IVF nprobe)."""
+
+    query_terms: DataFrame  # (qid, term)
+    text_field: str = "text"
+    k1: float = 1.2
+    b: float = 0.75
+    champions: int | None = None
+
+
+@dataclass
 class SearchRequest:
     """Request analogue: filters AND'd, one or more vector queries."""
 
     vector_queries: list[VectorQuery] = dc_field(default_factory=list)
+    #: lexical legs; combined with the vector legs by reciprocal-rank
+    #: fusion (union semantics across *systems*, unlike R2's
+    #: intersection across *vector fields*)
+    text_queries: list = dc_field(default_factory=list)
+    #: per-system candidate-pool size before RRF (defaults to topn)
+    fusion_pool: int | None = None
     filters: list = dc_field(default_factory=list)
     topn: int = 10
     fields: list[str] | None = None  # projection (P1)
@@ -104,8 +126,15 @@ def search(
     if extra_predicate is not None:
         pred = extra_predicate if pred is None else (pred & extra_predicate)
 
-    if not request.vector_queries:
+    if not request.vector_queries and not request.text_queries:
         return GF.filter_only_query(docs, request.filters, request.topn)
+
+    # hybrid requests retrieve a per-system pool, then RRF down to topn
+    pool = (
+        request.fusion_pool or request.topn
+        if request.text_queries
+        else request.topn
+    )
 
     per_field = []
     for vq in request.vector_queries:
@@ -118,7 +147,7 @@ def search(
             # is threaded into the scan kernels (pre-top-k, SURVEY O1)
             hits = index.knn_join_distributed(
                 vq.queries,
-                k=request.topn,
+                k=pool,
                 metric=vq.metric,
                 predicate=pred,
                 min_score=vq.min_score,
@@ -130,7 +159,7 @@ def search(
             hits = index.search(
                 docs,
                 vq.queries,
-                k=request.topn,
+                k=pool,
                 metric=vq.metric,
                 doc_vec=vq.field,
                 predicate=pred,
@@ -156,7 +185,7 @@ def search(
             hits = kernel(
                 docs,
                 vq.queries,
-                k=request.topn,
+                k=pool,
                 metric=vq.metric,
                 doc_vec=vq.field,
                 predicate=pred,
@@ -166,16 +195,46 @@ def search(
             )
         per_field.append(hits)
 
-    if len(per_field) == 1:
+    if not per_field:
+        result = None
+    elif len(per_field) == 1:
         result = per_field[0]
     else:
         result = fuse(
             per_field,
             boosts=[vq.boost for vq in request.vector_queries],
             metric=request.vector_queries[0].metric,
-            k=request.topn,
+            k=pool,
             rank=request.multi_vector_rank,
         )
+
+    if request.text_queries:
+        # lexical legs score the SAME filtered relation (F6 ∧ BM25 —
+        # pre-filter semantics, like the vector kernels), then the
+        # fused vector ranking and each lexical ranking meet as
+        # independent systems under RRF
+        from gamma_spark.operators.retrieval import bm25_search, rrf_fuse
+
+        filtered = docs.filter(pred) if pred is not None else docs
+        systems = [result] if result is not None else []
+        for tq in request.text_queries:
+            systems.append(
+                bm25_search(
+                    filtered,
+                    tq.query_terms,
+                    k=pool,
+                    id_col="_docid",
+                    text_col=tq.text_field,
+                    k1=tq.k1,
+                    b=tq.b,
+                    champions=tq.champions,
+                )
+            )
+        if len(systems) > 1:
+            result = rrf_fuse(systems, k=request.topn)
+        else:
+            # lexical-only request: the pool IS the result set
+            result = systems[0].filter(F.col("rank") <= request.topn)
 
     if request.fields or request.source_fields:
         cols = [F.col(c) for c in (request.fields or [])]

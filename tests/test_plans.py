@@ -211,3 +211,65 @@ def test_pack_contiguous_no_global_window(documents):
     assert "HashAggregate" in plan
     # and the offsets come back via broadcast, not a shuffled join
     assert "BroadcastExchange" in plan
+
+
+def test_search_request_hybrid_text_vector(spark, docs, queries, documents):
+    """Hybrid request: one vector leg + one BM25 leg over the shared
+    doc_id/vec_id key space, fused by RRF; filters pre-filter BOTH
+    systems (F6 AND BM25 AND kNN)."""
+    from gamma_spark.plans.search import (
+        SearchRequest, TextQuery, VectorQuery, search,
+    )
+
+    hdocs = docs.join(
+        documents.select(F.col("doc_id").alias("_docid"), "text"), "_docid"
+    )
+    qt = documents.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.slice(F.split("text", " "), 1, 3)).alias("term"),
+    ).distinct()
+    req = SearchRequest(
+        vector_queries=[
+            VectorQuery(field="embedding", queries=queries, metric="L2")
+        ],
+        text_queries=[TextQuery(query_terms=qt)],
+        topn=5,
+        fusion_pool=20,
+    )
+    out = search(hdocs, req)
+    rows = out.collect()
+    assert {r.qid for r in rows} <= {0, 1, 2, 3}
+    assert all(1 <= r.rank <= 5 for r in rows)
+    # the vector leg's own best hit (qid == _docid, distance 0) should
+    # survive fusion for every query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, set()).add(r._docid)
+    for q, got in by_q.items():
+        assert q in got
+
+    # filtered hybrid: a predicate must constrain both systems
+    req2 = SearchRequest(
+        vector_queries=[
+            VectorQuery(field="embedding", queries=queries, metric="L2")
+        ],
+        text_queries=[TextQuery(query_terms=qt)],
+        topn=5,
+    )
+    out2 = search(hdocs, req2, extra_predicate=F.col("_docid") >= 100)
+    assert all(r._docid >= 100 for r in out2.collect())
+
+
+def test_search_request_text_only(spark, documents):
+    """Lexical-only request goes through the planner (no vector leg)."""
+    from gamma_spark.plans.search import SearchRequest, TextQuery, search
+
+    hdocs = documents.select(F.col("doc_id").alias("_docid"), "text")
+    qt = documents.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.slice(F.split("text", " "), 1, 3)).alias("term"),
+    ).distinct()
+    out = search(hdocs, SearchRequest(text_queries=[TextQuery(query_terms=qt)], topn=3))
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
+    assert all(r.rank <= 3 for r in rows)

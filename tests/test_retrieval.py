@@ -134,3 +134,35 @@ def test_bm25_plan_broadcasts_query_side(spark, corpus):
     plan = R.bm25_search(corpus, qt, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_champions_degenerate_exact(spark, corpus):
+    """champions >= corpus size keeps every posting -> identical to
+    the exact mode, scores included (the IVF nprobe=ncentroids
+    pattern applied to lexical retrieval)."""
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "fast"), (1, "the")], "qid long, term string"
+    )
+    exact = sorted(
+        (r.qid, r._docid, r.score, r.rank)
+        for r in R.bm25_search(corpus, qt, k=5).collect()
+    )
+    champ = sorted(
+        (r.qid, r._docid, r.score, r.rank)
+        for r in R.bm25_search(corpus, qt, k=5, champions=100).collect()
+    )
+    assert exact == champ
+
+
+def test_bm25_champions_prunes_per_term(spark, corpus):
+    """champions=1 keeps only each term's best doc: query 0's result
+    set is at most one doc per query term."""
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "pond")], "qid long, term string"
+    )
+    out = R.bm25_search(corpus, qt, k=5, champions=1).collect()
+    assert len(out) <= 2
+    # "spark": docs 0/1/4 tie on tf-normalization (tf=1, dl=4) -> the
+    # _docid tiebreak keeps doc 0; "pond": docs 2/3 tie -> doc 2
+    docs_hit = {r._docid for r in out}
+    assert docs_hit == {0, 2}

@@ -1,0 +1,127 @@
+"""BM25 + RRF scale rehearsal: 1M synthetic documents (~200x the sf0.1
+documents table), a 512-query batch, through the full postings ->
+semi-join-pruned scoring -> top-k pipeline, plus the quality-signal and
+decontamination passes at the same scale.
+
+Validates the 100 TB design claims: the only corpus-sized shuffles are
+the postings/gram aggregations (map-side combinable), every join
+against a corpus-sized relation is broadcast, and wall time is linear
+in corpus bytes.
+
+Usage: python tools/scale_check_bm25.py [n_docs] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gamma_spark.operators import dedup as D  # noqa: E402
+from gamma_spark.operators import retrieval as R  # noqa: E402
+from gamma_spark.operators.quality import repetition_signals  # noqa: E402
+from gamma_spark.session import get_spark  # noqa: E402
+
+#: retrieval rehearsals need a REALISTIC term distribution: the
+#: uniform 500-word corpus in scale_check_text has constant dl=80 and
+#: tf ∈ {1,2} for every (term, doc) — the within-term BM25 order is
+#: then one giant tie and any champion cut is arbitrary (measured
+#: overlap@10 ≈ 0.02). A Zipfian vocabulary with lognormal-ish doc
+#: lengths is the published IR workload shape and what a 100 TB web
+#: corpus actually looks like.
+VOCAB = 50_000
+ZIPF_A = 1.4
+
+
+def make_zipf_corpus(spark, n: int):
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for i in ids:
+                rng = np.random.default_rng(777 + int(i))
+                dl = int(np.clip(rng.lognormal(4.2, 0.6), 20, 400))
+                toks = (rng.zipf(ZIPF_A, size=dl) - 1) % VOCAB
+                texts.append(" ".join(f"w{t}" for t in toks))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return spark.range(n).repartition(32).mapInPandas(
+        gen, schema="doc_id long, text string"
+    )
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    spark = get_spark("bm25-scale")
+    docs = make_zipf_corpus(spark, n).cache()
+    docs.count()
+    results = {"n_docs": n, "n_queries": nq}
+
+    # queries: 1 hot head term + 3 mid-frequency terms per query,
+    # deterministic per qid (the mixed-selectivity shape real query
+    # logs have)
+    import pandas as pd
+
+    rows = []
+    for q in range(nq):
+        rows.append((q, f"w{q % 20}"))  # head term (stop-word-like)
+        for j in range(3):
+            rows.append((q, f"w{100 + (q * 7 + j * 131) % 2000}"))  # mid band
+    qterms = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["qid", "term"])
+    ).distinct().cache()
+    qterms.count()
+
+    t0 = time.time()
+    exact = R.bm25_search(docs, qterms, k=10).cache()
+    n_hits = exact.count()
+    results["bm25_exact_sec"] = round(time.time() - t0, 2)
+    results["bm25_hits"] = n_hits
+
+    # champion-list mode: impact-ordered per-term pruning bounds the
+    # score-agg volume when query terms are stop-word-like (this
+    # synthetic 500-word vocab is the worst case: every term matches
+    # ~15% of the corpus)
+    t0 = time.time()
+    champ = R.bm25_search(docs, qterms, k=10, champions=1000).cache()
+    champ.count()
+    results["bm25_champions1000_sec"] = round(time.time() - t0, 2)
+    inter = exact.select("qid", "_docid").intersect(
+        champ.select("qid", "_docid")
+    ).count()
+    results["bm25_champions_overlap_at_10"] = round(inter / max(n_hits, 1), 4)
+    exact.unpersist(), champ.unpersist()
+
+    t0 = time.time()
+    # force the full signal computation (a bare count() lets the
+    # optimizer eliminate the unique-key joins and the aggs under them)
+    sums = repetition_signals(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("token_entropy").alias("s_ent"),
+        F.sum("top_bigram_fraction").alias("s_big"),
+    ).collect()[0]
+    results["quality_signals_sec"] = round(time.time() - t0, 2)
+    assert sums.n == n and sums.s_ent > 0 and sums.s_big > 0
+
+    t0 = time.time()
+    train = docs.filter(F.col("doc_id") % 101 != 0)
+    ev = docs.filter(F.col("doc_id") % 101 == 0)
+    n_cont = D.decontaminate(train, ev, n=6).count()
+    results["decontaminate_sec"] = round(time.time() - t0, 2)
+    results["contaminated_docs"] = n_cont
+
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
