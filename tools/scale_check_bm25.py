@@ -91,15 +91,22 @@ def main():
     # score-agg volume when query terms are stop-word-like (this
     # synthetic 500-word vocab is the worst case: every term matches
     # ~15% of the corpus)
-    t0 = time.time()
-    champ = R.bm25_search(docs, qterms, k=10, champions=1000).cache()
-    champ.count()
-    results["bm25_champions1000_sec"] = round(time.time() - t0, 2)
-    inter = exact.select("qid", "_docid").intersect(
-        champ.select("qid", "_docid")
-    ).count()
-    results["bm25_champions_overlap_at_10"] = round(inter / max(n_hits, 1), 4)
-    exact.unpersist(), champ.unpersist()
+    champions = (
+        [int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 else [1000]
+    )
+    for r_champ in champions:
+        t0 = time.time()
+        champ = R.bm25_search(docs, qterms, k=10, champions=r_champ).cache()
+        champ.count()
+        results[f"bm25_champions{r_champ}_sec"] = round(time.time() - t0, 2)
+        inter = exact.select("qid", "_docid").intersect(
+            champ.select("qid", "_docid")
+        ).count()
+        results[f"bm25_champions{r_champ}_overlap_at_10"] = round(
+            inter / max(n_hits, 1), 4
+        )
+        champ.unpersist()
+    exact.unpersist()
 
     t0 = time.time()
     # force the full signal computation (a bare count() lets the
