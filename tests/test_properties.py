@@ -414,3 +414,64 @@ def test_deterministic_sample_monotone(documents_cached, frac_lo, frac_hi):
     lo = {r.doc_id for r in deterministic_sample(documents_cached, "doc_id", frac_lo).collect()}
     hi = {r.doc_id for r in deterministic_sample(documents_cached, "doc_id", frac_hi).collect()}
     assert lo <= hi
+
+
+# -- r5: lexical retrieval / quality signals ---------------------------------
+
+@settings(max_examples=6, deadline=None)
+@given(
+    nparts=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_bm25_partitioning_invariant(documents_cached, nparts, seed):
+    """BM25 results (scores included) must not depend on the physical
+    partitioning of the corpus — the decimal-sum contract at work."""
+    from gamma_spark.operators.retrieval import bm25_search
+
+    docs = documents_cached.limit(120)
+    spark = docs.sparkSession
+    rng_terms = [("q0", "the"), ("q0", f"w{seed % 5}"), ("q1", "table")]
+    qt = spark.createDataFrame(rng_terms, "qid string, term string")
+    base = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in bm25_search(docs.coalesce(1), qt, k=7).collect()
+    )
+    part = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in bm25_search(docs.repartition(nparts), qt, k=7).collect()
+    )
+    assert base == part
+
+
+@settings(max_examples=6, deadline=None)
+@given(nparts=st.integers(min_value=1, max_value=7))
+def test_repetition_signals_partitioning_invariant(documents_cached, nparts):
+    from gamma_spark.operators.quality import repetition_signals
+
+    docs = documents_cached.limit(60)
+    base = sorted(
+        (r.doc_id, r.n_tokens, str(r.dup_token_fraction),
+         str(r.top_bigram_fraction), str(r.token_entropy))
+        for r in repetition_signals(docs.coalesce(1)).collect()
+    )
+    part = sorted(
+        (r.doc_id, r.n_tokens, str(r.dup_token_fraction),
+         str(r.top_bigram_fraction), str(r.token_entropy))
+        for r in repetition_signals(docs.repartition(nparts)).collect()
+    )
+    assert base == part
+
+
+def test_decontaminate_distinct_counts(documents_cached):
+    """The post-join dedup must count DISTINCT matched shingles: a doc
+    repeating a contaminated 6-gram twice counts it once."""
+    from gamma_spark.operators.dedup import decontaminate
+
+    spark = documents_cached.sparkSession
+    six = "a b c d e f"
+    train = spark.createDataFrame(
+        [(1, f"{six} x {six} y")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, six)], "doc_id long, text string")
+    got = {r.doc_id: r.n_contaminated for r in decontaminate(train, ev, n=6).collect()}
+    assert got == {1: 1}
