@@ -175,3 +175,52 @@ def windowed_event_stats(
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming curation (r5): quality-gate micro-batches on ingest
+# ---------------------------------------------------------------------------
+
+def curate_batch(
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_token_fraction: float = 0.6,
+    min_token_entropy: float = 0.5,
+) -> DataFrame:
+    """Quality-gate one micro-batch with the repetition signals
+    (:mod:`gamma_spark.operators.quality`): keep docs whose duplicate-
+    token fraction and unigram entropy pass the Gopher-style cut.
+
+    The signals are strictly per-document, so gating a stream batch by
+    batch is EXACTLY the batch-mode gate — no cross-batch state, no
+    watermark, no approximation (unlike dedup, which needs the
+    corpus-wide pass and stays a batch/compaction job)."""
+    from gamma_spark.operators.quality import repetition_signals
+
+    sig = repetition_signals(batch_df, id_col, text_col)
+    keep = sig.filter(
+        (F.col("dup_token_fraction") <= max_dup_token_fraction)
+        & (F.col("token_entropy") >= min_token_entropy)
+    ).select(id_col)
+    return batch_df.join(keep, id_col)
+
+
+def stream_curated_appender(
+    stream_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **gate,
+):
+    """foreachBatch sink: gate each incoming micro-batch with
+    :func:`curate_batch` and append survivors to a parquet corpus —
+    the ingest edge of the curation pipeline (annotate/gate streaming,
+    dedup batch — the split a 100 TB pipeline actually runs)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch(batch_df, id_col, text_col, **gate).write.mode(
+            "append"
+        ).parquet(path)
+
+    return stream_df.writeStream.foreachBatch(handle)

@@ -237,3 +237,42 @@ def test_hnsw_micro_batch_append(spark, embeddings, tmp_path):
     )
     hits = idx.search(None, q, k=3, ef_search=64).collect()
     assert hits[0]._docid == target._docid
+
+
+def test_streaming_curation_gate_matches_batch(tmp_path, spark, documents):
+    """r5 streaming curation: per-doc quality gating micro-batch by
+    micro-batch equals the batch-mode gate over the full input (the
+    signals are per-document, so no cross-batch state exists)."""
+    from gamma_spark.streaming.incremental import (
+        curate_batch,
+        stream_curated_appender,
+    )
+
+    base = documents.limit(90).select("doc_id", "text")
+    src = str(tmp_path / "incoming")
+    for i in range(3):
+        base.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "curated")
+    stream = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_curated_appender(stream, out, max_dup_token_fraction=0.55)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r.doc_id
+        for r in curate_batch(base, max_dup_token_fraction=0.55)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    assert 0 < len(got) < 90  # the gate actually cuts something
