@@ -1764,12 +1764,14 @@ def q_bm25_topk(spark, sf_dir):
     """Lexical BM25 top-k over the documents table (beyond-reference
     capability: gamma's TermFilter is a hard predicate, never a scorer
     — SURVEY §2.3; this is the standard Lucene-style lexical leg a
-    hybrid engine needs)."""
+    hybrid engine needs). Routed through the materialized
+    ``Bm25Index`` build/search split — the production serving path —
+    whose scores are bit-identical to the ad-hoc ``bm25_search``
+    (tests/test_retrieval.py parity test)."""
     from gamma_spark.operators import retrieval as R
 
-    return R.bm25_search(
-        _t(spark, sf_dir, "documents"), _bm25_query_terms(spark, sf_dir), k=BM25_K
-    )
+    idx = R.Bm25Index.build(_t(spark, sf_dir, "documents"))
+    return idx.search(_bm25_query_terms(spark, sf_dir), k=BM25_K)
 
 
 def _sql_bm25_topk() -> str:
@@ -1845,6 +1847,41 @@ def _sql_decontaminate() -> str:
         "text",
         n=DECONTAM_N,
     )
+
+
+def q_corpus_profile(spark, sf_dir):
+    """Corpus profiling: per (lang, source) doc counts, token totals,
+    distinct fingerprints and mean quality — the relational surface ×
+    text-function integration a curation dashboard reads (pure
+    Catalyst: one map-side-combinable agg over pushed-down columns)."""
+    from gamma_spark.functions import text as T
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count("text")).cast("long").alias("total_tokens"),
+            F.countDistinct(T.fingerprint("text")).alias("distinct_fps"),
+            F.sum(F.round(T.quality_score("text"), 7).cast("decimal(20,7)"))
+            .cast("double")
+            .alias("sum_quality"),
+        )
+    )
+
+
+def _sql_corpus_profile() -> str:
+    from gamma_spark.functions import text as T
+
+    return f"""
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum({T.sql_token_count('text')})::BIGINT AS total_tokens,
+       count(DISTINCT {T.sql_fingerprint('text')}) AS distinct_fps,
+       (sum(round({T.sql_quality_score('text')}, 7)::DECIMAL(20,7)))::DOUBLE AS sum_quality
+FROM documents
+GROUP BY lang, source
+"""
 
 
 def q_ann_recall_checks(spark, sf_dir):
@@ -1927,6 +1964,7 @@ NEWLY_ADDED = {
     "hybrid_rrf",
     "quality_signals",
     "decontaminate",
+    "corpus_profile",
     "ann_recall_checks",
     "knn_ivfpq_variants_exact",
     # r4 additions (no r4 artifact was recorded; prune once one lands)
@@ -1972,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "quality_signals": q_quality_signals,
         "decontaminate": q_decontaminate,
+        "corpus_profile": q_corpus_profile,
         # r5 consolidations (4 recall gates -> 1 slot, 3 IVFPQ exact
         # variants -> 1 slot; every underlying path still hash-checked)
         "ann_recall_checks": q_ann_recall_checks,
@@ -2090,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _sql_hybrid_rrf(),
         "quality_signals": _sql_quality_signals(),
         "decontaminate": _sql_decontaminate(),
+        "corpus_profile": _sql_corpus_profile(),
         "mixture_sample": _sql_mixture_sample(),
         "pack_sequences": _sql_pack_sequences(),
         "knn_graph_exact": SQL_KNN_GRAPH,

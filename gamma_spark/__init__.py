@@ -37,6 +37,7 @@ __all__ = [
     "TextQuery",
     "search",
     "bm25_search",
+    "Bm25Index",
     "rrf_fuse",
     "repetition_signals",
     "decontaminate",
@@ -71,7 +72,7 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark import filters as _f
 
         return getattr(_f, name)
-    if name in ("bm25_search", "rrf_fuse"):
+    if name in ("bm25_search", "Bm25Index", "rrf_fuse"):
         from gamma_spark.operators import retrieval as _r
 
         return getattr(_r, name)

@@ -245,3 +245,98 @@ SELECT qid, _docid, score, rank FROM (
   FROM fused
 ) r WHERE rank <= {k}
 """
+
+
+class Bm25Index:
+    """Materialized lexical index: the postings relation (doc, term,
+    tf, dl) plus corpus stats, built ONCE and reused across requests —
+    the build/search split every retrieval model in the registry has
+    (`index/retrieval_model.h:218-310` — Indexing vs Search), applied
+    to BM25.
+
+    ``build`` runs the one corpus-sized shuffle (postings aggregation)
+    and persists it (cache or parquet); ``search`` is then pure
+    broadcast-join + bounded aggregation work per request — no corpus
+    re-tokenization. ``path=`` makes the index durable and lets a
+    100 TB deployment bucket the postings by term for co-located
+    probes.
+    """
+
+    def __init__(self, postings: DataFrame, n_docs: float, avgdl: float,
+                 k1: float = BM25_K1, b: float = BM25_B):
+        self.postings = postings
+        self.n_docs = float(n_docs)
+        self.avgdl = float(avgdl)
+        self.k1 = k1
+        self.b = b
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+        path: str | None = None,
+    ) -> "Bm25Index":
+        post = term_postings(docs, id_col, text_col)
+        if path is not None:
+            post.write.mode("overwrite").parquet(f"{path}/postings")
+            post = docs.sparkSession.read.parquet(f"{path}/postings")
+        else:
+            post = post.cache()
+        # exact corpus stats from the postings themselves (sum tf = dl)
+        row = post.agg(
+            F.countDistinct("_docid").cast("double").alias("n_docs"),
+            (
+                F.sum("tf").cast("double")
+                / F.countDistinct("_docid").cast("double")
+            ).alias("avgdl"),
+        ).collect()[0]
+        return cls(post, row.n_docs, row.avgdl, k1=k1, b=b)
+
+    def search(
+        self,
+        query_terms: DataFrame,
+        k: int = 10,
+        champions: int | None = None,
+    ) -> DataFrame:
+        """Same semantics (and bit-for-bit the same scores) as
+        :func:`bm25_search` — asserted by tests — minus the corpus
+        pass."""
+        k1, b = self.k1, self.b
+        qset = query_terms.select("term").distinct()
+        tpost = self.postings.join(F.broadcast(qset), "term")
+        dfs = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        tf = F.col("tf").cast("double")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
+        )
+        scored = tpost.withColumn("tfn", tf * F.lit(k1 + 1.0) / denom)
+        if champions is not None:
+            scored = topk(
+                scored, ["term"], "tfn", champions,
+                ascending=False, rank_col=None, tiebreak_cols=["_docid"],
+            )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(self.n_docs) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        scores = (
+            scored.join(F.broadcast(dfs), "term")
+            .join(F.broadcast(query_terms), "term")
+            .select(
+                "qid",
+                "_docid",
+                F.round(idf * F.col("tfn"), 7).cast("decimal(20,7)").alias("c"),
+            )
+            .groupBy("qid", "_docid")
+            .agg(F.sum("c").cast("double").alias("score"))
+        )
+        return topk(
+            scores, ["qid"], "score", k, ascending=False, tiebreak_cols=["_docid"]
+        ).select(
+            "qid", "_docid", "score", F.col("rank").cast("int").alias("rank")
+        )

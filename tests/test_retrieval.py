@@ -166,3 +166,29 @@ def test_bm25_champions_prunes_per_term(spark, corpus):
     # _docid tiebreak keeps doc 0; "pond": docs 2/3 tie -> doc 2
     docs_hit = {r._docid for r in out}
     assert docs_hit == {0, 2}
+
+
+def test_bm25_index_matches_adhoc(spark, corpus, tmp_path):
+    """Bm25Index.build/search must equal bm25_search bit-for-bit (same
+    rounding + decimal sum; avgdl = Σtf/N from the postings equals
+    Σdl/N from the docs), both cached and parquet-backed."""
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "fast"), (1, "pond"), (1, "the")],
+        "qid long, term string",
+    )
+    want = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(corpus, qt, k=5).collect()
+    )
+    for path in (None, str(tmp_path / "bm25")):
+        idx = R.Bm25Index.build(corpus, path=path)
+        got = sorted(
+            (r.qid, r._docid, str(r.score), r.rank)
+            for r in idx.search(qt, k=5).collect()
+        )
+        assert got == want, f"path={path}"
+    # champions path parity too
+    idx = R.Bm25Index.build(corpus)
+    a = sorted(map(tuple, R.bm25_search(corpus, qt, k=5, champions=2).collect()))
+    c = sorted(map(tuple, idx.search(qt, k=5, champions=2).collect()))
+    assert a == c

@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from gamma_spark.operators.ivf import IvfFlatIndex  # noqa: E402
-from gamma_spark.operators.retrieval import bm25_search, rrf_fuse  # noqa: E402
+from gamma_spark.operators.retrieval import Bm25Index, rrf_fuse  # noqa: E402
 from gamma_spark.session import get_spark  # noqa: E402
 from tools.scale_check import make_corpus  # noqa: E402
 from tools.scale_check_bm25 import make_zipf_corpus  # noqa: E402
@@ -50,6 +50,12 @@ def main():
     idx.index_df.cache().count()
     results["ivf_build_sec"] = round(time.time() - t0, 2)
 
+    # materialized lexical index: the one corpus-sized shuffle happens
+    # here, once; searches are then broadcast-join work only
+    t0 = time.time()
+    bm25 = Bm25Index.build(texts, path=f"{root}/bm25")
+    results["bm25_build_sec"] = round(time.time() - t0, 2)
+
     # queries: every (n // nq)-th doc queries with its own text head +
     # its own embedding — both systems should surface the source doc
     stride = n // nq
@@ -72,13 +78,19 @@ def main():
         )
     )
 
+    def run_hybrid():
+        lex = bm25.search(qtext, k=20, champions=4000)
+        vec = idx.search(None, qvec_rows, k=20, metric="L2", nprobe=8)
+        return rrf_fuse([lex, vec], k=10)
+
     t0 = time.time()
-    lex = bm25_search(texts, qtext, k=20, champions=4000)
-    vec = idx.search(None, qvec_rows, k=20, metric="L2", nprobe=8)
-    fused = rrf_fuse([lex, vec], k=10).cache()
+    fused = run_hybrid().cache()
     n_rows = fused.count()
     results["hybrid_sec"] = round(time.time() - t0, 2)
     results["result_rows"] = n_rows
+    t0 = time.time()
+    run_hybrid().count()
+    results["hybrid_warm_sec"] = round(time.time() - t0, 2)
 
     # self-hit check: query q's source doc id is q*stride
     hits = (
