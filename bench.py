@@ -224,6 +224,7 @@ def main():
     run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
     run("pack_sequences", lambda: qs["pack_sequences"](spark, sf_dir).count())
     run("bm25_topk", lambda: qs["bm25_topk"](spark, sf_dir).count())
+    run("corpus_profile", lambda: qs["corpus_profile"](spark, sf_dir).count())
     run("hybrid_rrf", lambda: qs["hybrid_rrf"](spark, sf_dir).count())
     run("quality_signals", lambda: qs["quality_signals"](spark, sf_dir).count())
     run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir).count())

@@ -294,7 +294,33 @@ class Bm25Index:
                 / F.countDistinct("_docid").cast("double")
             ).alias("avgdl"),
         ).collect()[0]
+        if path is not None:
+            # meta sidecar makes the index loadable without a stats
+            # re-scan (S5 dump/load parity for the lexical model; the
+            # done-marker is the meta file itself, written last)
+            import json as _json
+            import os as _os
+
+            with open(_os.path.join(path, "meta.json"), "w") as fh:
+                _json.dump(
+                    {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1, "b": b},
+                    fh,
+                )
         return cls(post, row.n_docs, row.avgdl, k1=k1, b=b)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "Bm25Index":
+        """Reopen a ``build(path=...)`` index: a bare parquet scan plus
+        the meta sidecar — no corpus pass, no stats job."""
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.load(fh)
+        post = spark.read.parquet(f"{path}/postings")
+        return cls(
+            post, meta["n_docs"], meta["avgdl"], k1=meta["k1"], b=meta["b"]
+        )
 
     def search(
         self,

@@ -192,3 +192,19 @@ def test_bm25_index_matches_adhoc(spark, corpus, tmp_path):
     a = sorted(map(tuple, R.bm25_search(corpus, qt, k=5, champions=2).collect()))
     c = sorted(map(tuple, idx.search(qt, k=5, champions=2).collect()))
     assert a == c
+
+
+def test_bm25_index_load_roundtrip(spark, corpus, tmp_path):
+    """S5-style dump/load for the lexical model: load() reopens the
+    postings + meta sidecar with no corpus pass and returns identical
+    results."""
+    qt = spark.createDataFrame([(0, "spark"), (0, "pond")], "qid long, term string")
+    path = str(tmp_path / "bm25_store")
+    built = R.Bm25Index.build(corpus, path=path)
+    want = sorted(map(tuple, built.search(qt, k=5).collect()))
+    loaded = R.Bm25Index.load(spark, path)
+    assert (loaded.n_docs, loaded.avgdl, loaded.k1, loaded.b) == (
+        built.n_docs, built.avgdl, built.k1, built.b,
+    )
+    got = sorted(map(tuple, loaded.search(qt, k=5).collect()))
+    assert got == want
