@@ -1938,6 +1938,114 @@ def _sql_knn_ivfpq_variants_exact() -> str:
     )
 
 
+def q_knn_hamming_variants(spark, sf_dir):
+    """K6 Hamming parity, both execution paths, one relation: the flat
+    bit-kernel scan (`knn_join` HAMMING) and BINARYIVF with full probes
+    (`index/impl/gamma_index_binary_ivf.cc:281-331` exact-degenerate) —
+    two registry slots become one, both paths still hash-checked."""
+    parts = [
+        q_knn_hamming(spark, sf_dir).withColumn("variant", F.lit("FLAT")),
+        q_knn_binaryivf_exact(spark, sf_dir).withColumn("variant", F.lit("BINARYIVF")),
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _sql_knn_hamming_variants() -> str:
+    return " UNION ALL ".join(
+        f"SELECT *, '{v}' AS variant FROM ({SQL_KNN_HAMMING}) t{i}"
+        for i, v in enumerate(["FLAT", "BINARYIVF"])
+    )
+
+
+def q_knn_graph_models_exact(spark, sf_dir):
+    """Corpus-scale kNN join parity for BOTH distributed twins (IVF
+    cogroup-BLAS and PQ cogroup-ADC+rerank) as one relation with a
+    model column — every embedding queries the corpus, queries never
+    collected, exact-degenerate configs hash-match the all-pairs
+    oracle (consolidates knn_graph_exact + pq_graph_exact)."""
+    parts = [
+        q_knn_graph_exact(spark, sf_dir).withColumn("model", F.lit("IVF")),
+        q_pq_graph_exact(spark, sf_dir).withColumn("model", F.lit("PQ")),
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _sql_knn_graph_models_exact() -> str:
+    return " UNION ALL ".join(
+        f"SELECT *, '{m}' AS model FROM ({SQL_KNN_GRAPH}) t{i}"
+        for i, m in enumerate(["IVF", "PQ"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus transforms: PII scrubbing + paragraph-level dedup (north-star)
+# ---------------------------------------------------------------------------
+
+def _seeded_pii_docs(spark, sf_dir) -> DataFrame:
+    """The synthetic documents carry no PII, so the query plants a
+    deterministic email/IP/phone per doc (pure column arithmetic both
+    engines reproduce) — the scrub+count pipeline is then a real
+    hash-checked transformation, not a trivially-zero report."""
+    from gamma_spark.operators import transforms as TR  # noqa: F401
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select("doc_id", seeded.alias("text"))
+
+
+_SQL_SEEDED_PII = """
+SELECT doc_id,
+       text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.'
+            || (doc_id % 256)::VARCHAR || '.0.' || ((doc_id * 7) % 256)::VARCHAR
+            || ' or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+FROM documents
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing + normalization over the documents table (planted
+    deterministic PII): per-doc counts of each redacted class, the
+    scrubbed text, and its normalized form. Pure scan-stage Catalyst
+    expressions — zero shuffles (operators/transforms.py)."""
+    from gamma_spark.operators import transforms as TR
+
+    return TR.scrub_pii(_seeded_pii_docs(spark, sf_dir))
+
+
+def _sql_pii_scrub() -> str:
+    from gamma_spark.operators import transforms as TR
+
+    return f"WITH documents_seeded AS ({_SQL_SEEDED_PII})\n" + TR.sql_scrub_pii(
+        "documents_seeded"
+    )
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph-level exact dedup (CCNet/Dolma pattern):
+    documents chunked map-side into 20-token paragraphs, the first
+    occurrence of each distinct paragraph survives, docs reassembled
+    from survivors. Two map-side-combinable shuffles total
+    (operators/transforms.py docstring carries the 100 TB argument)."""
+    from gamma_spark.operators import transforms as TR
+
+    return TR.paragraph_dedup(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", width=20
+    )
+
+
+def _sql_paragraph_dedup() -> str:
+    from gamma_spark.operators import transforms as TR
+
+    return TR.sql_paragraph_dedup("documents", "doc_id", "text", width=20)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1959,6 +2067,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: verified window) — tests/test_registry.py allows exactly these to be
 #: absent from it; prune this set once the next artifact lands
 NEWLY_ADDED = {
+    # r5 corpus transforms + consolidations
+    "pii_scrub",
+    "paragraph_dedup",
+    "knn_hamming_variants",
+    "knn_graph_models_exact",
     # r5 additions + consolidations
     "bm25_topk",
     "hybrid_rrf",
@@ -2005,6 +2118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (signatures are its first stage; banding is lossless).
     """
     return {
+        # --- newest (never driver-verified): corpus transforms ---
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
         # --- new in r5: lexical/hybrid retrieval, curation signals ---
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2033,12 +2149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- stable suite ---
         # knn_ip_filtered + knn_ip_banded consolidated into
         # knn_ip_filtered_banded above (functions remain for pytest)
-        "knn_hamming_topk": q_knn_hamming,
+        # knn_hamming_topk + knn_binaryivf_exact consolidated into
+        # knn_hamming_variants (both paths still hash-checked)
+        "knn_hamming_variants": q_knn_hamming_variants,
         "knn_fusion_multivector": q_knn_fusion,
         "knn_ivfflat_exact": q_knn_ivfflat_exact,
         # knn_ivfpq_{rerank,opq,fastscan}_exact consolidated into
         # knn_ivfpq_variants_exact above (functions remain for pytest)
-        "knn_binaryivf_exact": q_knn_binaryivf_exact,
         "filter_range_term": q_filter_range_term,
         "knn_multivid_collapse": q_knn_multivid_collapse,
         "filter_tags_and": q_filter_tags_and,
@@ -2071,9 +2188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "knn_hybrid_pending_exact": q_knn_hybrid_exact,
         # ivf/pq/hnsw/scann recall checks consolidated into
-        # ann_recall_checks above (functions remain for pytest)
-        "knn_graph_exact": q_knn_graph_exact,
-        "pq_graph_exact": q_pq_graph_exact,
+        # ann_recall_checks above; knn_graph_exact + pq_graph_exact
+        # consolidated into knn_graph_models_exact (both distributed
+        # twins still hash-checked; functions remain for bench/pytest)
+        "knn_graph_models_exact": q_knn_graph_models_exact,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_sliding_window": q_events_sliding_window,
         "events_sessionization": q_events_sessionization,
@@ -2086,6 +2204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_scrub": _sql_pii_scrub(),
+        "paragraph_dedup": _sql_paragraph_dedup(),
         "events_session_window": SQL_EVENTS_SESSION_WINDOW,
         "engine_status": SQL_ENGINE_STATUS,
         "order_priority_ranks": SQL_ORDER_PRIORITY_RANKS,
@@ -2095,11 +2215,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": SQL_MULTIMODAL_AUDIO,
         "knn_metrics_topk": SQL_KNN_METRICS,
         "knn_ip_filtered_banded": SQL_KNN_IP_FILTERED_BANDED,
-        "knn_hamming_topk": SQL_KNN_HAMMING,
+        "knn_hamming_variants": _sql_knn_hamming_variants(),
         "knn_fusion_multivector": SQL_KNN_FUSION,
         "knn_ivfflat_exact": SQL_KNN_L2,
         "knn_ivfpq_variants_exact": _sql_knn_ivfpq_variants_exact(),
-        "knn_binaryivf_exact": SQL_KNN_HAMMING,
         "filter_range_term": SQL_FILTER_RANGE_TERM,
         "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,
         "filter_tags_and": SQL_FILTER_TAGS_AND,
@@ -2132,8 +2251,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": _sql_corpus_profile(),
         "mixture_sample": _sql_mixture_sample(),
         "pack_sequences": _sql_pack_sequences(),
-        "knn_graph_exact": SQL_KNN_GRAPH,
-        "pq_graph_exact": SQL_KNN_GRAPH,
+        "knn_graph_models_exact": _sql_knn_graph_models_exact(),
         "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
         "events_sessionization": SQL_EVENTS_SESSIONIZATION,
     }

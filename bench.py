@@ -190,6 +190,7 @@ def main():
     qs = {
         **entry_mod.queries(),
         "knn_ip_topk": entry_mod.q_knn_ip,
+        "knn_hamming_topk": entry_mod.q_knn_hamming,
         "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
         "simhash_signatures": entry_mod.q_simhash_signatures,
         "multimodal_features": entry_mod.q_multimodal_features,
@@ -228,6 +229,8 @@ def main():
     run("hybrid_rrf", lambda: qs["hybrid_rrf"](spark, sf_dir).count())
     run("quality_signals", lambda: qs["quality_signals"](spark, sf_dir).count())
     run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir).count())
+    run("pii_scrub", lambda: qs["pii_scrub"](spark, sf_dir).count())
+    run("paragraph_dedup", lambda: qs["paragraph_dedup"](spark, sf_dir).count())
     run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
     run("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
     run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))
