@@ -142,11 +142,17 @@ def paragraph_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     width: int = 20,
+    min_tokens: int = 1,
 ) -> DataFrame:
     """Corpus-wide paragraph dedup, document-preserving: the FIRST
     occurrence of every distinct paragraph (ordered by (id, chunk_idx))
     survives; later repeats are dropped and the documents are
     reassembled from their surviving paragraphs.
+
+    ``min_tokens``: paragraphs shorter than this never dedup (always
+    kept) — short tail chunks collide by chance (a 1-token paragraph
+    has only |vocab| distinct values), the same reason CCNet hashes
+    only paragraphs above a length floor. Default 1 = dedup everything.
 
     Output: (id, n_chunks, n_dropped, kept_text) — one row per input
     document (kept_text = '' when everything it said was said before).
@@ -158,7 +164,8 @@ def paragraph_dedup(
     marked = chunks.join(keepers, "chunk").withColumn(
         "_keep",
         (F.col("_keeper." + id_col) == F.col(id_col))
-        & (F.col("_keeper.chunk_idx") == F.col("chunk_idx")),
+        & (F.col("_keeper.chunk_idx") == F.col("chunk_idx"))
+        | (F.size(F.split(F.col("chunk"), " ")) < min_tokens),
     )
     kept_structs = F.array_sort(
         F.collect_list(F.when(F.col("_keep"), F.struct("chunk_idx", "chunk")))
@@ -173,7 +180,11 @@ def paragraph_dedup(
 
 
 def sql_paragraph_dedup(
-    table: str, id_col: str = "doc_id", text_col: str = "text", width: int = 20
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 20,
+    min_tokens: int = 1,
 ) -> str:
     w = width
     return f"""
@@ -184,12 +195,13 @@ e AS (SELECT {id_col}, toks,
 c AS (SELECT {id_col}, (i - 1)::INT AS chunk_idx,
              array_to_string(toks[((i-1)*{w}+1)::INT : (i*{w})::INT], ' ') AS chunk
       FROM e),
-k AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY {id_col}, chunk_idx) AS rn
+k AS (SELECT *, (row_number() OVER (PARTITION BY chunk ORDER BY {id_col}, chunk_idx) = 1
+                 OR len(string_split(chunk, ' ')) < {min_tokens}) AS keep
       FROM c)
 SELECT {id_col},
        count(*)::INT AS n_chunks,
-       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::INT AS n_dropped,
-       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::INT AS n_dropped,
+       coalesce(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_idx), '')
          AS kept_text
 FROM k GROUP BY {id_col}
 """

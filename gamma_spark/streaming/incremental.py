@@ -224,3 +224,37 @@ def stream_curated_appender(
         ).parquet(path)
 
     return stream_df.writeStream.foreachBatch(handle)
+
+
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Cross-batch exact dedup at the ingest edge: a content key
+    (md5-derived hash of the optionally-normalized text) fed to
+    streaming ``dropDuplicates`` — Spark's state store remembers every
+    key seen so far, so a document arriving in batch 40 that repeats
+    batch 3 is dropped, with no bespoke state code.
+
+    ``watermark=(ts_col, delay)`` switches to
+    ``dropDuplicatesWithinWatermark`` so state is evicted once a key is
+    older than the delay — the knob that bounds state at 100 TB ingest
+    (unbounded keys otherwise; exact corpus-wide dedup over all history
+    stays the batch/compaction job in operators/dedup.py).
+
+    Returns the deduplicated *streaming* DataFrame — compose with any
+    sink (``.writeStream`` or :func:`stream_curated_appender`'s gate)."""
+    from gamma_spark.functions import text as T
+    from gamma_spark.operators.transforms import normalize_text
+
+    key_src = normalize_text(text_col) if normalize else F.col(text_col)
+    keyed = stream_df.withColumn("_key", T.hash60(key_src))
+    if watermark is not None:
+        keyed = keyed.withWatermark(*watermark).dropDuplicatesWithinWatermark(
+            ["_key"]
+        )
+    else:
+        keyed = keyed.dropDuplicates(["_key"])
+    return keyed.drop("_key")

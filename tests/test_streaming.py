@@ -276,3 +276,39 @@ def test_streaming_curation_gate_matches_batch(tmp_path, spark, documents):
     }
     assert got == want
     assert 0 < len(got) < 90  # the gate actually cuts something
+
+
+def test_stream_exact_dedup_across_batches(tmp_path, spark, documents):
+    """r5 streaming exact dedup: the state store drops repeats that
+    arrive in LATER micro-batches (file-per-trigger forces batch
+    boundaries), keeping exactly one row per distinct content key."""
+    from gamma_spark.streaming.incremental import stream_exact_dedup
+
+    base = documents.limit(40).select("doc_id", "text")
+    src = str(tmp_path / "incoming")
+    # batch 0: docs 0..39; batch 1: the same texts under shifted ids
+    base.coalesce(1).write.mode("append").parquet(src)
+    base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "deduped")
+    stream = spark.readStream.schema(base.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    texts = [r.text for r in got.collect()]
+    # one row per distinct text, no cross-batch repeats
+    assert len(texts) == len(set(texts))
+    distinct_in = base.select("text").distinct().count()
+    assert len(texts) == distinct_in

@@ -78,6 +78,30 @@ def test_paragraph_dedup_semantics(spark, docs):
     assert all(r["n_chunks"] >= 1 for r in out.values())
 
 
+def test_paragraph_dedup_min_tokens_floor(spark):
+    # 'z' tail chunks collide across docs but sit under the length
+    # floor, so they must survive; the long chunk still dedups.
+    df = spark.createDataFrame(
+        [(0, "a b c d z"), (1, "a b c d z"), (2, "z")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in TR.paragraph_dedup(df, width=4, min_tokens=2).collect()}
+    assert out[0]["kept_text"] == "a b c d z"
+    assert out[1]["kept_text"] == "z" and out[1]["n_dropped"] == 1
+    assert out[2]["kept_text"] == "z" and out[2]["n_dropped"] == 0
+    # and the SQL twin agrees
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("d0", df.toPandas())
+    want = con.sql(TR.sql_paragraph_dedup("d0", width=4, min_tokens=2)).df()
+    got = TR.paragraph_dedup(df, width=4, min_tokens=2).toPandas()
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id", ignore_index=True).astype({"n_chunks": "int64", "n_dropped": "int64"}),
+        want[cols].sort_values("doc_id", ignore_index=True).astype({"n_chunks": "int64", "n_dropped": "int64"}),
+    )
+
+
 def test_paragraph_dedup_matches_duckdb(spark, docs):
     duckdb = pytest.importorskip("duckdb")
     con = duckdb.connect()
