@@ -50,6 +50,9 @@ __all__ = [
     "sample_mixture",
     "plan_mixture",
     "stratified_quota",
+    "diversity_sample",
+    "scrub_pii",
+    "paragraph_dedup",
     "pack_contiguous",
 ]
 __version__ = "0.1.0"
@@ -100,10 +103,14 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.sources.faiss_io import load_from_faiss
 
         return load_from_faiss
-    if name in ("sample_mixture", "plan_mixture", "stratified_quota"):
+    if name in ("sample_mixture", "plan_mixture", "stratified_quota", "diversity_sample"):
         from gamma_spark.operators import sampling as _sp
 
         return getattr(_sp, name)
+    if name in ("scrub_pii", "paragraph_dedup"):
+        from gamma_spark.operators import transforms as _tr
+
+        return getattr(_tr, name)
     if name == "pack_contiguous":
         from gamma_spark.operators.packing import pack_contiguous
 

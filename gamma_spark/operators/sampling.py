@@ -166,3 +166,33 @@ def plan_mixture(
         tot = have.get(g, 0)
         out[g] = 1.0 if tot == 0 else min(1.0, float(want) / tot)
     return out
+
+
+def diversity_sample(
+    df: DataFrame,
+    centroids,
+    quota: int,
+    key_col: str,
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Semantic-diversity sampling: nearest-centroid assignment over an
+    embedding column (map-only — the centroid matrix broadcasts inside
+    the Arrow kernel, `operators/ivf.py:assign_clusters`) followed by a
+    deterministic hash-ordered quota per cluster — the cluster-balanced
+    draw that stops a training mix from being dominated by the corpus's
+    dense modes (the embedding-space analogue of per-source quotas).
+
+    ``centroids``: a numpy (k, d) matrix — train one with
+    ``IvfFlatIndex.build(...).centroids`` or ``kmeans_lloyd_np`` so the
+    sample reuses the ANN index's own partitioning.
+
+    Scale shape: assignment is a scan-stage Arrow kernel; the quota is
+    one shuffle on ``cluster_id`` + per-group window (WindowGroupLimit)
+    — output bounded at quota x k rows. Same determinism contract as
+    every operator here: hash-gated, stable under corpus growth.
+    """
+    from gamma_spark.operators.ivf import assign_clusters
+
+    assigned = assign_clusters(df, centroids, vec_col)
+    return stratified_quota(assigned, "cluster_id", quota, key_col, salt)

@@ -140,3 +140,41 @@ def test_plan_mixture_token_budgets(docs):
     assert got["de"] == have["de"]  # rate 1.0 keeps every de token
     # realized en tokens land near the target (per-row hash gate)
     assert 0.2 * have["en"] < got["en"] < 0.6 * have["en"]
+
+
+def test_diversity_sample_cluster_balanced(spark, embeddings):
+    """Cluster-quota semantics: each cluster contributes
+    min(quota, |cluster|) rows, membership is deterministic, and the
+    sample covers every nonempty cluster (the diversity property)."""
+    import numpy as np
+
+    from gamma_spark.operators.ivf import assign_clusters, kmeans_lloyd_np
+    from gamma_spark.operators.sampling import diversity_sample
+
+    docs = embeddings.withColumnRenamed("vec_id", "_docid")
+    mat = np.stack([r.embedding for r in docs.limit(200).collect()]).astype(np.float64)
+    cents = kmeans_lloyd_np(mat, 8, seed=7)
+
+    quota = 5
+    got = diversity_sample(docs, cents, quota, key_col="_docid")
+    sizes = {
+        r.cluster_id: r.n
+        for r in got.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r.cluster_id: r.n
+        for r in assign_clusters(docs, cents)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sizes, "sample is empty"
+    for cid, n_full in full.items():
+        assert sizes.get(cid, 0) == min(quota, n_full)
+    # determinism: second run picks the identical ids
+    a = sorted(r._docid for r in got.collect())
+    b = sorted(
+        r._docid
+        for r in diversity_sample(docs, cents, quota, key_col="_docid").collect()
+    )
+    assert a == b
