@@ -44,6 +44,7 @@ __all__ = [
     "RangeFilter",
     "TermFilter",
     "get_model",
+    "tune_nprobe",
     "curate_corpus",
     "resolve_groups",
     "load_from_faiss",
@@ -91,6 +92,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators.ann import get_model
 
         return get_model
+    if name == "tune_nprobe":
+        from gamma_spark.operators.ann import tune_nprobe
+
+        return tune_nprobe
     if name == "curate_corpus":
         from gamma_spark.operators.curation import curate_corpus
 

@@ -191,6 +191,54 @@ def recall_check(
     )
 
 
+def tune_nprobe(
+    index,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "L2",
+    target_recall: float = 0.95,
+    ladder: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128),
+    max_queries: int = 256,
+    query_id: str = "qid",
+    doc_id: str = "_docid",
+    **search_kw,
+) -> tuple[int, float]:
+    """Smallest nprobe on ``ladder`` whose recall@k against the exact
+    kernel clears ``target_recall``, measured on a bounded query sample
+    — the reference's published nprobe sweeps
+    (`benchs/README.md:30-40`; production defaults
+    `index/impl/gamma_index_ivfpq.h:676-707`) turned into a build-time
+    call, like faiss's autotune. Returns ``(nprobe, measured_recall)``;
+    if no rung clears the target, the largest rung and its recall.
+
+    Cost is bounded: the exact baseline is one scan-kernel pass over
+    ≤``max_queries`` queries (staged and reused for every rung), each
+    rung is one pruned search over the same sample, and the only
+    driver-side values are per-rung hit counts.
+    """
+    from gamma_spark.session import stage
+
+    qs = stage(queries.limit(max_queries))
+    keys = [query_id, doc_id]
+    exact = stage(knn.knn_scan(docs, qs, k=k, metric=metric).select(*keys))
+    n_pairs = exact.count()
+    ncent = getattr(index, "ncentroids", None)
+    if ncent is None and getattr(index, "centroids", None) is not None:
+        ncent = len(index.centroids)
+    rungs = sorted({min(r, ncent) if ncent else r for r in ladder})
+    nprobe, recall = rungs[-1], 0.0
+    for rung in rungs:
+        approx = index.search(
+            docs, qs, k=k, metric=metric, nprobe=rung, **search_kw
+        )
+        hits = approx.select(*keys).join(exact, on=keys, how="inner").count()
+        nprobe, recall = rung, hits / max(n_pairs, 1)
+        if recall >= target_recall:
+            break
+    return nprobe, recall
+
+
 from gamma_spark.operators.hnsw import HnswIndex  # noqa: E402 (cycle-free)
 from gamma_spark.operators.pq import VearchIndex  # noqa: E402
 

@@ -203,3 +203,31 @@ def test_probe_clusters_chunked_matches_unchunked(docs, ivf, monkeypatch):
             axis=1, kind="stable",
         )
     ).all()
+
+
+def test_tune_nprobe_finds_minimal_full_recall_rung(spark, embeddings):
+    """Autotune contract: the returned rung clears the target on the
+    sample, no smaller ladder rung does, and the ladder clamps at
+    ncentroids (where IVFFLAT degenerates to exact, so recall 1.0 is
+    always reachable)."""
+    from gamma_spark.operators.ann import tune_nprobe
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = embeddings.withColumnRenamed("vec_id", "_docid")
+    idx = IvfFlatIndex.build(docs, ncentroids=8, seed=42)
+    queries = docs.limit(16).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    nprobe, recall = tune_nprobe(
+        idx, docs, queries, k=5, metric="L2", target_recall=1.0,
+        ladder=(1, 2, 4, 8, 16), max_queries=16,
+    )
+    assert recall == 1.0
+    assert 1 <= nprobe <= 8  # clamped at ncentroids
+    if nprobe > 1:
+        # minimality: the next rung down must miss the target
+        _, r_prev = tune_nprobe(
+            idx, docs, queries, k=5, metric="L2", target_recall=1.0,
+            ladder=(nprobe // 2,), max_queries=16,
+        )
+        assert r_prev < 1.0
