@@ -38,6 +38,7 @@ __all__ = [
     "search",
     "bm25_search",
     "Bm25Index",
+    "MinHashIndex",
     "rrf_fuse",
     "repetition_signals",
     "decontaminate",
@@ -80,6 +81,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators import retrieval as _r
 
         return getattr(_r, name)
+    if name == "MinHashIndex":
+        from gamma_spark.operators.dedup import MinHashIndex
+
+        return MinHashIndex
     if name == "repetition_signals":
         from gamma_spark.operators.quality import repetition_signals
 

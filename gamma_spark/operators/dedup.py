@@ -158,9 +158,9 @@ def sql_minhash_signatures(shingles_sql: str, id_col: str) -> str:
     return f"SELECT {id_col}, {aggs} FROM ({shingles_sql}) GROUP BY {id_col}"
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one band signature.
-    The self-join shuffles on (band, signature) — bucket-bounded fan-out."""
+def banded_signatures(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bsig): each doc's N_BANDS LSH bucket keys — the
+    relation both the self-join and the materialized index store."""
     rows_per_band = N_HASHES // N_BANDS
     bands = F.array(
         *[
@@ -171,7 +171,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bsig"))
+    return sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bsig"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one band signature.
+    The self-join shuffles on (band, signature) — bucket-bounded fan-out."""
+    banded = banded_signatures(sig, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -867,3 +873,88 @@ SELECT {id_col}, count(*) AS n_contaminated
 FROM tr JOIN ev USING (shingle)
 GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index (the build/search split for dedup)
+# ---------------------------------------------------------------------------
+
+class MinHashIndex:
+    """Materialized MinHash-LSH bucket index for INCREMENTAL dedup:
+    check each new crawl batch against the standing corpus without
+    recomputing the corpus side — the build/search split the engine's
+    other models use (`Bm25Index`, `IvfFlatIndex`), applied to near-dup
+    detection.
+
+    Stored relation: ``(id, band, bsig)`` — N_BANDS rows per doc, the
+    corpus-sized shingle/signature work paid ONCE at build. ``match``
+    shuffles only the new batch's bands against the bucket relation
+    (join keyed on (band, bsig), fan-out bounded by bucket size);
+    ``append`` adds the batch's bands so the next batch also dedups
+    against this one. Candidates verify with exact Jaccard via
+    :func:`jaccard_on_pairs`, same as the batch pipeline.
+    """
+
+    def __init__(self, banded: DataFrame, id_col: str = "doc_id",
+                 n: int = 3, path: str | None = None):
+        self.banded = banded
+        self.id_col = id_col
+        self.n = n
+        self.path = path
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def build(cls, df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", n: int = 3,
+              path: str | None = None) -> "MinHashIndex":
+        sig = minhash_signatures(shingles(df, id_col, text_col, n), id_col)
+        banded = banded_signatures(sig, id_col)
+        if path is not None:
+            banded.write.mode("overwrite").parquet(path)
+            banded = df.sparkSession.read.parquet(path)
+        return cls(banded, id_col, n, path)
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "doc_id",
+             n: int = 3) -> "MinHashIndex":
+        return cls(spark.read.parquet(path), id_col, n, path)
+
+    # -- serving ------------------------------------------------------------
+
+    def _bands_of(self, new_df: DataFrame, text_col: str) -> DataFrame:
+        sig = minhash_signatures(
+            shingles(new_df, self.id_col, text_col, self.n), self.id_col
+        )
+        return banded_signatures(sig, self.id_col)
+
+    def match(self, new_df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Distinct candidate pairs (new_id, corpus_id) sharing an LSH
+        bucket with the indexed corpus. Self-pairs (a doc already in
+        the index matching itself) are excluded by id inequality."""
+        nb = self._bands_of(new_df, text_col).select(
+            F.col(self.id_col).alias("new_id"), "band", "bsig"
+        )
+        return (
+            nb.join(
+                self.banded.select(
+                    F.col(self.id_col).alias("corpus_id"), "band", "bsig"
+                ),
+                on=["band", "bsig"],
+            )
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .select("new_id", "corpus_id")
+            .distinct()
+        )
+
+    def append(self, new_df: DataFrame, text_col: str = "text") -> "MinHashIndex":
+        """Add the batch's buckets to the index. With a ``path`` this is
+        a parquet append (micro-batch friendly — the T2 pattern);
+        memory-only indexes get a union."""
+        nb = self._bands_of(new_df, text_col)
+        if self.path is not None:
+            nb.write.mode("append").parquet(self.path)
+            banded = new_df.sparkSession.read.parquet(self.path)
+        else:
+            banded = self.banded.unionByName(nb)
+        return MinHashIndex(banded, self.id_col, self.n, self.path)

@@ -270,3 +270,59 @@ def test_embedding_banded_recall_on_planted_neardups(spark):
     } & planted
     recall = len(found & exact_planted) / max(1, len(exact_planted))
     assert recall >= 0.95, recall
+
+
+def test_minhash_index_incremental_equals_batch(documents, tmp_path):
+    """The materialized-index split must lose nothing: candidates from
+    match(new vs corpus-index) plus each side's self-join equal the
+    one-shot self-join over corpus ∪ new, as unordered pairs."""
+    corpus = documents.filter(F.col("doc_id") % 3 != 0)
+    new = documents.filter(F.col("doc_id") % 3 == 0)
+
+    idx = D.MinHashIndex.build(corpus, "doc_id", "text", path=str(tmp_path / "mh"))
+    cross = {
+        tuple(sorted((r.new_id, r.corpus_id)))
+        for r in idx.match(new).collect()
+    }
+    self_new = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(new, "doc_id", "text").collect()
+    }
+    self_corpus = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(corpus, "doc_id", "text").collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(documents, "doc_id", "text").collect()
+    }
+    assert cross | self_new | self_corpus == want
+    # pair orientation: cross pairs are (new, corpus) by construction
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    for r in idx.match(new).collect():
+        assert r.new_id in new_ids and r.corpus_id not in new_ids
+
+
+def test_minhash_index_append_and_load_roundtrip(documents, tmp_path, spark):
+    """append() makes batch N+1 dedup against batch N; load() serves
+    the same buckets from disk."""
+    b0 = documents.filter(F.col("doc_id") < 300)
+    b1 = documents.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    b2 = documents.filter(F.col("doc_id") >= 400)
+
+    path = str(tmp_path / "mh2")
+    idx = D.MinHashIndex.build(b0, "doc_id", "text", path=path)
+    idx = idx.append(b1)
+
+    got = {
+        tuple(sorted((r.new_id, r.corpus_id)))
+        for r in D.MinHashIndex.load(spark, path).match(b2).collect()
+    }
+    # expected: every LSH pair of the full corpus with exactly one end in b2
+    b2_ids = {r.doc_id for r in b2.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(documents, "doc_id", "text").collect()
+        if (r.id_a in b2_ids) != (r.id_b in b2_ids)
+    }
+    assert got == want
