@@ -46,6 +46,7 @@ __all__ = [
     "TermFilter",
     "get_model",
     "tune_nprobe",
+    "tune_recall_num",
     "curate_corpus",
     "resolve_groups",
     "load_from_faiss",
@@ -97,10 +98,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators.ann import get_model
 
         return get_model
-    if name == "tune_nprobe":
-        from gamma_spark.operators.ann import tune_nprobe
+    if name in ("tune_nprobe", "tune_recall_num"):
+        from gamma_spark.operators import ann as _ann
 
-        return tune_nprobe
+        return getattr(_ann, name)
     if name == "curate_corpus":
         from gamma_spark.operators.curation import curate_corpus
 

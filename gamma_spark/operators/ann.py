@@ -191,6 +191,43 @@ def recall_check(
     )
 
 
+def _tune_ladder(
+    docs: DataFrame,
+    queries: DataFrame,
+    search_at,
+    rungs,
+    k: int,
+    metric: str,
+    target_recall: float,
+    max_queries: int,
+    query_id: str,
+    doc_id: str,
+) -> tuple[int, float]:
+    """Shared ladder walk: stage an exact baseline over a bounded query
+    sample, run ``search_at(qs, rung)`` per rung, return the first rung
+    whose recall@k clears the target (else the last rung).
+
+    Cost is bounded: the exact baseline is one scan-kernel pass over
+    ≤``max_queries`` queries (staged and reused for every rung), each
+    rung is one pruned search over the same sample, and the only
+    driver-side values are per-rung hit counts."""
+    from gamma_spark.session import stage
+
+    qs = stage(queries.limit(max_queries))
+    keys = [query_id, doc_id]
+    exact = stage(knn.knn_scan(docs, qs, k=k, metric=metric).select(*keys))
+    n_pairs = exact.count()
+    value, recall = rungs[-1], 0.0
+    for rung in rungs:
+        hits = (
+            search_at(qs, rung).select(*keys).join(exact, on=keys, how="inner").count()
+        )
+        value, recall = rung, hits / max(n_pairs, 1)
+        if recall >= target_recall:
+            break
+    return value, recall
+
+
 def tune_nprobe(
     index,
     docs: DataFrame,
@@ -210,33 +247,51 @@ def tune_nprobe(
     (`benchs/README.md:30-40`; production defaults
     `index/impl/gamma_index_ivfpq.h:676-707`) turned into a build-time
     call, like faiss's autotune. Returns ``(nprobe, measured_recall)``;
-    if no rung clears the target, the largest rung and its recall.
-
-    Cost is bounded: the exact baseline is one scan-kernel pass over
-    ≤``max_queries`` queries (staged and reused for every rung), each
-    rung is one pruned search over the same sample, and the only
-    driver-side values are per-rung hit counts.
-    """
-    from gamma_spark.session import stage
-
-    qs = stage(queries.limit(max_queries))
-    keys = [query_id, doc_id]
-    exact = stage(knn.knn_scan(docs, qs, k=k, metric=metric).select(*keys))
-    n_pairs = exact.count()
+    if no rung clears the target, the largest rung and its recall."""
     ncent = getattr(index, "ncentroids", None)
     if ncent is None and getattr(index, "centroids", None) is not None:
         ncent = len(index.centroids)
     rungs = sorted({min(r, ncent) if ncent else r for r in ladder})
-    nprobe, recall = rungs[-1], 0.0
-    for rung in rungs:
-        approx = index.search(
+    return _tune_ladder(
+        docs,
+        queries,
+        lambda qs, rung: index.search(
             docs, qs, k=k, metric=metric, nprobe=rung, **search_kw
-        )
-        hits = approx.select(*keys).join(exact, on=keys, how="inner").count()
-        nprobe, recall = rung, hits / max(n_pairs, 1)
-        if recall >= target_recall:
-            break
-    return nprobe, recall
+        ),
+        rungs,
+        k, metric, target_recall, max_queries, query_id, doc_id,
+    )
+
+
+def tune_recall_num(
+    index,
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "L2",
+    nprobe: int = 10,
+    target_recall: float = 0.95,
+    ladder: tuple[int, ...] = (64, 256, 1000, 4000, 16000),
+    max_queries: int = 256,
+    query_id: str = "qid",
+    doc_id: str = "_docid",
+    **search_kw,
+) -> tuple[int, float]:
+    """The PQ twin of :func:`tune_nprobe`: recall_num is the recall
+    lever for ADC+rerank (the calibration sweep showed nprobe saturates
+    while the ADC shortlist caps recall — docs/SCALING.md). Walks the
+    recall_num ladder at a fixed nprobe and returns the smallest value
+    clearing the target on the sample."""
+    return _tune_ladder(
+        docs,
+        queries,
+        lambda qs, rung: index.search(
+            docs, qs, k=k, metric=metric, nprobe=nprobe,
+            recall_num=rung, has_rank=True, **search_kw
+        ),
+        list(ladder),
+        k, metric, target_recall, max_queries, query_id, doc_id,
+    )
 
 
 from gamma_spark.operators.hnsw import HnswIndex  # noqa: E402 (cycle-free)

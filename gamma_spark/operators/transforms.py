@@ -14,11 +14,13 @@ Scale notes (100 TB):
   shuffles, full whole-stage codegen.
 - ``paragraph_dedup`` chunks each document map-side with array
   functions (``slice``/``transform`` over the token array — the token
-  stream is never exploded for assembly), then needs exactly TWO
-  shuffles: (1) a map-side-combinable ``min(struct(doc, idx))`` hash
-  aggregation keyed by chunk text to elect the corpus-wide keeper of
-  every distinct paragraph, (2) a per-doc aggregation to rebuild the
-  surviving text. The chunk relation carries (id, idx, chunk) only.
+  stream is never exploded for assembly), then shuffles the (id, idx,
+  chunk) relation on chunk text for a map-side-combinable
+  ``min(struct(doc, idx))`` keeper election, joins the keepers back
+  (broadcast at small scale — plan-verified; chunk-co-partitioned
+  sort-merge beyond that, reusing the election's exchange), and runs
+  one per-doc aggregation to rebuild surviving text. Every shuffled
+  relation is chunk- or doc-keyed rows, never exploded tokens.
 """
 
 from __future__ import annotations

@@ -231,3 +231,24 @@ def test_tune_nprobe_finds_minimal_full_recall_rung(spark, embeddings):
             ladder=(nprobe // 2,), max_queries=16,
         )
         assert r_prev < 1.0
+
+
+def test_tune_recall_num_restores_pq_recall(spark, embeddings):
+    """recall_num ladder: at full probes, a large-enough shortlist plus
+    exact rerank must reach recall 1.0, and the tuner returns the
+    smallest ladder rung that does on the sample."""
+    from gamma_spark.operators.ann import tune_recall_num
+    from gamma_spark.operators.pq import IvfPqIndex
+
+    docs = embeddings.withColumnRenamed("vec_id", "_docid")
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=8, nsubvector=8, seed=42)
+    queries = docs.limit(16).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    rn, recall = tune_recall_num(
+        pq, docs, queries, k=5, metric="L2", nprobe=8,
+        target_recall=1.0, ladder=(8, n), max_queries=16,
+    )
+    assert recall == 1.0
+    assert rn in (8, n)
