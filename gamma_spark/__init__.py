@@ -39,6 +39,7 @@ __all__ = [
     "bm25_search",
     "Bm25Index",
     "MinHashIndex",
+    "EmbeddingNearDupIndex",
     "rrf_fuse",
     "repetition_signals",
     "decontaminate",
@@ -82,10 +83,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators import retrieval as _r
 
         return getattr(_r, name)
-    if name == "MinHashIndex":
-        from gamma_spark.operators.dedup import MinHashIndex
+    if name in ("MinHashIndex", "EmbeddingNearDupIndex"):
+        from gamma_spark.operators import dedup as _d
 
-        return MinHashIndex
+        return getattr(_d, name)
     if name == "repetition_signals":
         from gamma_spark.operators.quality import repetition_signals
 

@@ -958,3 +958,139 @@ class MinHashIndex:
         else:
             banded = self.banded.unionByName(nb)
         return MinHashIndex(banded, self.id_col, self.n, self.path)
+
+
+class EmbeddingNearDupIndex:
+    """Semantic twin of :class:`MinHashIndex`: a materialized
+    hyperplane-LSH bucket index over an embedding corpus for
+    INCREMENTAL semantic dedup. Stores two relations — (id, band, bval)
+    bucket keys and (id, vector) for the verify stage — so matching a
+    new batch costs one band join (bucket-bounded fan-out) plus exact
+    cosine on the candidates, with NO corpus-side recompute.
+
+    Unlike MinHashIndex (whose verify stage re-shingles text),
+    ``match`` here returns exact-cosine-VERIFIED pairs: the vectors
+    needed for verification are part of the index.
+    """
+
+    def __init__(self, banded: DataFrame, vectors: DataFrame,
+                 planes, id_col: str = "vec_id", vec_col: str = "embedding",
+                 threshold: float = 0.9, path: str | None = None,
+                 meta: dict | None = None):
+        self.banded = banded      # (_id, band, bval)
+        self.vectors = vectors    # (_id, _v)
+        self.planes = planes
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.path = path
+        self.meta = meta or {}
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def build(cls, embs: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", dim: int = 64,
+              bands: int = NEARDUP_BANDS, bits: int = NEARDUP_BAND_BITS,
+              seed: int = NEARDUP_SEED, threshold: float = 0.9,
+              path: str | None = None) -> "EmbeddingNearDupIndex":
+        planes = _hyperplanes(dim, bands, bits, seed)
+        meta = {"dim": dim, "bands": bands, "bits": bits, "seed": seed,
+                "threshold": threshold}
+        base = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        banded = cls._bands_from(base, planes, bands, bits)
+        if path is not None:
+            import json as _json
+            import os as _os
+
+            banded.write.mode("overwrite").parquet(f"{path}/bands")
+            base.write.mode("overwrite").parquet(f"{path}/vectors")
+            with open(_os.path.join(path, "meta.json"), "w") as fh:
+                _json.dump(meta, fh)
+            spark = embs.sparkSession
+            banded = spark.read.parquet(f"{path}/bands")
+            base = spark.read.parquet(f"{path}/vectors")
+        return cls(banded, base, planes, id_col, vec_col, threshold, path, meta)
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> "EmbeddingNearDupIndex":
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(path, "meta.json")) as fh:
+            meta = _json.load(fh)
+        planes = _hyperplanes(meta["dim"], meta["bands"], meta["bits"], meta["seed"])
+        return cls(
+            spark.read.parquet(f"{path}/bands"),
+            spark.read.parquet(f"{path}/vectors"),
+            planes, id_col, vec_col, meta["threshold"], path, meta,
+        )
+
+    # -- serving ------------------------------------------------------------
+
+    @staticmethod
+    def _bands_from(base: DataFrame, planes, bands: int, bits: int) -> DataFrame:
+        from gamma_spark.session import ensure_parallelism
+
+        sigs = _banded_signatures_kernel(
+            ensure_parallelism(base, fanout=8.0), planes, bands, bits
+        )
+        return sigs.select("_id", F.posexplode("_bvals").alias("band", "bval"))
+
+    def match(self, new_embs: DataFrame,
+              threshold: float | None = None) -> DataFrame:
+        """Exact-cosine-verified near-dup pairs (new_id, corpus_id,
+        cosine >= threshold): band join against the stored buckets →
+        candidate dedupe → vectors re-enter via id-keyed joins (late
+        materialization, like the batch operator)."""
+        t = self.threshold if threshold is None else threshold
+        meta = self.meta
+        nbase = new_embs.select(
+            F.col(self.id_col).alias("_id"), F.col(self.vec_col).alias("_v")
+        )
+        nb = self._bands_from(nbase, self.planes, meta["bands"], meta["bits"])
+        cands = (
+            nb.select(F.col("_id").alias("new_id"), "band", "bval")
+            .join(
+                self.banded.select(
+                    F.col("_id").alias("corpus_id"), "band", "bval"
+                ),
+                on=["band", "bval"],
+            )
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"])
+        )
+        pairs = cands.join(
+            nbase.select(F.col("_id").alias("new_id"), F.col("_v").alias("_va")),
+            "new_id",
+        ).join(
+            self.vectors.select(
+                F.col("_id").alias("corpus_id"), F.col("_v").alias("_vb")
+            ),
+            "corpus_id",
+        )
+        scored = _cosine_verify_kernel(
+            pairs.withColumnsRenamed({"new_id": "id_a", "corpus_id": "id_b"})
+        ).withColumnsRenamed({"id_a": "new_id", "id_b": "corpus_id"})
+        return scored.filter(F.col("cosine") >= t)
+
+    def append(self, new_embs: DataFrame) -> "EmbeddingNearDupIndex":
+        nbase = new_embs.select(
+            F.col(self.id_col).alias("_id"), F.col(self.vec_col).alias("_v")
+        )
+        nb = self._bands_from(nbase, self.planes, self.meta["bands"], self.meta["bits"])
+        if self.path is not None:
+            nb.write.mode("append").parquet(f"{self.path}/bands")
+            nbase.write.mode("append").parquet(f"{self.path}/vectors")
+            spark = new_embs.sparkSession
+            banded = spark.read.parquet(f"{self.path}/bands")
+            vectors = spark.read.parquet(f"{self.path}/vectors")
+        else:
+            banded = self.banded.unionByName(nb)
+            vectors = self.vectors.unionByName(nbase)
+        return EmbeddingNearDupIndex(
+            banded, vectors, self.planes, self.id_col, self.vec_col,
+            self.threshold, self.path, self.meta,
+        )

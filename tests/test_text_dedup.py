@@ -326,3 +326,42 @@ def test_minhash_index_append_and_load_roundtrip(documents, tmp_path, spark):
         if (r.id_a in b2_ids) != (r.id_b in b2_ids)
     }
     assert got == want
+
+
+def test_embedding_neardup_index_incremental_equals_batch(embeddings, tmp_path, spark):
+    """Semantic twin of the MinHashIndex equivalence: verified cross
+    pairs from match(new vs corpus-index) plus both batch self-joins
+    equal the one-shot banded operator over the full table."""
+    t, bands, bits, seed = 0.35, 16, 6, 7
+    corpus = embeddings.filter(F.col("vec_id") % 4 != 0)
+    new = embeddings.filter(F.col("vec_id") % 4 == 0)
+
+    idx = D.EmbeddingNearDupIndex.build(
+        corpus, dim=64, bands=bands, bits=bits, seed=seed,
+        threshold=t, path=str(tmp_path / "emb"),
+    )
+    idx = D.EmbeddingNearDupIndex.load(spark, str(tmp_path / "emb"))
+    cross = {
+        tuple(sorted((r.new_id, r.corpus_id)))
+        for r in idx.match(new).collect()
+    }
+
+    def self_pairs(df):
+        return {
+            (r.id_a, r.id_b)
+            for r in D.embedding_neardup_banded(
+                df, threshold=t, bands=bands, bits=bits, seed=seed, kernel=True
+            ).collect()
+        }
+
+    want = self_pairs(embeddings)
+    assert cross | self_pairs(new) | self_pairs(corpus) == want
+    assert cross, "no cross-corpus pairs found — fixture split is degenerate"
+    # append makes the batch visible to the NEXT batch
+    idx2 = idx.append(new)
+    again = {
+        tuple(sorted((r.new_id, r.corpus_id)))
+        for r in idx2.match(new).collect()
+    }
+    # matching new against (corpus + new) must now include new-new pairs
+    assert again == cross | self_pairs(new)
