@@ -1977,6 +1977,71 @@ def _sql_knn_graph_models_exact() -> str:
     )
 
 
+def q_embedding_neardup_variants(spark, sf_dir):
+    """Both embedding near-dup paths as ONE relation with a variant
+    column — the exact all-pairs operator and the multi-band
+    hyperplane-LSH scale path (consolidates embedding_neardup +
+    embedding_neardup_lsh; both still hash-checked)."""
+    parts = [
+        q_embedding_neardup(spark, sf_dir).withColumn("variant", F.lit("EXACT")),
+        q_embedding_neardup_lsh(spark, sf_dir).withColumn("variant", F.lit("LSH")),
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _sql_embedding_neardup_variants() -> str:
+    return " UNION ALL ".join(
+        f"SELECT *, '{v}' AS variant FROM ({s}) t{i}"
+        for i, (v, s) in enumerate(
+            [("EXACT", _sql_embedding_neardup()), ("LSH", _sql_embedding_neardup_lsh())]
+        )
+    )
+
+
+def q_incdedup_match(spark, sf_dir):
+    """Incremental near-dup dedup (MinHashIndex): the corpus split
+    doc_id % 3 != 0 is indexed once, then the % 3 == 0 batch is matched
+    against the standing buckets — (new_id, corpus_id) LSH candidates
+    with NO corpus-side recompute (the nightly-crawl shape;
+    operators/dedup.py MinHashIndex, SCALING.md rehearsal 1M corpus)."""
+    from gamma_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return D.MinHashIndex.build(corpus, "doc_id", "text").match(new)
+
+
+def _sql_incdedup_match() -> str:
+    from gamma_spark.operators import dedup as D
+
+    rows_per_band = D.N_HASHES // D.N_BANDS
+
+    def banded(sig_cte: str) -> str:
+        selects = []
+        for b in range(D.N_BANDS):
+            cols = " || ':' || ".join(
+                f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            )
+            selects.append(f"SELECT doc_id, {b} AS band, {cols} AS bsig FROM {sig_cte}")
+        return " UNION ALL ".join(selects)
+
+    sig_c = D.sql_minhash_signatures(
+        D.sql_shingles("(SELECT * FROM documents WHERE doc_id % 3 <> 0)", "doc_id", "text"),
+        "doc_id",
+    )
+    sig_n = D.sql_minhash_signatures(
+        D.sql_shingles("(SELECT * FROM documents WHERE doc_id % 3 = 0)", "doc_id", "text"),
+        "doc_id",
+    )
+    return f"""
+WITH sig_c AS ({sig_c}), sig_n AS ({sig_n}),
+bc AS ({banded('sig_c')}), bn AS ({banded('sig_n')})
+SELECT DISTINCT bn.doc_id AS new_id, bc.doc_id AS corpus_id
+FROM bn JOIN bc ON bn.band = bc.band AND bn.bsig = bc.bsig
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus transforms: PII scrubbing + paragraph-level dedup (north-star)
 # ---------------------------------------------------------------------------
@@ -2067,9 +2132,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: verified window) — tests/test_registry.py allows exactly these to be
 #: absent from it; prune this set once the next artifact lands
 NEWLY_ADDED = {
-    # r5 corpus transforms + consolidations
+    # r5 corpus transforms + incremental dedup + consolidations
     "pii_scrub",
     "paragraph_dedup",
+    "incdedup_match",
+    "embedding_neardup_variants",
     "knn_hamming_variants",
     "knn_graph_models_exact",
     # r5 additions + consolidations
@@ -2118,9 +2185,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (signatures are its first stage; banding is lossless).
     """
     return {
-        # --- newest (never driver-verified): corpus transforms ---
+        # --- newest (never driver-verified): corpus transforms +
+        # incremental dedup ---
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "incdedup_match": q_incdedup_match,
         # --- new in r5: lexical/hybrid retrieval, curation signals ---
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2181,7 +2250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n-gram Jaccard is its verify stage) and dedup_groups into
         # curation_pipeline + semantic_dedup_groups (CC + keeper runs
         # hash-checked in both) — functions remain for bench/pytest.
-        "embedding_neardup": q_embedding_neardup,
+        # embedding_neardup + embedding_neardup_lsh consolidated into
+        # embedding_neardup_variants (both paths still hash-checked)
+        "embedding_neardup_variants": q_embedding_neardup_variants,
         "curation_pipeline": q_curation_pipeline,
         "semantic_dedup_groups": q_semantic_dedup_groups,
         "simhash_neardup_pairs": q_simhash_neardup_pairs,
@@ -2192,7 +2263,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # consolidated into knn_graph_models_exact (both distributed
         # twins still hash-checked; functions remain for bench/pytest)
         "knn_graph_models_exact": q_knn_graph_models_exact,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "events_sliding_window": q_events_sliding_window,
         "events_sessionization": q_events_sessionization,
         # multimodal_features was folded into multimodal_resize (same
@@ -2236,12 +2306,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "text_stats": _sql_text_stats(),
         "dedup_exact": _sql_dedup_exact(),
-        "embedding_neardup": _sql_embedding_neardup(),
+        "embedding_neardup_variants": _sql_embedding_neardup_variants(),
+        "incdedup_match": _sql_incdedup_match(),
         "curation_pipeline": _sql_curation_pipeline(),
         "semantic_dedup_groups": _sql_semantic_dedup_groups(),
         "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),
         "dedup_minhash_verified": _sql_dedup_minhash_verified(),
-        "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "knn_hybrid_pending_exact": SQL_KNN_L2,
         "ann_recall_checks": _sql_ann_recall_checks(),
         "bm25_topk": _sql_bm25_topk(),
