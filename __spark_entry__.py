@@ -1977,6 +1977,43 @@ def _sql_knn_graph_models_exact() -> str:
     )
 
 
+def q_filter_tags_variants(spark, sf_dir):
+    """F3/F4/F5 tag-filter semantics as ONE relation with a variant
+    column (consolidates filter_tags_and + filter_tags_or_notin; both
+    predicate shapes still hash-checked)."""
+    parts = [
+        q_filter_tags_and(spark, sf_dir).withColumn("variant", F.lit("AND")),
+        q_filter_tags_or_notin(spark, sf_dir).withColumn("variant", F.lit("OR_NOTIN")),
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+def _sql_filter_tags_variants() -> str:
+    return " UNION ALL ".join(
+        f"SELECT *, '{v}' AS variant FROM ({s}) t{i}"
+        for i, (v, s) in enumerate(
+            [("AND", SQL_FILTER_TAGS_AND), ("OR_NOTIN", SQL_FILTER_TAGS_OR_NOTIN)]
+        )
+    )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained bigram-LM perplexity (CCNet quality filter,
+    Wenzek et al. 2020): the documents table is both training corpus
+    and scoring target — per-doc (n_bigrams, sum_logp, ppl) under the
+    add-alpha bigram model (operators/quality.py lm_perplexity)."""
+    from gamma_spark.operators.quality import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_perplexity(docs, docs)
+
+
+def _sql_lm_perplexity() -> str:
+    from gamma_spark.operators.quality import sql_lm_perplexity
+
+    return sql_lm_perplexity("documents", "documents")
+
+
 def q_embedding_neardup_variants(spark, sf_dir):
     """Both embedding near-dup paths as ONE relation with a variant
     column — the exact all-pairs operator and the multi-band
@@ -2136,6 +2173,8 @@ NEWLY_ADDED = {
     "pii_scrub",
     "paragraph_dedup",
     "incdedup_match",
+    "lm_perplexity",
+    "filter_tags_variants",
     "embedding_neardup_variants",
     "knn_hamming_variants",
     "knn_graph_models_exact",
@@ -2190,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "incdedup_match": q_incdedup_match,
+        "lm_perplexity": q_lm_perplexity,
         # --- new in r5: lexical/hybrid retrieval, curation signals ---
         "bm25_topk": q_bm25_topk,
         "hybrid_rrf": q_hybrid_rrf,
@@ -2227,8 +2267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_ivfpq_variants_exact above (functions remain for pytest)
         "filter_range_term": q_filter_range_term,
         "knn_multivid_collapse": q_knn_multivid_collapse,
-        "filter_tags_and": q_filter_tags_and,
-        "filter_tags_or_notin": q_filter_tags_or_notin,
+        # filter_tags_and + filter_tags_or_notin consolidated into
+        # filter_tags_variants (both predicate shapes hash-checked)
+        "filter_tags_variants": q_filter_tags_variants,
         # search_projected_l2sqrt + search_with_total consolidated into
         # search_request_full above (functions remain for pytest)
         "filter_only_topn": q_filter_only_topn,
@@ -2291,8 +2332,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq_variants_exact": _sql_knn_ivfpq_variants_exact(),
         "filter_range_term": SQL_FILTER_RANGE_TERM,
         "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,
-        "filter_tags_and": SQL_FILTER_TAGS_AND,
-        "filter_tags_or_notin": SQL_FILTER_TAGS_OR_NOTIN,
+        "filter_tags_variants": _sql_filter_tags_variants(),
+        "lm_perplexity": _sql_lm_perplexity(),
         "search_request_full": SQL_SEARCH_REQUEST_FULL,
         "faiss_load_search": SQL_KNN_L2,
         "filter_only_topn": SQL_FILTER_ONLY_TOPN,

@@ -232,6 +232,7 @@ def main():
     run("pii_scrub", lambda: qs["pii_scrub"](spark, sf_dir).count())
     run("paragraph_dedup", lambda: qs["paragraph_dedup"](spark, sf_dir).count())
     run("incdedup_match", lambda: qs["incdedup_match"](spark, sf_dir).count())
+    run("lm_perplexity", lambda: qs["lm_perplexity"](spark, sf_dir).count())
     run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
     run("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
     run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))

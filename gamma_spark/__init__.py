@@ -42,6 +42,7 @@ __all__ = [
     "EmbeddingNearDupIndex",
     "rrf_fuse",
     "repetition_signals",
+    "lm_perplexity",
     "decontaminate",
     "RangeFilter",
     "TermFilter",
@@ -87,10 +88,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.operators import dedup as _d
 
         return getattr(_d, name)
-    if name == "repetition_signals":
-        from gamma_spark.operators.quality import repetition_signals
+    if name in ("repetition_signals", "lm_perplexity"):
+        from gamma_spark.operators import quality as _q
 
-        return repetition_signals
+        return getattr(_q, name)
     if name == "decontaminate":
         from gamma_spark.operators.dedup import decontaminate
 

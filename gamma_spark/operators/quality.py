@@ -156,3 +156,128 @@ FROM flat
 LEFT JOIN ent USING ({id_col})
 LEFT JOIN big USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-trained bigram LM perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+def lm_perplexity(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under an add-alpha-smoothed bigram LM
+    trained on ``train`` — the CCNet move (Wenzek et al. 2020: score
+    crawl docs with an LM trained on a reference corpus; high ppl =
+    far from the reference distribution, low ppl = degenerate/template)
+    with the n-gram LM itself trained IN Spark instead of importing a
+    KenLM binary.
+
+    P(w2|w1) = (c12 + alpha) / (c1 + alpha * V); unseen w1 degrades to
+    the uniform 1/V. Output: (id, n_bigrams, sum_logp, ppl) with
+    ppl = exp(-sum_logp / n_bigrams).
+
+    Scale shape: training is two map-side-combinable count aggregations
+    over exploded token/bigram streams (the shared shingle shape); V is
+    the one driver scalar. Scoring explodes the score-side bigram
+    stream and left-joins the two count relations on their keys —
+    volume is the score corpus's bigrams, count relations behave like
+    dimension tables (AQE broadcasts them when small). Determinism:
+    per-bigram log-probs are rounded to 7 decimals and summed as
+    DECIMAL(20,7) (order-free, the quality-signal convention).
+    """
+    def tok_stream(df):
+        return df.select(
+            F.col(id_col), F.explode(T.tokens(text_col)).alias("w")
+        )
+
+    def bigram_stream(df):
+        toks = T.tokens(text_col)
+        bg = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, (i + 1).cast("int")).alias("w1"),
+                F.element_at(toks, (i + 2).cast("int")).alias("w2"),
+            ),
+        )
+        return (
+            df.filter(F.size(toks) >= 2)
+            .select(F.col(id_col), F.explode(bg).alias("b"))
+            .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        )
+
+    uni = tok_stream(train).groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    big = bigram_stream(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    vocab = uni.count()  # the one driver scalar (|V|)
+
+    sb = bigram_stream(score)
+    joined = sb.join(big, ["w1", "w2"], "left").join(uni, ["w1"], "left")
+    logp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * vocab))
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum(F.round(logp, 7).cast("decimal(20,7)")).alias("_slp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.col("_slp").cast("double").alias("sum_logp"),
+        F.round(
+            F.exp(-(F.col("_slp").cast("double")) / F.col("n_bigrams")), 6
+        ).alias("ppl"),
+    )
+
+
+def sql_lm_perplexity(
+    train_table: str,
+    score_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity` (vocab size computed
+    in-query instead of as a driver scalar)."""
+    toks = T.sql_tokens(text_col)
+    return f"""
+WITH tr_tok AS (
+  SELECT unnest({toks}) AS w1 FROM {train_table}
+),
+uni AS (SELECT w1, count(*) AS c1 FROM tr_tok GROUP BY w1),
+voc AS (SELECT count(*)::DOUBLE AS v FROM uni),
+tr_big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT {toks} AS t FROM {train_table}) s,
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+  WHERE len(t) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM tr_big GROUP BY w1, w2),
+sc_big AS (
+  SELECT {id_col}, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT {id_col}, {toks} AS t FROM {score_table}) s,
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) g
+  WHERE len(t) >= 2
+),
+scored AS (
+  SELECT s.{id_col},
+         round(ln((coalesce(b.c12, 0) + {alpha}) /
+                  (coalesce(u.c1, 0) + {alpha} * voc.v)), 7)::DECIMAL(20,7) AS lp
+  FROM sc_big s
+  LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN uni u ON s.w1 = u.w1
+  CROSS JOIN voc
+)
+SELECT {id_col},
+       count(*)::INT AS n_bigrams,
+       (sum(lp))::DOUBLE AS sum_logp,
+       round(exp(-((sum(lp))::DOUBLE) / count(*)), 6) AS ppl
+FROM scored GROUP BY {id_col}
+"""

@@ -82,3 +82,45 @@ def test_curation_kept_is_consistent(spark, documents):
     assert bad == 0
     # non-survivors are never kept
     assert out.filter(~F.col("passed_filter") & F.col("kept")).count() == 0
+
+
+def test_lm_perplexity_matches_duckdb_and_separates(spark, documents):
+    """Bit-parity with the DuckDB twin on the real table, plus the
+    semantic check: a degenerate repeated-token doc scores LOWER ppl
+    than the corpus median (the LM has seen its one bigram constantly)."""
+    import duckdb
+    import pandas as pd
+
+    from gamma_spark.operators.quality import lm_perplexity, sql_lm_perplexity
+
+    base = documents.select("doc_id", "text")
+    got = (
+        lm_perplexity(base, base)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", base.toPandas())
+    want = (
+        con.sql(sql_lm_perplexity("documents", "documents"))
+        .df()
+        .sort_values("doc_id", ignore_index=True)[got.columns]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_bigrams": "int64"}), want.astype({"n_bigrams": "int64"})
+    )
+
+    # semantic direction on a corpus with actual bigram structure (the
+    # documents fixture is near-uniform token soup, where everything
+    # scores ~V): in-domain text scores far below out-of-distribution
+    # text — the CCNet filtering signal
+    filler = " ".join(f"f{j}" for j in range(60))  # widen V: OOD ppl ~ V
+    train = spark.createDataFrame(
+        [(i, "x y x y x y z") for i in range(50)] + [(999, filler)],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "p q r s t u")], ["doc_id", "text"]
+    )
+    ppl = {r["doc_id"]: r["ppl"] for r in lm_perplexity(train, probes).collect()}
+    assert ppl[1] * 3 < ppl[2]
