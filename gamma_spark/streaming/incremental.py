@@ -258,3 +258,53 @@ def stream_exact_dedup(
     else:
         keyed = keyed.dropDuplicates(["_key"])
     return keyed.drop("_key")
+
+
+def stream_neardup_dedup(
+    stream_df: DataFrame,
+    index_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch sink composing the incremental near-dup index with
+    ingest: each micro-batch is matched against the standing
+    `MinHashIndex` (near-dups of ANY earlier batch are dropped),
+    survivors are appended to the output corpus AND their LSH buckets
+    to the index — so batch N+1 dedups against batch N with no corpus
+    recompute. The first batch bootstraps the index.
+
+    Within-batch near-dups are additionally collapsed to their keeper
+    (min id) via the batch self-join — the complete arrival-order
+    semantics: a doc survives iff nothing similar arrived before it.
+
+    Note: the bootstrap check reads the index directory directly (local
+    or DBFS-style paths); the per-batch work is the `match` join plus
+    the batch-sized self-join — both bounded by the batch, not the
+    corpus (docs/SCALING.md `MinHashIndex` row)."""
+    import os
+
+    from gamma_spark.operators.dedup import MinHashIndex, minhash_dedup_pairs
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # collapse within-batch near-dups first (keeper = min id)
+        pairs = minhash_dedup_pairs(batch_df, id_col, text_col)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        batch = batch_df.join(losers, id_col, "left_anti")
+        if os.path.isdir(index_path):
+            idx = MinHashIndex.load(spark, index_path, id_col)
+            matched = (
+                idx.match(batch, text_col)
+                .select(F.col("new_id").alias(id_col))
+                .distinct()
+            )
+            survivors = batch.join(matched, id_col, "left_anti")
+            survivors.write.mode("append").parquet(out_path)
+            idx.append(survivors, text_col)
+        else:
+            survivors = batch
+            survivors.write.mode("append").parquet(out_path)
+            MinHashIndex.build(survivors, id_col, text_col, path=index_path)
+
+    return stream_df.writeStream.foreachBatch(handle)

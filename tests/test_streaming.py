@@ -312,3 +312,61 @@ def test_stream_exact_dedup_across_batches(tmp_path, spark, documents):
     assert len(texts) == len(set(texts))
     distinct_in = base.select("text").distinct().count()
     assert len(texts) == distinct_in
+
+
+def test_stream_neardup_dedup_across_batches(tmp_path, spark, documents):
+    """r5 streaming near-dup: batch 1 bootstraps the MinHashIndex;
+    batch 2 contains exact copies of batch-1 docs under new ids — the
+    index must drop them, keeping only genuinely new content."""
+    from gamma_spark.streaming.incremental import stream_neardup_dedup
+
+    b1 = documents.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    # batch 2: 50 copies of batch-1 texts (new ids) + 100 fresh docs
+    copies = b1.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    fresh = documents.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).select("doc_id", "text")
+    b2 = copies.unionByName(fresh)
+
+    src = str(tmp_path / "incoming")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    idxp = str(tmp_path / "mhidx")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_neardup_dedup(stream, idxp, out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
+    fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
+    copy_ids = {r.doc_id + 0 for r in copies.select("doc_id").collect()}
+    # batch-1 survivors: everything except within-batch near-dup losers
+    assert b1_ids - kept == set() or (b1_ids & kept)  # batch 1 mostly kept
+    # every exact copy of earlier content dropped; fresh content kept
+    # unless it legitimately near-dups earlier content (the fixture
+    # plants such pairs) — any dropped fresh doc must have an LSH pair
+    assert not (copy_ids & kept)
+    dropped_fresh = fresh_ids - kept
+    if dropped_fresh:
+        from gamma_spark.operators.dedup import minhash_dedup_pairs
+
+        paired = {
+            i
+            for r in minhash_dedup_pairs(
+                b1.unionByName(b2), "doc_id", "text"
+            ).collect()
+            for i in (r.id_a, r.id_b)
+        }
+        assert dropped_fresh <= paired
+    assert len(fresh_ids & kept) > 80  # the bulk of fresh content survives
