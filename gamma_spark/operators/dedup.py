@@ -959,6 +959,16 @@ class MinHashIndex:
             banded = self.banded.unionByName(nb)
         return MinHashIndex(banded, self.id_col, self.n, self.path)
 
+    def compact(self, spark, partitions: int = 32) -> "MinHashIndex":
+        """T3 for the bucket relation: collapse per-micro-batch append
+        files into ``partitions`` files (content unchanged)."""
+        if self.path is None:
+            return self
+        _compact_parquet(spark, self.path, partitions)
+        return MinHashIndex(
+            spark.read.parquet(self.path), self.id_col, self.n, self.path
+        )
+
 
 class EmbeddingNearDupIndex:
     """Semantic twin of :class:`MinHashIndex`: a materialized
@@ -1094,3 +1104,31 @@ class EmbeddingNearDupIndex:
             banded, vectors, self.planes, self.id_col, self.vec_col,
             self.threshold, self.path, self.meta,
         )
+
+    def compact(self, spark, partitions: int = 32) -> "EmbeddingNearDupIndex":
+        """T3 for both stored relations (bands + vectors)."""
+        if self.path is None:
+            return self
+        _compact_parquet(spark, f"{self.path}/bands", partitions)
+        _compact_parquet(spark, f"{self.path}/vectors", partitions)
+        return EmbeddingNearDupIndex(
+            spark.read.parquet(f"{self.path}/bands"),
+            spark.read.parquet(f"{self.path}/vectors"),
+            self.planes, self.id_col, self.vec_col,
+            self.threshold, self.path, self.meta,
+        )
+
+
+def _compact_parquet(spark, path: str, partitions: int = 32) -> None:
+    """Rewrite a parquet dir into ``partitions`` files (append sinks
+    accumulate one file per micro-batch — the T3 compaction story
+    applied to index relations). Staged rewrite + atomic-ish swap."""
+    import shutil
+
+    df = spark.read.parquet(path).coalesce(partitions)
+    tmp = path + ".compact"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    import os
+
+    os.rename(tmp, path)

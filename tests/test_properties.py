@@ -475,3 +475,68 @@ def test_decontaminate_distinct_counts(documents_cached):
     ev = spark.createDataFrame([(9, six)], "doc_id long, text string")
     got = {r.doc_id: r.n_contaminated for r in decontaminate(train, ev, n=6).collect()}
     assert got == {1: 1}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=13
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    width=st.sampled_from([3, 4, 5]),
+)
+def test_paragraph_dedup_invariants(spark, texts, width):
+    """For ANY corpus/width: (1) chunk counts are conserved
+    (n_chunks = ceil(tokens/width) per doc), (2) every doc's kept_text
+    is a subsequence of its chunks, (3) the union of kept paragraphs
+    equals the distinct paragraph set (nothing lost, nothing invented),
+    and (4) the result matches the DuckDB twin exactly."""
+    import math
+
+    import pandas as pd
+
+    from gamma_spark.operators.transforms import (
+        chunk_paragraphs,
+        paragraph_dedup,
+        sql_paragraph_dedup,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = paragraph_dedup(df, width=width).toPandas().sort_values(
+        "doc_id", ignore_index=True
+    )
+    for _, row in out.iterrows():
+        n_tok = len(texts[row.doc_id].split(" "))
+        assert row.n_chunks == max(1, math.ceil(n_tok / width))
+        assert 0 <= row.n_dropped <= row.n_chunks
+
+    chunks = chunk_paragraphs(df, width=width).toPandas()
+    kept_paras = set()
+    for _, row in out.iterrows():
+        if row.kept_text:
+            doc_chunks = chunks[chunks.doc_id == row.doc_id].sort_values("chunk_idx")
+            # kept_text must be the in-order join of a subset of chunks
+            remaining = row.kept_text
+            for c in doc_chunks.chunk:
+                if remaining.startswith(c):
+                    kept_paras.add(c)
+                    remaining = remaining[len(c):].lstrip(" ")
+            assert remaining == ""
+    # global completeness: every distinct paragraph survives exactly once
+    survivors = out.n_chunks.sum() - out.n_dropped.sum()
+    assert survivors == chunks.chunk.nunique()
+
+    con = duckdb.connect()
+    con.register("d0", df.toPandas())
+    want = (
+        con.sql(sql_paragraph_dedup("d0", width=width))
+        .df()
+        .sort_values("doc_id", ignore_index=True)[out.columns]
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n_chunks": "int64", "n_dropped": "int64"}),
+        want.astype({"n_chunks": "int64", "n_dropped": "int64"}),
+    )

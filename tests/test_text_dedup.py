@@ -365,3 +365,28 @@ def test_embedding_neardup_index_incremental_equals_batch(embeddings, tmp_path, 
     }
     # matching new against (corpus + new) must now include new-new pairs
     assert again == cross | self_pairs(new)
+
+
+def test_minhash_index_compact_preserves_matches(documents, tmp_path, spark):
+    import glob
+
+    corpus = documents.filter(F.col("doc_id") >= 100)
+    path = str(tmp_path / "mh3")
+    idx = D.MinHashIndex.build(
+        corpus.filter(F.col("doc_id") < 300), "doc_id", "text", path=path
+    )
+    for lo, hi in ((300, 400), (400, 500)):
+        idx = idx.append(
+            corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        )
+    probe = documents.filter(F.col("doc_id") < 100)
+    before = {
+        tuple(sorted((r.new_id, r.corpus_id))) for r in idx.match(probe).collect()
+    }
+    files_before = len(glob.glob(f"{path}/*.parquet"))
+    idx = idx.compact(spark, partitions=2)
+    after = {
+        tuple(sorted((r.new_id, r.corpus_id))) for r in idx.match(probe).collect()
+    }
+    assert after == before and before  # content identical, non-trivial
+    assert len(glob.glob(f"{path}/*.parquet")) <= min(2, files_before)
