@@ -945,6 +945,7 @@ IVF_RECALL_T = 0.5   # nprobe=4/16 floor, proven in tests/test_ann.py
 PQ_RECALL_T = 0.6    # ADC+rerank floor at nprobe=8, recall_num=64
 HNSW_RECALL_T = 0.9  # sharded graphs, m=16 efc=80 ef=128 (tests/test_hnsw.py)
 SCANN_RECALL_T = 0.6  # VEARCH 4-bit + rerank floor (tests/test_scann.py)
+SQ8_RECALL_T = 0.9   # IVFSQ8 full-probe floor: quantization-only error
 
 
 def q_ivf_recall_check(spark, sf_dir):
@@ -1056,6 +1057,26 @@ SQL_HNSW_RECALL_CHECK = (
 SQL_SCANN_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {SCANN_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
 )
+SQL_SQ8_RECALL_CHECK = (
+    f"SELECT {KNN_K}::INT AS k, {SQ8_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
+)
+
+
+def q_sq8_recall_check(spark, sf_dir):
+    """Recall@k for IVFSQ8 (operators/sq.py — the idiomatic analogue of
+    the reference's ZFP-compressed raw-vector tier, SURVEY O12,
+    `storage/compress/compressor_zfp.h:38-58`): full probes so the ONLY
+    error source is 8-bit scalar quantization — recall measures the
+    codec, not the pruning."""
+    from gamma_spark.operators.ann import recall_check
+    from gamma_spark.operators.sq import IvfSq8Index
+
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    idx = IvfSq8Index.build(docs, ncentroids=IVF_NCENT, seed=42)
+    approx = idx.search(None, queries_df, k=KNN_K, metric="L2", nprobe=IVF_NCENT)
+    return recall_check(exact, approx, k=KNN_K, threshold=SQ8_RECALL_T)
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -1894,6 +1915,7 @@ def q_ann_recall_checks(spark, sf_dir):
         q_pq_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFPQ")),
         q_hnsw_recall_check(spark, sf_dir).withColumn("model", F.lit("HNSW")),
         q_scann_recall_check(spark, sf_dir).withColumn("model", F.lit("VEARCH")),
+        q_sq8_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFSQ8")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1910,6 +1932,7 @@ def _sql_ann_recall_checks() -> str:
                 ("IVFPQ", SQL_PQ_RECALL_CHECK),
                 ("HNSW", SQL_HNSW_RECALL_CHECK),
                 ("VEARCH", SQL_SCANN_RECALL_CHECK),
+                ("IVFSQ8", SQL_SQ8_RECALL_CHECK),
             ]
         )
     )

@@ -296,6 +296,7 @@ def tune_recall_num(
 
 from gamma_spark.operators.hnsw import HnswIndex  # noqa: E402 (cycle-free)
 from gamma_spark.operators.pq import VearchIndex  # noqa: E402
+from gamma_spark.operators.sq import IvfSq8Index  # noqa: E402
 
 MODELS = {
     "FLAT": FlatIndex,
@@ -307,6 +308,9 @@ MODELS = {
     # (`index/impl/scann/gamma_index_vearch.cc:19`)
     "VEARCH": VearchIndex,
     "SCANN": VearchIndex,
+    # beyond-reference compressed tier: the ZFP lossy-vector-store
+    # analogue (SURVEY O12) as a first-class model
+    "IVFSQ8": IvfSq8Index,
 }
 
 

@@ -1,0 +1,208 @@
+"""IVFSQ8 — IVF over 8-bit scalar-quantized vectors.
+
+The idiomatic answer to the reference's lossy vector compression tier
+(ZFP-compressed raw vector store, `storage/compress/compressor_zfp.h:38-58`,
+SURVEY O12): store each float32 dimension as one uint8 against trained
+per-dimension [min, max] bounds — 4x fewer vector bytes scanned at
+search time, with recall governed by quantization resolution instead of
+a shortlist (contrast IVFPQ, where the code is sub-vector-level and
+recall_num is the lever). The same tier faiss ships as
+IndexScalarQuantizer(QT_8bit) + IVF.
+
+Design: a thin composition over the IVF machinery — build trains the
+same coarse quantizer and writes a cluster-partitioned CODES table
+(uint8 bytes per row); search prunes code partitions with the standard
+probe, decodes ONLY the probed lists back to floats in an Arrow kernel,
+and delegates scoring/top-k to `IvfFlatIndex.search` on the decoded
+relation. Nothing else is new — pruning, kernels, bands, l2_sqrt and
+predicates are the already-audited paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gamma_spark.operators.ivf import (
+    DEFAULT_NCENTROIDS,
+    DEFAULT_NPROBE,
+    IvfFlatIndex,
+    _train_centroids,
+    assign_clusters,
+)
+
+
+class IvfSq8Index:
+    """RetrievalModel analogue for the scalar-quantized tier."""
+
+    name = "IVFSQ8"
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        codes_df: DataFrame,
+        mins: np.ndarray,
+        maxs: np.ndarray,
+        doc_vec: str = "embedding",
+        path: str | None = None,
+    ):
+        self.centroids = centroids
+        self.codes_df = codes_df
+        self.mins = np.asarray(mins, dtype=np.float64)
+        self.maxs = np.asarray(maxs, dtype=np.float64)
+        self.doc_vec = doc_vec
+        self.path = path
+
+    # -- build -----------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        doc_vec: str = "embedding",
+        ncentroids: int = DEFAULT_NCENTROIDS,
+        sample_size: int = 100_000,
+        seed: int = 42,
+        path: str | None = None,
+    ) -> "IvfSq8Index":
+        centroids = _train_centroids(docs, doc_vec, ncentroids, sample_size, seed)
+        dim = centroids.shape[1]
+        # per-dimension bounds: ONE aggregation pass (2·d map-side
+        # combinable min/max aggs), the SQ train step (faiss trains the
+        # same bounds from its sample)
+        aggs = [
+            F.min(F.element_at(F.col(doc_vec), i + 1)).alias(f"mn{i}")
+            for i in range(dim)
+        ] + [
+            F.max(F.element_at(F.col(doc_vec), i + 1)).alias(f"mx{i}")
+            for i in range(dim)
+        ]
+        row = docs.agg(*aggs).collect()[0]
+        mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+        maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+
+        assigned = assign_clusters(docs, centroids, doc_vec)
+        codes = cls._encode(assigned, doc_vec, mins, maxs)
+        if path:
+            codes.repartition("cluster_id").write.mode("overwrite").partitionBy(
+                "cluster_id"
+            ).parquet(os.path.join(path, "codes"))
+            np.save(os.path.join(path, "centroids.npy"), centroids)
+            np.save(os.path.join(path, "bounds.npy"), np.stack([mins, maxs]))
+            with open(os.path.join(path, "meta.json"), "w") as fh:
+                json.dump(
+                    {"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec},
+                    fh,
+                )
+            codes = docs.sparkSession.read.parquet(os.path.join(path, "codes"))
+        return cls(centroids, codes, mins, maxs, doc_vec, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IvfSq8Index":
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        bounds = np.load(os.path.join(path, "bounds.npy"))
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(
+            centroids,
+            spark.read.parquet(os.path.join(path, "codes")),
+            bounds[0], bounds[1], meta["doc_vec"], path,
+        )
+
+    # -- codec -----------------------------------------------------------
+
+    @staticmethod
+    def _encode(assigned: DataFrame, doc_vec: str, mins, maxs) -> DataFrame:
+        """Replace the float vector column with d uint8 bytes/row."""
+        from pyspark.sql.types import BinaryType, StructField, StructType
+
+        mins64 = np.asarray(mins, dtype=np.float64)
+        span = np.maximum(np.asarray(maxs, dtype=np.float64) - mins64, 1e-30)
+
+        fields = [f for f in assigned.schema.fields if f.name != doc_vec]
+        out_schema = StructType(fields + [StructField("_sq8", BinaryType())])
+        keep = [f.name for f in fields]
+
+        def enc(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+                q = np.clip(
+                    np.rint((M - mins64) / span * 255.0), 0, 255
+                ).astype(np.uint8)
+                out = pdf[keep].copy()
+                out["_sq8"] = [r.tobytes() for r in q]
+                yield out
+
+        return assigned.mapInPandas(enc, schema=out_schema)
+
+    def _decode(self, codes: DataFrame) -> DataFrame:
+        """Restore a float vector column from the uint8 codes —
+        reconstruction value mn + c/255*(mx-mn), the dequantization the
+        scoring kernel consumes. Arrow-batched, map-only."""
+        from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+        mins64, maxs64 = self.mins, self.maxs
+        span = np.maximum(maxs64 - mins64, 1e-30)
+        doc_vec = self.doc_vec
+
+        fields = [f for f in codes.schema.fields if f.name != "_sq8"]
+        out_schema = StructType(
+            fields + [StructField(doc_vec, ArrayType(FloatType()))]
+        )
+        keep = [f.name for f in fields]
+        dim = len(mins64)
+
+        def dec(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                C = np.stack(
+                    [np.frombuffer(b, dtype=np.uint8, count=dim) for b in pdf["_sq8"]]
+                ).astype(np.float64)
+                V = (mins64 + C / 255.0 * span).astype(np.float32)
+                out = pdf[keep].copy()
+                out[doc_vec] = list(V)
+                yield out
+
+        return codes.mapInPandas(dec, schema=out_schema)
+
+    # -- search ----------------------------------------------------------
+
+    def search(
+        self,
+        docs: DataFrame,  # unused; protocol parity
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "IP",
+        doc_vec: str | None = None,
+        nprobe: int = DEFAULT_NPROBE,
+        predicate: Column | None = None,
+        query_id: str = "qid",
+        query_vec: str = "qvec",
+        **kw,
+    ) -> DataFrame:
+        """Probe → prune code partitions → decode only probed lists →
+        the standard IVF scoring/top-k on the decoded relation. The
+        decode is sized by nprobe/ncentroids of the CODES bytes (a
+        quarter of the raw-vector bytes the FLAT tier would scan)."""
+        qrows = queries.select(query_vec).collect()
+        qmat = np.asarray([r[0] for r in qrows], dtype=np.float64)
+        prober = IvfFlatIndex(self.centroids, self.codes_df)
+        probes = prober.probe_clusters(qmat, nprobe)
+        wanted = sorted({int(c) for row in probes for c in row})
+        pruned = self.codes_df
+        if len(wanted) < len(self.centroids):
+            pruned = pruned.filter(F.col("cluster_id").isin(wanted))
+        decoded = self._decode(pruned)
+        helper = IvfFlatIndex(self.centroids, decoded)
+        return helper.search(
+            None, queries, k=k, metric=metric,
+            doc_vec=doc_vec or self.doc_vec, nprobe=nprobe,
+            predicate=predicate, query_id=query_id, query_vec=query_vec, **kw,
+        )

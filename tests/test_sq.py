@@ -1,0 +1,73 @@
+"""IVFSQ8 scalar-quantized tier (operators/sq.py): codec bounds,
+recall vs the exact kernel, persistence."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gamma_spark.operators import knn
+from gamma_spark.operators.sq import IvfSq8Index
+
+NCENT = 8
+
+
+@pytest.fixture(scope="module")
+def docs(embeddings):
+    return embeddings.withColumnRenamed("vec_id", "_docid")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, docs):
+    rows = docs.orderBy("_docid").limit(8).collect()
+    return spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+
+
+def test_sq8_roundtrip_error_bounded(spark, docs):
+    """Dequantized vectors deviate from the originals by at most half a
+    quantization step per dimension."""
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    dec = {r._docid: np.array(r.embedding) for r in idx._decode(idx.codes_df).collect()}
+    orig = {r._docid: np.array(r.embedding) for r in docs.collect()}
+    step = (idx.maxs - idx.mins) / 255.0
+    for d, v in orig.items():
+        assert np.all(np.abs(dec[d] - v) <= step / 2 + 1e-6)
+
+
+def test_sq8_full_probe_recall_near_exact(spark, docs, queries):
+    """At nprobe == ncentroids the only error is quantization: recall@10
+    vs the exact float kernel must be high (8 bits/dim is ~1e-2 step on
+    unit-scale data)."""
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    got = idx.search(None, queries, k=10, metric="L2", nprobe=NCENT)
+    want = knn.knn_join(docs, queries, k=10, metric="L2")
+    g = {(r.qid, r._docid) for r in got.collect()}
+    w = {(r.qid, r._docid) for r in want.collect()}
+    assert len(g & w) / len(w) >= 0.9
+
+
+def test_sq8_dump_load_roundtrip(tmp_path, spark, docs, queries):
+    path = str(tmp_path / "sq8")
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42, path=path)
+    a = {(r.qid, r.rank): r._docid for r in
+         idx.search(None, queries, k=5, metric="IP", nprobe=NCENT).collect()}
+    idx2 = IvfSq8Index.load(spark, path)
+    b = {(r.qid, r.rank): r._docid for r in
+         idx2.search(None, queries, k=5, metric="IP", nprobe=NCENT).collect()}
+    assert a == b
+    # the stored codes really are 1 byte/dim
+    row = spark.read.parquet(f"{path}/codes").limit(1).collect()[0]
+    assert len(row["_sq8"]) == len(idx.mins)
+
+
+def test_sq8_pruned_search_with_predicate(spark, docs, queries):
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    got = idx.search(
+        None, queries, k=5, metric="L2", nprobe=2,
+        predicate=F.col("label") == 1,
+    )
+    labels = {r._docid for r in docs.filter(F.col("label") == 1).collect()}
+    for r in got.collect():
+        assert r._docid in labels
