@@ -120,6 +120,19 @@ def bench_vearch(spark, sf_dir):
     return idx.search(None, queries, k=10, metric="IP", nprobe=8).count()
 
 
+def bench_sq8(spark, sf_dir):
+    """IVFSQ8 build + 512-query pruned search over the decoded tier
+    (the compressed-vector-store analogue, new r5)."""
+    from gamma_spark.operators.sq import IvfSq8Index
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = IvfSq8Index.build(docs, ncentroids=32, seed=42)
+    queries = docs.select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    ).limit(512)
+    return idx.search(None, queries, k=10, metric="L2", nprobe=8).count()
+
+
 def bench_neardup_banded(spark, sf_dir):
     """Multi-band hyperplane-LSH embedding near-dup on its scale path
     (Arrow matmul signatures + vectorized verify); the contract query
@@ -222,6 +235,7 @@ def main():
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
     run("hnsw_build_search_512q", lambda: bench_hnsw(spark, sf_dir))
     run("vearch_build_search_512q", lambda: bench_vearch(spark, sf_dir))
+    run("sq8_build_search_512q", lambda: bench_sq8(spark, sf_dir))
     run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
     run("pack_sequences", lambda: qs["pack_sequences"](spark, sf_dir).count())
     run("bm25_topk", lambda: qs["bm25_topk"](spark, sf_dir).count())
