@@ -263,12 +263,44 @@ class Bm25Index:
     """
 
     def __init__(self, postings: DataFrame, n_docs: float, avgdl: float,
-                 k1: float = BM25_K1, b: float = BM25_B):
+                 k1: float = BM25_K1, b: float = BM25_B,
+                 path: str | None = None):
         self.postings = postings
         self.n_docs = float(n_docs)
         self.avgdl = float(avgdl)
         self.k1 = k1
         self.b = b
+        self.path = path
+
+    def append(self, new_docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> "Bm25Index":
+        """Incremental index growth (the T2 micro-batch pattern applied
+        to the lexical model): tokenize ONLY the new batch into
+        postings, append them, and update the corpus stats as running
+        totals (old sum-of-dl = avgdl * n_docs — no re-scan of the
+        standing postings). Search over the result is identical to a
+        fresh build over the union (df/idf derive from the postings at
+        query time, so they see appended docs automatically)."""
+        post_new = term_postings(new_docs, id_col, text_col)
+        stats = post_new.agg(
+            F.countDistinct("_docid").cast("double").alias("nd"),
+            F.sum("tf").cast("double").alias("s"),
+        ).collect()[0]
+        n2 = self.n_docs + stats.nd
+        avg2 = (self.avgdl * self.n_docs + stats.s) / n2
+        if self.path is not None:
+            import json as _json
+            import os as _os
+
+            post_new.write.mode("append").parquet(f"{self.path}/postings")
+            post = new_docs.sparkSession.read.parquet(f"{self.path}/postings")
+            with open(_os.path.join(self.path, "meta.json"), "w") as fh:
+                _json.dump(
+                    {"n_docs": n2, "avgdl": avg2, "k1": self.k1, "b": self.b}, fh
+                )
+        else:
+            post = self.postings.unionByName(post_new)
+        return Bm25Index(post, n2, avg2, k1=self.k1, b=self.b, path=self.path)
 
     @classmethod
     def build(
@@ -306,7 +338,7 @@ class Bm25Index:
                     {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1, "b": b},
                     fh,
                 )
-        return cls(post, row.n_docs, row.avgdl, k1=k1, b=b)
+        return cls(post, row.n_docs, row.avgdl, k1=k1, b=b, path=path)
 
     @classmethod
     def load(cls, spark, path: str) -> "Bm25Index":
@@ -319,7 +351,8 @@ class Bm25Index:
             meta = _json.load(fh)
         post = spark.read.parquet(f"{path}/postings")
         return cls(
-            post, meta["n_docs"], meta["avgdl"], k1=meta["k1"], b=meta["b"]
+            post, meta["n_docs"], meta["avgdl"], k1=meta["k1"], b=meta["b"],
+            path=path,
         )
 
     def search(

@@ -208,3 +208,37 @@ def test_bm25_index_load_roundtrip(spark, corpus, tmp_path):
     )
     got = sorted(map(tuple, loaded.search(qt, k=5).collect()))
     assert got == want
+
+
+def test_bm25_index_append_equals_fresh_build(spark, corpus, tmp_path):
+    """Incremental growth parity: build on half, append the rest — the
+    search result (scores included) must equal a fresh build over the
+    full corpus, both in memory and through the durable path."""
+    first = corpus.filter(F.col("doc_id") < 3)
+    rest = corpus.filter(F.col("doc_id") >= 3)
+    q = spark.createDataFrame(
+        [(0, "spark"), (0, "fast"), (1, "pond")], "qid long, term string"
+    )
+
+    want = [
+        (r.qid, r._docid, r.score, r.rank)
+        for r in R.Bm25Index.build(corpus).search(q, k=5)
+        .orderBy("qid", "rank").collect()
+    ]
+
+    grown = R.Bm25Index.build(first).append(rest)
+    got_mem = [
+        (r.qid, r._docid, r.score, r.rank)
+        for r in grown.search(q, k=5).orderBy("qid", "rank").collect()
+    ]
+    assert got_mem == want
+
+    path = str(tmp_path / "bm25inc")
+    idx = R.Bm25Index.build(first, path=path)
+    idx.append(rest)
+    got_disk = [
+        (r.qid, r._docid, r.score, r.rank)
+        for r in R.Bm25Index.load(spark, path).search(q, k=5)
+        .orderBy("qid", "rank").collect()
+    ]
+    assert got_disk == want
