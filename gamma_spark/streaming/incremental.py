@@ -45,7 +45,13 @@ def index_append_batch(index, batch_df: DataFrame, path: str):
     otherwise)."""
     from gamma_spark.operators.hnsw import HnswIndex
     from gamma_spark.operators.pq import IvfPqIndex
+    from gamma_spark.operators.retrieval import Bm25Index
 
+    if isinstance(index, Bm25Index):
+        # lexical model: only the batch tokenizes; stats update as
+        # running totals (Bm25Index.append). Returned index carries the
+        # new stats — REQUIRED for the next batch.
+        return index.append(batch_df)
     if isinstance(index, IvfPqIndex):
         index.encode_df(batch_df).write.mode("append").partitionBy(
             "cluster_id"

@@ -370,3 +370,44 @@ def test_stream_neardup_dedup_across_batches(tmp_path, spark, documents):
         }
         assert dropped_fresh <= paired
     assert len(fresh_ids & kept) > 80  # the bulk of fresh content survives
+
+
+def test_stream_append_bm25_then_search(tmp_path, spark, documents):
+    """Lexical model through the same foreachBatch appender as the
+    vector models: stream half the corpus in, search must equal a fresh
+    build over everything (scores included)."""
+    from gamma_spark.operators import retrieval as R
+    from gamma_spark.streaming.incremental import stream_index_appender
+
+    base = documents.limit(100).select("doc_id", "text")
+    first = base.filter(F.col("doc_id") < 50)
+    rest = base.filter(F.col("doc_id") >= 50)
+
+    path = str(tmp_path / "bm25")
+    idx = R.Bm25Index.build(first, path=path)
+
+    src = str(tmp_path / "incoming")
+    rest.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(rest.schema).parquet(src)
+    q = (
+        stream_index_appender(stream, idx, path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    terms = spark.createDataFrame(
+        [(0, "table"), (0, "scan"), (1, "spark")], "qid long, term string"
+    )
+    got = [
+        (r.qid, r._docid, r.score)
+        for r in R.Bm25Index.load(spark, path).search(terms, k=5)
+        .orderBy("qid", "rank").collect()
+    ]
+    want = [
+        (r.qid, r._docid, r.score)
+        for r in R.Bm25Index.build(base).search(terms, k=5)
+        .orderBy("qid", "rank").collect()
+    ]
+    assert got == want
