@@ -1938,15 +1938,33 @@ def _sql_ann_recall_checks() -> str:
     )
 
 
+def q_knn_sq8_rerank_exact(spark, sf_dir):
+    """IVFSQ8 with full probes + recall_num = N + exact rerank: the
+    compressed tier's two-phase path degenerates to exact brute force
+    (candidates from dequantized scores, truth from the rerank) —
+    operators/sq.py, the ZFP-tier analogue made oracle-exact."""
+    from gamma_spark.operators.sq import IvfSq8Index
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    idx = IvfSq8Index.build(docs, ncentroids=IVF_NCENT, seed=42)
+    return idx.search(
+        docs, _queries_df(spark, sf_dir), k=KNN_K, metric="L2",
+        nprobe=IVF_NCENT, recall_num=n, has_rank=True,
+    )
+
+
 def q_knn_ivfpq_variants_exact(spark, sf_dir):
-    """K3/K4 exact-degenerate parity for all three IVFPQ variants
-    (rerank / OPQ / 4-bit fastscan) as ONE relation with a variant
-    column — three registry slots become one, every codes→ADC→rerank
+    """Exact-degenerate parity for the compressed-tier family as ONE
+    relation with a variant column: the three IVFPQ variants (rerank /
+    OPQ / 4-bit fastscan, K3/K4) plus the IVFSQ8 two-phase path —
+    four registry slots' coverage in one, every codes→ADC/decode→rerank
     pipeline still hash-checked."""
     parts = [
         q_knn_ivfpq_rerank_exact(spark, sf_dir).withColumn("variant", F.lit("RERANK")),
         q_knn_ivfpq_opq_exact(spark, sf_dir).withColumn("variant", F.lit("OPQ")),
         q_knn_ivfpq_fastscan_exact(spark, sf_dir).withColumn("variant", F.lit("FASTSCAN")),
+        q_knn_sq8_rerank_exact(spark, sf_dir).withColumn("variant", F.lit("SQ8RERANK")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1957,7 +1975,7 @@ def q_knn_ivfpq_variants_exact(spark, sf_dir):
 def _sql_knn_ivfpq_variants_exact() -> str:
     return " UNION ALL ".join(
         f"SELECT *, '{v}' AS variant FROM ({SQL_KNN_L2}) t{i}"
-        for i, v in enumerate(["RERANK", "OPQ", "FASTSCAN"])
+        for i, v in enumerate(["RERANK", "OPQ", "FASTSCAN", "SQ8RERANK"])
     )
 
 

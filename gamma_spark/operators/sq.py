@@ -176,13 +176,18 @@ class IvfSq8Index:
 
     def search(
         self,
-        docs: DataFrame,  # unused; protocol parity
+        docs: DataFrame | None,  # raw vectors for the optional rerank
         queries: DataFrame,
         k: int = 10,
         metric: str = "IP",
         doc_vec: str | None = None,
         nprobe: int = DEFAULT_NPROBE,
+        recall_num: int | None = None,
+        has_rank: bool = False,
         predicate: Column | None = None,
+        min_score: float | None = None,
+        max_score: float | None = None,
+        l2_sqrt: bool = False,
         query_id: str = "qid",
         query_vec: str = "qvec",
         **kw,
@@ -190,9 +195,20 @@ class IvfSq8Index:
         """Probe → prune code partitions → decode only probed lists →
         the standard IVF scoring/top-k on the decoded relation. The
         decode is sized by nprobe/ncentroids of the CODES bytes (a
-        quarter of the raw-vector bytes the FLAT tier would scan)."""
-        qrows = queries.select(query_vec).collect()
-        qmat = np.asarray([r[0] for r in qrows], dtype=np.float64)
+        quarter of the raw-vector bytes the FLAT tier would scan).
+
+        ``has_rank`` (R6, needs ``docs``): keep ``recall_num``
+        dequantized-score candidates, join them back to the raw
+        vectors, rescore exactly and re-select top-k — with full probes
+        and recall_num = N this degenerates to exact brute force
+        bit-for-bit (rerank scores are the in-order exact kernel), the
+        oracle configuration; at practical settings it erases the
+        quantization recall loss for the price of a k-scale join. Score
+        bands apply to the exact reranked scores, matching gamma
+        (`index/impl/gamma_index_ivfpq.cc:668,689`)."""
+        dv = doc_vec or self.doc_vec
+        qrows = queries.select(query_id, query_vec).collect()
+        qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)
         prober = IvfFlatIndex(self.centroids, self.codes_df)
         probes = prober.probe_clusters(qmat, nprobe)
         wanted = sorted({int(c) for row in probes for c in row})
@@ -201,8 +217,46 @@ class IvfSq8Index:
             pruned = pruned.filter(F.col("cluster_id").isin(wanted))
         decoded = self._decode(pruned)
         helper = IvfFlatIndex(self.centroids, decoded)
-        return helper.search(
-            None, queries, k=k, metric=metric,
-            doc_vec=doc_vec or self.doc_vec, nprobe=nprobe,
+        if not (has_rank and docs is not None):
+            return helper.search(
+                None, queries, k=k, metric=metric, doc_vec=dv, nprobe=nprobe,
+                predicate=predicate, min_score=min_score, max_score=max_score,
+                l2_sqrt=l2_sqrt, query_id=query_id, query_vec=query_vec, **kw,
+            )
+
+        pool = max(recall_num or max(4 * k, 64), k)
+        candidates = helper.search(
+            None, queries, k=pool, metric=metric, doc_vec=dv, nprobe=nprobe,
             predicate=predicate, query_id=query_id, query_vec=query_vec, **kw,
+        ).select("qid", "_docid")
+
+        from pyspark.sql.types import StructField, StructType
+
+        from gamma_spark.functions import vector as V
+        from gamma_spark.operators.topk import topk
+
+        spark = self.codes_df.sparkSession
+        qschema = StructType(
+            [
+                StructField("_qid2", queries.schema[query_id].dataType),
+                StructField("_qvec", queries.schema[query_vec].dataType),
+            ]
+        )
+        qdf = spark.createDataFrame([(r[0], r[1]) for r in qrows], schema=qschema)
+        rer = (
+            candidates.join(docs.select("_docid", dv), on="_docid", how="inner")
+            .join(F.broadcast(qdf), on=F.col("qid") == F.col("_qid2"), how="inner")
+            .select(
+                "qid",
+                "_docid",
+                V.score(metric, dv, "_qvec", l2_sqrt=l2_sqrt).alias("score"),
+            )
+        )
+        if min_score is not None:
+            rer = rer.filter(F.col("score") >= min_score)
+        if max_score is not None:
+            rer = rer.filter(F.col("score") <= max_score)
+        return topk(
+            rer, ["qid"], "score", k,
+            ascending=V.metric_ascending(metric), tiebreak_cols=["_docid"],
         )

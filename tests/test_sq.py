@@ -71,3 +71,19 @@ def test_sq8_pruned_search_with_predicate(spark, docs, queries):
     labels = {r._docid for r in docs.filter(F.col("label") == 1).collect()}
     for r in got.collect():
         assert r._docid in labels
+
+
+def test_sq8_rerank_exact_degenerate(spark, docs, queries):
+    """Full probes + recall_num = N + exact rerank must equal the exact
+    float kernel bit-for-bit (R6 for the compressed tier — candidates
+    come from dequantized scores, the rerank recomputes the truth)."""
+    n = docs.count()
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    got = idx.search(
+        docs, queries, k=10, metric="L2", nprobe=NCENT,
+        recall_num=n, has_rank=True,
+    )
+    want = knn.knn_join(docs, queries, k=10, metric="L2")
+    g = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in want.collect()}
+    assert g == w
