@@ -226,7 +226,7 @@ class GammaTable:
         through the registry — the CreateTable ``retrieval_type`` +
         ``retrieval_param`` surface (`search/gamma_engine.cc:524-617`;
         model lookup mirrors REGISTER_MODEL reflection,
-        `index/reflector.h`). Any of FLAT / IVFFLAT / IVFPQ /
+        `index/reflector.h`). Any of FLAT / IVFFLAT / IVFPQ / IVFSQ8 /
         BINARYIVF / HNSW / VEARCH; params pass through to the model's
         build()."""
         from gamma_spark.operators.ann import get_model

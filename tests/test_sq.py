@@ -87,3 +87,13 @@ def test_sq8_rerank_exact_degenerate(spark, docs, queries):
     g = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in got.collect()}
     w = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in want.collect()}
     assert g == w
+
+
+def test_sq8_via_table_build_index(spark, docs, queries):
+    """The CreateTable retrieval_type surface must reach the new model."""
+    from gamma_spark.table import GammaTable
+
+    table = GammaTable(spark, docs.withColumnRenamed("_docid", "doc_id"), id_col="doc_id")
+    idx = table.build_index("IVFSQ8", ncentroids=NCENT, seed=42)
+    got = idx.search(None, queries, k=5, metric="L2", nprobe=NCENT)
+    assert got.count() == queries.count() * 5
