@@ -1092,8 +1092,12 @@ class EmbeddingNearDupIndex:
         )
         nb = self._bands_from(nbase, self.planes, self.meta["bands"], self.meta["bits"])
         if self.path is not None:
-            nb.write.mode("append").parquet(f"{self.path}/bands")
+            # vectors FIRST: a crash between the two appends then leaves
+            # a doc with a vector but no bands (simply not yet indexed —
+            # re-append heals), never bands whose candidates silently
+            # fail the verify join
             nbase.write.mode("append").parquet(f"{self.path}/vectors")
+            nb.write.mode("append").parquet(f"{self.path}/bands")
             spark = new_embs.sparkSession
             banded = spark.read.parquet(f"{self.path}/bands")
             vectors = spark.read.parquet(f"{self.path}/vectors")

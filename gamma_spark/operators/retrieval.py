@@ -280,7 +280,16 @@ class Bm25Index:
         totals (old sum-of-dl = avgdl * n_docs — no re-scan of the
         standing postings). Search over the result is identical to a
         fresh build over the union (df/idf derive from the postings at
-        query time, so they see appended docs automatically)."""
+        query time, so they see appended docs automatically).
+
+        Crash contract: the postings append commits via Spark's file
+        commit protocol (uncommitted task files are invisible to
+        readers); the meta sidecar rewrites last, so a crash between
+        the two leaves stats one batch stale — scores then use a
+        slightly-old avgdl until the batch is re-appended (the
+        reference recovers the analogous gap by replay,
+        `search/gamma_engine.cc:1175-1285`; a full ``build`` refreshes
+        everything)."""
         post_new = term_postings(new_docs, id_col, text_col)
         stats = post_new.agg(
             F.countDistinct("_docid").cast("double").alias("nd"),
