@@ -260,3 +260,64 @@ class IvfSq8Index:
             rer, ["qid"], "score", k,
             ascending=V.metric_ascending(metric), tiebreak_cols=["_docid"],
         )
+
+
+    # -- corpus-scale join (queries relation of any size) ----------------
+
+    def knn_join_distributed(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        metric: str = "L2",
+        nprobe: int = DEFAULT_NPROBE,
+        rescore_docs: DataFrame | None = None,
+        recall_num: int | None = None,
+        l2_sqrt: bool = False,
+        **kw,
+    ) -> DataFrame:
+        """Corpus x corpus kNN join for the compressed tier: decode the
+        codes relation (map-only Arrow pass) and run the audited IVF
+        cogroup join over the dequantized vectors. Scores are
+        dequantized-exact by default; pass ``rescore_docs`` (the raw
+        vector relation) to keep ``recall_num`` candidates per query
+        and rescore them on the true floats — with full probes and
+        recall_num = N that degenerates to exact brute force
+        bit-for-bit (the PQ twin's contract).
+
+        Note on bytes: the decode sits below the cogroup shuffle, so
+        the exchange carries floats; the parquet scan still reads the
+        4x-smaller codes. A code-native cogroup kernel (shuffle bytes,
+        decode at scoring) is the next optimization if the exchange
+        ever becomes the bottleneck."""
+        decoded = self._decode(self.codes_df)
+        helper = IvfFlatIndex(self.centroids, decoded)
+        if rescore_docs is None:
+            return helper.knn_join_distributed(
+                queries, k=k, metric=metric, nprobe=nprobe,
+                doc_vec=self.doc_vec, l2_sqrt=l2_sqrt, **kw,
+            )
+
+        from gamma_spark.functions import vector as V
+        from gamma_spark.operators.topk import topk
+
+        pool = max(recall_num or max(4 * k, 64), k)
+        cand = helper.knn_join_distributed(
+            queries, k=pool, metric=metric, nprobe=nprobe,
+            doc_vec=self.doc_vec, l2_sqrt=l2_sqrt, **kw,
+        ).select("qid", "_docid").dropDuplicates(["qid", "_docid"])
+        qsel = queries.select(F.col("qid"), F.col("qvec").alias("_qvec"))
+        rescored = (
+            cand.join(
+                rescore_docs.select("_docid", F.col(self.doc_vec).alias("_dvec")),
+                on="_docid", how="inner",
+            )
+            .join(qsel, on="qid", how="inner")
+            .select(
+                "qid", "_docid",
+                V.score(metric, "_dvec", "_qvec", l2_sqrt=l2_sqrt).alias("score"),
+            )
+        )
+        return topk(
+            rescored, ["qid"], "score", k,
+            ascending=V.metric_ascending(metric), tiebreak_cols=["_docid"],
+        )

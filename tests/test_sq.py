@@ -97,3 +97,19 @@ def test_sq8_via_table_build_index(spark, docs, queries):
     idx = table.build_index("IVFSQ8", ncentroids=NCENT, seed=42)
     got = idx.search(None, queries, k=5, metric="L2", nprobe=NCENT)
     assert got.count() == queries.count() * 5
+
+
+def test_sq8_distributed_join_exact_degenerate(spark, docs):
+    """Corpus x corpus join on the compressed tier: full probes +
+    recall_num = N + raw rescore equals the exact all-pairs kernel
+    bit-for-bit (every embedding queries the corpus)."""
+    n = docs.count()
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    got = idx.knn_join_distributed(
+        q, k=5, metric="L2", nprobe=NCENT, rescore_docs=docs, recall_num=n
+    )
+    want = knn.knn_join(docs, q, k=5, metric="L2")
+    g = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in got.collect()}
+    w = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in want.collect()}
+    assert g == w
