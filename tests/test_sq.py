@@ -113,3 +113,20 @@ def test_sq8_distributed_join_exact_degenerate(spark, docs):
     g = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in got.collect()}
     w = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in want.collect()}
     assert g == w
+
+
+def test_sq8_codes_scan_partition_pruned(tmp_path, spark, docs, queries):
+    """Low-nprobe search must push the probed-cluster filter into the
+    parquet scan of the CODES table (PartitionFilters on cluster_id)
+    BELOW the decode kernel — the decode only sees probed bytes."""
+    path = str(tmp_path / "sq8p")
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42, path=path)
+    plan = (
+        idx.search(None, queries, k=5, metric="L2", nprobe=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cluster_id" in pf and pf.strip(), f"no pruning: {pf!r}"
