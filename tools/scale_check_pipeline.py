@@ -44,6 +44,8 @@ def main():
     )
     out["n_scrubbed"] = clean.count()
     out["scrub_s"] = round(time.time() - t0, 1)
+    docs.unpersist()  # each stage frees its input once the hand-off
+    # is materialized — the staging-table lifecycle a cluster run has
 
     t0 = time.time()
     decisions = curate_corpus(clean, "doc_id", "text", min_quality=0.0,
@@ -55,6 +57,7 @@ def main():
     )
     out["n_curated"] = kept.count()
     out["curate_s"] = round(time.time() - t0, 1)
+    clean.unpersist()
 
     t0 = time.time()
     # train the LM on a bounded reference sample of survivors, score all
@@ -65,6 +68,7 @@ def main():
     )
     out["n_lm_kept"] = lm_kept.count()
     out["lm_s"] = round(time.time() - t0, 1)
+    kept.unpersist()
 
     t0 = time.time()
     paras = stage(
@@ -74,6 +78,7 @@ def main():
     )
     out["n_para_deduped"] = paras.count()
     out["para_s"] = round(time.time() - t0, 1)
+    lm_kept.unpersist()
 
     t0 = time.time()
     sampled = deterministic_sample(paras, "doc_id", 0.5, salt="mix")
