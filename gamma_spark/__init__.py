@@ -52,6 +52,8 @@ __all__ = [
     "curate_corpus",
     "resolve_groups",
     "load_from_faiss",
+    "write_dataset",
+    "read_dataset",
     "sample_mixture",
     "plan_mixture",
     "stratified_quota",
@@ -116,6 +118,10 @@ def __getattr__(name):  # lazy re-exports: keep `import gamma_spark` cheap
         from gamma_spark.sources.faiss_io import load_from_faiss
 
         return load_from_faiss
+    if name in ("write_dataset", "read_dataset"):
+        from gamma_spark.sources import export as _ex
+
+        return getattr(_ex, name)
     if name in ("sample_mixture", "plan_mixture", "stratified_quota", "diversity_sample"):
         from gamma_spark.operators import sampling as _sp
 

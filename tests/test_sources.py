@@ -67,3 +67,43 @@ def test_migrate_since(spark, documents):
     cur = t2.df.select(*replayed.columns)  # exceptAll is positional
     assert replayed.exceptAll(cur).count() == 0
     assert cur.exceptAll(replayed).count() == 0
+
+
+def test_write_dataset_roundtrip_with_manifest(tmp_path, spark, documents):
+    """Materialization sink: data + manifest roundtrip, counts correct,
+    manifest is the done-marker."""
+    import json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gamma_spark.functions.text import bpe_token_count
+    from gamma_spark.sources.export import read_dataset, write_dataset
+
+    df = documents.limit(200).select(
+        "doc_id", "lang", "text", bpe_token_count("text").alias("n_tokens")
+    )
+    path = str(tmp_path / "ds")
+    man = write_dataset(
+        df, path, fmt="parquet", partition_by=["lang"],
+        token_col="n_tokens", config={"gate": {"min_quality": 0.5}},
+    )
+    assert man["n_rows"] == 200
+    assert man["n_tokens"] == df.agg(F.sum("n_tokens")).collect()[0][0]
+    assert man["config"]["gate"]["min_quality"] == 0.5
+
+    back, man2 = read_dataset(spark, path)
+    assert man2 == json.load(open(f"{path}/manifest.json"))
+    assert back.count() == 200
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in df.select("doc_id").collect()
+    }
+
+    # jsonl shape too
+    write_dataset(df.drop("lang"), str(tmp_path / "ds2"), fmt="json")
+    back2, _ = read_dataset(spark, str(tmp_path / "ds2"))
+    assert back2.count() == 200
+
+    # missing manifest = uncommitted dataset
+    with _pytest.raises(FileNotFoundError):
+        read_dataset(spark, str(tmp_path / "nope"))
