@@ -40,6 +40,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit: the
+    returned DataFrames read these dirs lazily (the driver collects
+    AFTER the query callable returns), so the dir must outlive the
+    call — but not the process. atexit keeps /tmp clean across
+    driver/bench runs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
 def _docs(spark, sf_dir) -> DataFrame:
     return _t(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "_docid")
 
@@ -593,13 +608,11 @@ def q_upsert_chain(spark, sf_dir):
     duplicate-keys-fall-back-to-update last-write-wins contract
     (`search/gamma_engine.cc:676-759`) is hash-checked here —
     subsuming the former ``upsert_last_wins`` registry row."""
-    import tempfile
-
     from gamma_spark.table import BucketedDocStore
 
     docs = _t(spark, sf_dir, "documents")
     table = GammaTable(spark, docs, id_col="doc_id")
-    root = tempfile.mkdtemp(prefix="gamma_upsert_chain_")
+    root = _scratch_dir("gamma_upsert_chain_")
     b1_final = docs.filter(F.col("doc_id") % 10 == 0).select(
         "doc_id",
         F.concat(F.lit("v1:"), F.col("doc_id").cast("string")).alias("text"),
@@ -669,11 +682,9 @@ def q_snapshot_roundtrip(spark, sf_dir):
     timestamped snapshot with a done-marker written last; Load picks the
     newest complete snapshot. Round-trip must reproduce the table
     exactly -> identity oracle."""
-    import tempfile
-
     docs = _t(spark, sf_dir, "documents")
     table = GammaTable(spark, docs, id_col="doc_id")
-    root = tempfile.mkdtemp(prefix="gamma_snap_")
+    root = _scratch_dir("gamma_snap_")
     table.dump(root)
     loaded = GammaTable.load(spark, root)
     return loaded.df.select("doc_id", "text", "lang", "source", "n_chars")
@@ -985,8 +996,6 @@ def q_faiss_load_search(spark, sf_dir):
     parquet layout `IvfFlatIndex.load` reads. Search over the imported
     index at nprobe == ncentroids must equal exact brute force — list
     membership and vectors survive the round-trip bit-for-bit."""
-    import tempfile
-
     import numpy as np
 
     from gamma_spark.operators.ivf import IvfFlatIndex
@@ -998,7 +1007,7 @@ def q_faiss_load_search(spark, sf_dir):
     ids = np.array([r._docid for r in rows], dtype=np.int64)
     vecs = np.stack([np.array(r.embedding, dtype=np.float32) for r in rows])
     assign = np.array([r.cluster_id for r in rows], dtype=np.int64)
-    root = tempfile.mkdtemp(prefix="gamma_faiss_")
+    root = _scratch_dir("gamma_faiss_")
     fpath = f"{root}/export.faiss"
     write_faiss_ivfflat(fpath, native.centroids, ids, vecs, assign, nprobe=IVF_NCENT)
     idx = load_from_faiss(spark, fpath, f"{root}/imported")["index"]

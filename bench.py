@@ -263,6 +263,29 @@ def main():
         "queries": {**timings, **errors},
         "sf": _sf_of(sf_dir),
     }
+    # round-over-round comparability as the suite grows (VERDICT r4 #9):
+    # this run's total restricted to the query names present in the
+    # newest BENCH_r*.json, so the judge's diff compares a fixed set.
+    try:
+        import glob
+
+        arts = sorted(glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")))
+        if arts:
+            with open(arts[-1]) as fh:
+                prev = json.load(fh)
+            # driver artifacts wrap our JSON line under "parsed"
+            prev = prev.get("parsed", prev) or {}
+            prev_qs = {
+                k for k, v in prev.get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+            shared = {k: v for k, v in timings.items() if k in prev_qs}
+            out["shared_prev_total"] = round(sum(shared.values()), 3)
+            out["shared_prev_n"] = len(shared)
+            out["shared_prev_artifact"] = os.path.basename(arts[-1])
+    except Exception as exc:  # noqa: BLE001 — never break the artifact
+        print(f"[bench] shared_prev_total failed: {exc}", file=sys.stderr)
     if errors:
         out["errors"] = len(errors)
     print(json.dumps(out))

@@ -71,7 +71,9 @@ def connected_components(
     # init fuses the first propagation round: label_0 = min(id, min
     # neighbor) — identical to one round over identity labels, one
     # fewer join+checkpoint cycle (dup quasi-cliques then converge in
-    # a single verification round)
+    # a single verification round). Isolated A/B on the sf0.1 bench
+    # corpus (alternating best-of-8, warm): fused 2.99 s vs identity
+    # init 3.21 s — the r4 suite-level regression was contention noise.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("_mn"))

@@ -209,11 +209,22 @@ def lm_perplexity(
             .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         )
 
-    uni = tok_stream(train).groupBy(F.col("w").alias("w1")).agg(
-        F.count(F.lit(1)).alias("c1")
+    from gamma_spark.session import stage
+
+    # stage both count relations: ``uni`` is consumed twice (the |V|
+    # count below and the scoring join) and would otherwise re-run the
+    # train-side token explode per action; ``big`` keeps the scoring
+    # join from re-mining train bigrams if the caller triggers
+    # multiple actions on the result.
+    uni = stage(
+        tok_stream(train).groupBy(F.col("w").alias("w1")).agg(
+            F.count(F.lit(1)).alias("c1")
+        )
     )
-    big = bigram_stream(train).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    big = stage(
+        bigram_stream(train).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c12")
+        )
     )
     vocab = uni.count()  # the one driver scalar (|V|)
 

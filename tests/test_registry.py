@@ -49,3 +49,32 @@ def test_registry_keys_all_driver_verified_or_declared_new():
         f"registry keys neither driver-verified (per {os.path.basename(arts[-1])}) "
         f"nor declared in NEWLY_ADDED: {sorted(missing)}"
     )
+
+
+def test_scratch_dirs_cleaned_at_exit():
+    """VERDICT r4 #6: the entry's temp stores must not leak into /tmp.
+    _scratch_dir defers rmtree to interpreter exit (the driver collects
+    the DataFrame after the callable returns, so the dir must outlive
+    the call) — verify the atexit hook actually fires, and that no raw
+    mkdtemp call remains outside the helper."""
+    import subprocess
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, %r); "
+            "import __spark_entry__ as E; print(E._scratch_dir('gamma_leaktest_'))"
+            % REPO,
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    path = out.stdout.strip().splitlines()[-1]
+    assert "gamma_leaktest_" in path
+    assert not os.path.exists(path), f"scratch dir survived exit: {path}"
+
+    src = open(E.__file__).read()
+    # one mkdtemp allowed: the helper's own
+    assert src.count("tempfile.mkdtemp(") == 1, "raw mkdtemp outside _scratch_dir"
