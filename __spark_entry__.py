@@ -850,25 +850,31 @@ def q_knn_hybrid_exact(spark, sf_dir):
 
 
 def q_knn_ivfflat_pruned(spark, sf_dir):
-    """Recall-mode IVF (nprobe << ncentroids): not SQL-expressible (the
-    probe set depends on trained centroids) -> rows-only driver check;
-    recall vs exact is asserted in tests/test_ann.py."""
+    """Recall-mode IVF (pruned probing): not SQL-expressible (the
+    probe set depends on trained centroids) -> checked via the
+    ann_recall_checks gate. nprobe=12 is the tune_nprobe knee for
+    recall@10 >= 0.9 on this corpus (measured 0.950 at sf0.01; the
+    reference's published sweeps land at the same recall via nprobe,
+    `benchs/README.md:82-128`)."""
     from gamma_spark.operators.ivf import IvfFlatIndex
 
     docs = _docs(spark, sf_dir)
     idx = IvfFlatIndex.build(docs, ncentroids=IVF_NCENT, seed=42)
-    return idx.search(None, _queries_df(spark, sf_dir), k=KNN_K, metric="L2", nprobe=4)
+    return idx.search(None, _queries_df(spark, sf_dir), k=KNN_K, metric="L2", nprobe=12)
 
 
 def q_knn_ivfpq_adc(spark, sf_dir):
-    """Recall-mode IVFPQ (ADC candidates + rerank) -> rows-only check."""
+    """Recall-mode IVFPQ (ADC candidates + rerank). nprobe=12 is the
+    tuned knee (recall@10 saturates in nprobe here, not recall_num —
+    measured 0.950 at sf0.01 vs 0.863 at nprobe=8 across recall_num
+    64-256)."""
     from gamma_spark.operators.pq import IvfPqIndex
 
     docs = _docs(spark, sf_dir)
     pq = IvfPqIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
     return pq.search(
         docs, _queries_df(spark, sf_dir), k=KNN_K, metric="L2",
-        nprobe=8, recall_num=64, has_rank=True,
+        nprobe=12, recall_num=64, has_rank=True,
     )
 
 
@@ -952,11 +958,21 @@ def q_pq_graph_exact(spark, sf_dir):
     )
 
 
-IVF_RECALL_T = 0.5   # nprobe=4/16 floor, proven in tests/test_ann.py
-PQ_RECALL_T = 0.6    # ADC+rerank floor at nprobe=8, recall_num=64
-HNSW_RECALL_T = 0.9  # sharded graphs, m=16 efc=80 ef=128 (tests/test_hnsw.py)
-SCANN_RECALL_T = 0.6  # VEARCH 4-bit + rerank floor (tests/test_scann.py)
-SQ8_RECALL_T = 0.9   # IVFSQ8 full-probe floor: quantization-only error
+# Floors anchored to the reference's published recall regime (recall@10
+# 0.97-0.99 at production params, `benchs/README.md:82-128`) via the
+# autotune operators (ann.py tune_nprobe/tune_recall_num): every model
+# holds >= 0.9 at its gate knobs, measured deterministic across
+# parallelism (local[4]/sp7 == local[32]/sp32 at sf0.01):
+#   IVFFLAT nprobe=12          -> 0.950
+#   IVFPQ   nprobe=12 rn=64    -> 0.950
+#   VEARCH  nprobe=16 rn=128   -> 0.925
+#   HNSW    m=16 efc=80 ef=128 -> >= 0.9 (tests/test_hnsw.py)
+#   IVFSQ8  full probe         -> >= 0.9 (quantization-only error)
+IVF_RECALL_T = 0.9
+PQ_RECALL_T = 0.9
+HNSW_RECALL_T = 0.9
+SCANN_RECALL_T = 0.9
+SQ8_RECALL_T = 0.9
 
 
 def q_ivf_recall_check(spark, sf_dir):
@@ -1022,7 +1038,7 @@ def q_scann_recall_check(spark, sf_dir):
     415-520`): anisotropic (score-aware, ScaNN-objective) 4-bit
     codebooks behind the shared ADC+rerank machinery, measured against
     the exact IP kernel at practical settings (nprobe=16/16 lists but
-    candidate-bounded recall_num=64 of 500)."""
+    candidate-bounded recall_num=128 of 500)."""
     from gamma_spark.operators.ann import recall_check
     from gamma_spark.operators.pq import VearchIndex
 
@@ -1030,8 +1046,10 @@ def q_scann_recall_check(spark, sf_dir):
     queries_df = _queries_df(spark, sf_dir)
     exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="IP")
     idx = VearchIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
+    # recall_num=128: the tune_recall_num knee for recall@10 >= 0.9
+    # (0.925 at sf0.01; 64 measured 0.825)
     approx = idx.search(
-        None, queries_df, k=KNN_K, metric="IP", nprobe=IVF_NCENT, recall_num=64
+        None, queries_df, k=KNN_K, metric="IP", nprobe=IVF_NCENT, recall_num=128
     )
     return recall_check(exact, approx, k=KNN_K, threshold=SCANN_RECALL_T)
 
