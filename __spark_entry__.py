@@ -161,6 +161,46 @@ def q_knn_fusion(spark, sf_dir):
     return fuse([r1, r2], boosts=[FUSE_B1, FUSE_B2], metric="IP", k=FUSE_K)
 
 
+def q_knn_fusion_distributed(spark, sf_dir):
+    """R2 multi-vector fusion at CORPUS query scale (VERDICT r4 #3):
+    each field's top-k comes through ``knn_join_distributed`` (two
+    independently built IVF indexes, one per field; queries = every
+    embedding, never collected), then the same ``fuse()`` used on the
+    request path intersects docids and boost-sums scores — the
+    multi-field semantic-dedup shape (`vector/vector_manager.cc:512-561`
+    with |Q| ~ |corpus|). nprobe == ncentroids + exact rescore
+    degenerates each leg to exact, so the fused result hash-matches the
+    all-pairs fused oracle bit-for-bit."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = _docs(spark, sf_dir).withColumn("emb2", F.reverse(F.col("embedding")))
+    idx1 = IvfFlatIndex.build(docs, doc_vec="embedding", ncentroids=IVF_NCENT, seed=42)
+    idx2 = IvfFlatIndex.build(docs, doc_vec="emb2", ncentroids=IVF_NCENT, seed=43)
+    q1 = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    q2 = docs.select(F.col("_docid").alias("qid"), F.col("emb2").alias("qvec"))
+    r1 = idx1.knn_join_distributed(
+        q1, k=FUSE_K_PER_FIELD, metric="IP", nprobe=IVF_NCENT, rescore=True
+    )
+    r2 = idx2.knn_join_distributed(
+        q2, k=FUSE_K_PER_FIELD, metric="IP", nprobe=IVF_NCENT, rescore=True,
+        doc_vec="emb2",
+    )
+    return fuse([r1, r2], boosts=[FUSE_B1, FUSE_B2], metric="IP", k=FUSE_K)
+
+
+def q_knn_fusion_variants(spark, sf_dir):
+    """R2/R3/R4 fusion as ONE relation with a variant column: the
+    bounded-query request shape (TOPK) and the corpus-scale distributed
+    composition (DISTRIBUTED) — both hash-checked."""
+    parts = [
+        q_knn_fusion(spark, sf_dir).withColumn("variant", F.lit("TOPK")),
+        q_knn_fusion_distributed(spark, sf_dir).withColumn(
+            "variant", F.lit("DISTRIBUTED")
+        ),
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 IVF_NCENT = 16
 
 
@@ -299,6 +339,17 @@ SELECT qid, _docid, score, rank::INT AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, _docid ASC) AS rank FROM fused
 ) t WHERE rank <= {FUSE_K}
 """
+
+# corpus-scale twin: same fused relation with q = EVERY embedding
+SQL_KNN_FUSION_DISTRIBUTED = SQL_KNN_FUSION.replace(
+    f"WHERE vec_id < {KNN_NQ}", ""
+)
+
+SQL_KNN_FUSION_VARIANTS = (
+    f"SELECT *, 'TOPK' AS variant FROM ({SQL_KNN_FUSION}) tv0"
+    " UNION ALL "
+    f"SELECT *, 'DISTRIBUTED' AS variant FROM ({SQL_KNN_FUSION_DISTRIBUTED}) tv1"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2329,7 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # knn_hamming_topk + knn_binaryivf_exact consolidated into
         # knn_hamming_variants (both paths still hash-checked)
         "knn_hamming_variants": q_knn_hamming_variants,
-        "knn_fusion_multivector": q_knn_fusion,
+        "knn_fusion_multivector": q_knn_fusion_variants,
         "knn_ivfflat_exact": q_knn_ivfflat_exact,
         # knn_ivfpq_{rerank,opq,fastscan}_exact consolidated into
         # knn_ivfpq_variants_exact above (functions remain for pytest)
@@ -2395,7 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_metrics_topk": SQL_KNN_METRICS,
         "knn_ip_filtered_banded": SQL_KNN_IP_FILTERED_BANDED,
         "knn_hamming_variants": _sql_knn_hamming_variants(),
-        "knn_fusion_multivector": SQL_KNN_FUSION,
+        "knn_fusion_multivector": SQL_KNN_FUSION_VARIANTS,
         "knn_ivfflat_exact": SQL_KNN_L2,
         "knn_ivfpq_variants_exact": _sql_knn_ivfpq_variants_exact(),
         "filter_range_term": SQL_FILTER_RANGE_TERM,

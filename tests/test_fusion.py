@@ -83,3 +83,37 @@ def test_planner_filter_only(documents):
     res = search(docs, req).collect()
     assert len(res) == 7
     assert all(r.lang == "de" for r in res)
+
+
+@pytest.mark.parametrize("salts", [1, 3])
+def test_fusion_distributed_legs_match_request_path(docs, salts):
+    """R2 fusion composed from two corpus-scale knn_join_distributed
+    legs (VERDICT r4 #3): with full probes + exact rescore — salted or
+    not, on a skew-heavy corpus (the synthetic table IS cluster-skewed
+    at 16 centroids) — the fused result must equal the bounded-query
+    request path (knn_join legs) exactly."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    k_field, k_fuse = 20, 5
+    sub = docs.limit(120)
+    q1 = sub.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    q2 = sub.select(F.col("_docid").alias("qid"), F.col("emb2").alias("qvec"))
+
+    idx1 = IvfFlatIndex.build(sub, doc_vec="embedding", ncentroids=8, seed=42)
+    idx2 = IvfFlatIndex.build(sub, doc_vec="emb2", ncentroids=8, seed=43)
+    d1 = idx1.knn_join_distributed(
+        q1, k=k_field, metric="IP", nprobe=8, rescore=True, salts=salts
+    )
+    d2 = idx2.knn_join_distributed(
+        q2, k=k_field, metric="IP", nprobe=8, rescore=True, salts=salts,
+        doc_vec="emb2",
+    )
+    got = fuse([d1, d2], boosts=[0.7, 0.3], metric="IP", k=k_fuse)
+
+    r1 = knn.knn_join(sub, q1, k=k_field, metric="IP", doc_vec="embedding")
+    r2 = knn.knn_join(sub, q2, k=k_field, metric="IP", doc_vec="emb2")
+    want = fuse([r1, r2], boosts=[0.7, 0.3], metric="IP", k=k_fuse)
+
+    gd = {(r.qid, r._docid): (r.score, r.rank) for r in got.collect()}
+    wd = {(r.qid, r._docid): (r.score, r.rank) for r in want.collect()}
+    assert gd == wd
