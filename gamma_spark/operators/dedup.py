@@ -64,6 +64,15 @@ def _stage(df: DataFrame) -> DataFrame:
     return stage(df)
 
 
+def _read_tree(spark, path: str) -> DataFrame:
+    """Read an index relation that may mix root-level files (from
+    ``build``) with per-batch subdirectories (``batch-<id>``, written
+    by idempotent appends): recursive listing, no partition inference.
+    Spark's lister skips ``_``/``.``-prefixed paths, so commit markers
+    and in-flight ``_temporary`` dirs are never picked up."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -912,13 +921,13 @@ class MinHashIndex:
         banded = banded_signatures(sig, id_col)
         if path is not None:
             banded.write.mode("overwrite").parquet(path)
-            banded = df.sparkSession.read.parquet(path)
+            banded = _read_tree(df.sparkSession, path)
         return cls(banded, id_col, n, path)
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "doc_id",
              n: int = 3) -> "MinHashIndex":
-        return cls(spark.read.parquet(path), id_col, n, path)
+        return cls(_read_tree(spark, path), id_col, n, path)
 
     # -- serving ------------------------------------------------------------
 
@@ -947,14 +956,27 @@ class MinHashIndex:
             .distinct()
         )
 
-    def append(self, new_df: DataFrame, text_col: str = "text") -> "MinHashIndex":
+    def append(self, new_df: DataFrame, text_col: str = "text",
+               batch_id: int | str | None = None) -> "MinHashIndex":
         """Add the batch's buckets to the index. With a ``path`` this is
         a parquet append (micro-batch friendly — the T2 pattern);
-        memory-only indexes get a union."""
+        memory-only indexes get a union.
+
+        ``batch_id`` makes the append IDEMPOTENT (the foreachBatch
+        exactly-once recipe): the batch writes to a deterministic
+        ``batch-<id>`` subdirectory with overwrite semantics, so a
+        micro-batch retry replaces its own earlier (possibly partial)
+        write instead of duplicating rows. Without it, a retry after a
+        committed append duplicates (id, band, bsig) rows — harmless
+        for candidate *generation* (match() distincts) but wasteful;
+        streaming callers should always pass the micro-batch id."""
         nb = self._bands_of(new_df, text_col)
         if self.path is not None:
-            nb.write.mode("append").parquet(self.path)
-            banded = new_df.sparkSession.read.parquet(self.path)
+            if batch_id is not None:
+                nb.write.mode("overwrite").parquet(f"{self.path}/batch-{batch_id}")
+            else:
+                nb.write.mode("append").parquet(self.path)
+            banded = _read_tree(new_df.sparkSession, self.path)
         else:
             banded = self.banded.unionByName(nb)
         return MinHashIndex(banded, self.id_col, self.n, self.path)
@@ -966,7 +988,7 @@ class MinHashIndex:
             return self
         _compact_parquet(spark, self.path, partitions)
         return MinHashIndex(
-            spark.read.parquet(self.path), self.id_col, self.n, self.path
+            _read_tree(spark, self.path), self.id_col, self.n, self.path
         )
 
 
@@ -1018,8 +1040,8 @@ class EmbeddingNearDupIndex:
             with open(_os.path.join(path, "meta.json"), "w") as fh:
                 _json.dump(meta, fh)
             spark = embs.sparkSession
-            banded = spark.read.parquet(f"{path}/bands")
-            base = spark.read.parquet(f"{path}/vectors")
+            banded = _read_tree(spark, f"{path}/bands")
+            base = _read_tree(spark, f"{path}/vectors")
         return cls(banded, base, planes, id_col, vec_col, threshold, path, meta)
 
     @classmethod
@@ -1032,8 +1054,8 @@ class EmbeddingNearDupIndex:
             meta = _json.load(fh)
         planes = _hyperplanes(meta["dim"], meta["bands"], meta["bits"], meta["seed"])
         return cls(
-            spark.read.parquet(f"{path}/bands"),
-            spark.read.parquet(f"{path}/vectors"),
+            _read_tree(spark, f"{path}/bands"),
+            _read_tree(spark, f"{path}/vectors"),
             planes, id_col, vec_col, meta["threshold"], path, meta,
         )
 
@@ -1086,7 +1108,13 @@ class EmbeddingNearDupIndex:
         ).withColumnsRenamed({"id_a": "new_id", "id_b": "corpus_id"})
         return scored.filter(F.col("cosine") >= t)
 
-    def append(self, new_embs: DataFrame) -> "EmbeddingNearDupIndex":
+    def append(self, new_embs: DataFrame,
+               batch_id: int | str | None = None) -> "EmbeddingNearDupIndex":
+        """``batch_id`` makes the append IDEMPOTENT (deterministic
+        ``batch-<id>`` subdir, overwrite semantics): a retried
+        micro-batch replaces its own earlier write instead of
+        duplicating vector rows — without it, a retry after a committed
+        append yields duplicate rows from ``match()``."""
         nbase = new_embs.select(
             F.col(self.id_col).alias("_id"), F.col(self.vec_col).alias("_v")
         )
@@ -1096,11 +1124,19 @@ class EmbeddingNearDupIndex:
             # a doc with a vector but no bands (simply not yet indexed —
             # re-append heals), never bands whose candidates silently
             # fail the verify join
-            nbase.write.mode("append").parquet(f"{self.path}/vectors")
-            nb.write.mode("append").parquet(f"{self.path}/bands")
+            if batch_id is not None:
+                nbase.write.mode("overwrite").parquet(
+                    f"{self.path}/vectors/batch-{batch_id}"
+                )
+                nb.write.mode("overwrite").parquet(
+                    f"{self.path}/bands/batch-{batch_id}"
+                )
+            else:
+                nbase.write.mode("append").parquet(f"{self.path}/vectors")
+                nb.write.mode("append").parquet(f"{self.path}/bands")
             spark = new_embs.sparkSession
-            banded = spark.read.parquet(f"{self.path}/bands")
-            vectors = spark.read.parquet(f"{self.path}/vectors")
+            banded = _read_tree(spark, f"{self.path}/bands")
+            vectors = _read_tree(spark, f"{self.path}/vectors")
         else:
             banded = self.banded.unionByName(nb)
             vectors = self.vectors.unionByName(nbase)
@@ -1116,8 +1152,8 @@ class EmbeddingNearDupIndex:
         _compact_parquet(spark, f"{self.path}/bands", partitions)
         _compact_parquet(spark, f"{self.path}/vectors", partitions)
         return EmbeddingNearDupIndex(
-            spark.read.parquet(f"{self.path}/bands"),
-            spark.read.parquet(f"{self.path}/vectors"),
+            _read_tree(spark, f"{self.path}/bands"),
+            _read_tree(spark, f"{self.path}/vectors"),
             self.planes, self.id_col, self.vec_col,
             self.threshold, self.path, self.meta,
         )
@@ -1126,13 +1162,31 @@ class EmbeddingNearDupIndex:
 def _compact_parquet(spark, path: str, partitions: int = 32) -> None:
     """Rewrite a parquet dir into ``partitions`` files (append sinks
     accumulate one file per micro-batch — the T3 compaction story
-    applied to index relations). Staged rewrite + atomic-ish swap."""
+    applied to index relations). Staged rewrite, then a rename-aside
+    swap: the live dir is moved to ``<path>.old`` BEFORE the compacted
+    dir takes its place, and restored if that second rename fails — at
+    no point is the data reachable only from the staging dir (the r4
+    rmtree-then-rename window). Single-writer contract: compaction is a
+    maintenance job; concurrent readers holding the old file listing
+    should re-open afterwards.
+
+    NOTE: the swap uses driver-local ``os.rename``/``shutil`` — this
+    helper (alone among the index paths, which all go through Spark
+    I/O) requires ``path`` on a filesystem the driver can rename on
+    (local disk, NFS, FUSE mounts). On object stores, compact into a
+    fresh generation directory and repoint the caller instead."""
+    import os
     import shutil
 
-    df = spark.read.parquet(path).coalesce(partitions)
+    df = _read_tree(spark, path).coalesce(partitions)
     tmp = path + ".compact"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    import os
-
-    os.rename(tmp, path)
+    old_dir = path + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(path, old_dir)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old_dir, path)  # restore the live dir
+        raise
+    shutil.rmtree(old_dir, ignore_errors=True)

@@ -247,6 +247,13 @@ SELECT qid, _docid, score, rank FROM (
 """
 
 
+def _read_postings(spark, path: str):
+    """Recursive-listing read: the postings dir mixes build-time root
+    files with per-batch ``batch-<id>`` subdirs from idempotent
+    appends. Spark's lister skips ``_``/``.``-prefixed paths."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 class Bm25Index:
     """Materialized lexical index: the postings relation (doc, term,
     tf, dl) plus corpus stats, built ONCE and reused across requests —
@@ -273,7 +280,8 @@ class Bm25Index:
         self.path = path
 
     def append(self, new_docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> "Bm25Index":
+               text_col: str = "text",
+               batch_id: int | str | None = None) -> "Bm25Index":
         """Incremental index growth (the T2 micro-batch pattern applied
         to the lexical model): tokenize ONLY the new batch into
         postings, append them, and update the corpus stats as running
@@ -282,14 +290,37 @@ class Bm25Index:
         fresh build over the union (df/idf derive from the postings at
         query time, so they see appended docs automatically).
 
-        Crash contract: the postings append commits via Spark's file
-        commit protocol (uncommitted task files are invisible to
-        readers); the meta sidecar rewrites last, so a crash between
-        the two leaves stats one batch stale — scores then use a
-        slightly-old avgdl until the batch is re-appended (the
-        reference recovers the analogous gap by replay,
-        `search/gamma_engine.cc:1175-1285`; a full ``build`` refreshes
-        everything)."""
+        ``batch_id`` makes the append IDEMPOTENT: the postings land in
+        a deterministic ``batch-<id>`` subdir (overwrite semantics) and
+        the meta sidecar records committed batch ids — re-appending an
+        already-committed batch is a no-op, so neither the postings nor
+        the running stats double-count. This is the exactly-once recipe
+        streaming callers need; without a batch_id, a retry after a
+        committed append duplicates (doc, term, tf) rows AND inflates
+        n_docs/avgdl — the recovery path there is a full ``build``.
+
+        Crash contract (with batch_id): postings commit via Spark's
+        file commit protocol, the meta (stats + ledger) rewrites last.
+        A crash between the two leaves the batch's postings visible but
+        un-ledgered, with stats one batch stale; the re-append
+        overwrites the same subdir and completes the ledger — no
+        duplication (the reference recovers the analogous gap by
+        replay, `search/gamma_engine.cc:1175-1285`)."""
+        import json as _json
+        import os as _os
+
+        committed: list = []
+        if self.path is not None and _os.path.exists(
+            _os.path.join(self.path, "meta.json")
+        ):
+            with open(_os.path.join(self.path, "meta.json")) as fh:
+                committed = _json.load(fh).get("batches", [])
+        if batch_id is not None and str(batch_id) in committed:
+            # already fully committed — idempotent skip
+            return Bm25Index(
+                self.postings, self.n_docs, self.avgdl,
+                k1=self.k1, b=self.b, path=self.path,
+            )
         post_new = term_postings(new_docs, id_col, text_col)
         stats = post_new.agg(
             F.countDistinct("_docid").cast("double").alias("nd"),
@@ -298,14 +329,18 @@ class Bm25Index:
         n2 = self.n_docs + stats.nd
         avg2 = (self.avgdl * self.n_docs + stats.s) / n2
         if self.path is not None:
-            import json as _json
-            import os as _os
-
-            post_new.write.mode("append").parquet(f"{self.path}/postings")
-            post = new_docs.sparkSession.read.parquet(f"{self.path}/postings")
+            if batch_id is not None:
+                post_new.write.mode("overwrite").parquet(
+                    f"{self.path}/postings/batch-{batch_id}"
+                )
+                committed = committed + [str(batch_id)]
+            else:
+                post_new.write.mode("append").parquet(f"{self.path}/postings")
+            post = _read_postings(new_docs.sparkSession, f"{self.path}/postings")
             with open(_os.path.join(self.path, "meta.json"), "w") as fh:
                 _json.dump(
-                    {"n_docs": n2, "avgdl": avg2, "k1": self.k1, "b": self.b}, fh
+                    {"n_docs": n2, "avgdl": avg2, "k1": self.k1, "b": self.b,
+                     "batches": committed}, fh
                 )
         else:
             post = self.postings.unionByName(post_new)
@@ -324,7 +359,7 @@ class Bm25Index:
         post = term_postings(docs, id_col, text_col)
         if path is not None:
             post.write.mode("overwrite").parquet(f"{path}/postings")
-            post = docs.sparkSession.read.parquet(f"{path}/postings")
+            post = _read_postings(docs.sparkSession, f"{path}/postings")
         else:
             post = post.cache()
         # exact corpus stats from the postings themselves (sum tf = dl)
@@ -344,7 +379,8 @@ class Bm25Index:
 
             with open(_os.path.join(path, "meta.json"), "w") as fh:
                 _json.dump(
-                    {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1, "b": b},
+                    {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1,
+                     "b": b, "batches": []},
                     fh,
                 )
         return cls(post, row.n_docs, row.avgdl, k1=k1, b=b, path=path)
@@ -358,7 +394,7 @@ class Bm25Index:
 
         with open(_os.path.join(path, "meta.json")) as fh:
             meta = _json.load(fh)
-        post = spark.read.parquet(f"{path}/postings")
+        post = _read_postings(spark, f"{path}/postings")
         return cls(
             post, meta["n_docs"], meta["avgdl"], k1=meta["k1"], b=meta["b"],
             path=path,

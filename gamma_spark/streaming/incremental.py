@@ -225,9 +225,13 @@ def stream_curated_appender(
     dedup batch — the split a 100 TB pipeline actually runs)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # deterministic per-batch subdir + overwrite = idempotent under
+        # micro-batch retries (Spark replays a failed batch with the
+        # same batch_id; an append sink would duplicate survivors).
+        # Read the corpus root with recursiveFileLookup=true.
         curate_batch(batch_df, id_col, text_col, **gate).write.mode(
-            "append"
-        ).parquet(path)
+            "overwrite"
+        ).parquet(f"{path}/batch-{batch_id}")
 
     return stream_df.writeStream.foreachBatch(handle)
 
@@ -272,17 +276,37 @@ def stream_neardup_dedup(
     out_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    threshold: float | None = 0.5,
 ):
     """foreachBatch sink composing the incremental near-dup index with
     ingest: each micro-batch is matched against the standing
     `MinHashIndex` (near-dups of ANY earlier batch are dropped),
-    survivors are appended to the output corpus AND their LSH buckets
-    to the index — so batch N+1 dedups against batch N with no corpus
+    survivors land in the output corpus AND their LSH buckets in the
+    index — so batch N+1 dedups against batch N with no corpus
     recompute. The first batch bootstraps the index.
 
     Within-batch near-dups are additionally collapsed to their keeper
     (min id) via the batch self-join — the complete arrival-order
     semantics: a doc survives iff nothing similar arrived before it.
+
+    ``threshold``: minimum exact Jaccard for a drop. LSH candidates
+    (cross-batch AND within-batch) are verified with
+    :func:`jaccard_on_pairs` before any document is dropped — a chance
+    band collision between dissimilar docs must NOT permanently delete
+    a non-duplicate at the ingest edge (the false-positive count
+    otherwise grows with corpus size). The verify cost is bounded by
+    the candidates: corpus-side shingles are re-mined only for docs
+    that actually collided (a semi-join-pruned read of the survivor
+    corpus). ``threshold=None`` opts into the cheaper UNVERIFIED
+    candidate-level drop — only defensible when the banding is tuned
+    far above the dup boundary.
+
+    Exactly-once: survivors are written to a deterministic
+    ``batch-<id>`` subdir of ``out_path`` with overwrite semantics and
+    the index append is keyed by the same micro-batch id, so Spark's
+    batch replay after a failure overwrites rather than duplicates.
+    Read the corpus with ``recursiveFileLookup=true`` (or
+    :func:`read_stream_corpus`).
 
     Note: the bootstrap check reads the index directory directly (local
     or DBFS-style paths); the per-batch work is the `match` join plus
@@ -290,27 +314,66 @@ def stream_neardup_dedup(
     corpus (docs/SCALING.md `MinHashIndex` row)."""
     import os
 
-    from gamma_spark.operators.dedup import MinHashIndex, minhash_dedup_pairs
+    from gamma_spark.operators.dedup import (
+        MinHashIndex,
+        jaccard_on_pairs,
+        minhash_dedup_pairs,
+        minhash_verified_pairs,
+        shingles,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # collapse within-batch near-dups first (keeper = min id)
-        pairs = minhash_dedup_pairs(batch_df, id_col, text_col)
+        if threshold is None:
+            pairs = minhash_dedup_pairs(batch_df, id_col, text_col)
+        else:
+            pairs = minhash_verified_pairs(
+                batch_df, id_col, text_col, threshold=threshold
+            )
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         batch = batch_df.join(losers, id_col, "left_anti")
         if os.path.isdir(index_path):
             idx = MinHashIndex.load(spark, index_path, id_col)
-            matched = (
-                idx.match(batch, text_col)
-                .select(F.col("new_id").alias(id_col))
-                .distinct()
-            )
+            cand = idx.match(batch, text_col)
+            if threshold is not None:
+                # verify: shingle ONLY the collided docs (batch side +
+                # a semi-join-pruned read of the survivor corpus)
+                cpairs = cand.select(
+                    F.col("corpus_id").alias("id_a"),
+                    F.col("new_id").alias("id_b"),
+                )
+                corpus = read_stream_corpus(spark, out_path).select(
+                    id_col, text_col
+                )
+                members = cpairs.select(F.col("id_a").alias(id_col)).distinct()
+                touched = corpus.join(members, id_col, "left_semi").unionByName(
+                    batch.select(id_col, text_col)
+                )
+                sh = shingles(touched, id_col, text_col, idx.n)
+                verified = jaccard_on_pairs(cpairs, sh, id_col, threshold)
+                matched = verified.select(
+                    F.col("id_b").alias(id_col)
+                ).distinct()
+            else:
+                matched = cand.select(F.col("new_id").alias(id_col)).distinct()
             survivors = batch.join(matched, id_col, "left_anti")
-            survivors.write.mode("append").parquet(out_path)
-            idx.append(survivors, text_col)
+            survivors.write.mode("overwrite").parquet(
+                f"{out_path}/batch-{batch_id}"
+            )
+            idx.append(survivors, text_col, batch_id=batch_id)
         else:
             survivors = batch
-            survivors.write.mode("append").parquet(out_path)
+            survivors.write.mode("overwrite").parquet(
+                f"{out_path}/batch-{batch_id}"
+            )
             MinHashIndex.build(survivors, id_col, text_col, path=index_path)
 
     return stream_df.writeStream.foreachBatch(handle)
+
+
+def read_stream_corpus(spark, path: str) -> DataFrame:
+    """Read a corpus written by the streaming sinks here (one
+    ``batch-<id>`` subdir per micro-batch): recursive listing, no
+    partition inference."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)

@@ -267,7 +267,9 @@ def test_streaming_curation_gate_matches_batch(tmp_path, spark, documents):
     )
     q.awaitTermination(120)
 
-    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    from gamma_spark.streaming.incremental import read_stream_corpus
+
+    got = {r.doc_id for r in read_stream_corpus(spark, out).select("doc_id").collect()}
     want = {
         r.doc_id
         for r in curate_batch(base, max_dup_token_fraction=0.55)
@@ -347,7 +349,9 @@ def test_stream_neardup_dedup_across_batches(tmp_path, spark, documents):
     )
     q.awaitTermination(180)
 
-    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    from gamma_spark.streaming.incremental import read_stream_corpus
+
+    kept = {r.doc_id for r in read_stream_corpus(spark, out).select("doc_id").collect()}
     b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
     fresh_ids = {r.doc_id for r in fresh.select("doc_id").collect()}
     copy_ids = {r.doc_id + 0 for r in copies.select("doc_id").collect()}
@@ -411,3 +415,125 @@ def test_stream_append_bm25_then_search(tmp_path, spark, documents):
         .orderBy("qid", "rank").collect()
     ]
     assert got == want
+
+
+# A pair that shares one LSH band but has exact Jaccard ~0.27 (searched
+# offline over random word sequences with the production banding:
+# 8 bands x 4 rows) — the "chance band collision between dissimilar
+# docs" ADVICE r4 warned must not delete a non-duplicate at ingest.
+_COLLIDER_A = (
+    "w207 w335 w122 w154 w247 w285 w342 w201 w061 w085 w329 w082 w038 "
+    "w106 w256 w254 w281 w112 w231 w170 w388 w230 w218 w071 w280 w098 "
+    "w124 w046 w089 w175 w284 w046 w163 w122 w188 w132 w291 w103 w010 w383"
+)
+_COLLIDER_B = (
+    "w207 w335 w122 w154 w247 w285 w342 w201 w061 w085 w329 w082 w038 "
+    "w106 w256 w254 w281 w112 w211 w196 w211 w381 w268 w107 w192 w138 "
+    "w173 w385 w031 w255 w142 w294 w184 w064 w351 w257 w270 w322 w110 w047"
+)
+
+
+def _run_neardup_stream(tmp_path, spark, batches, schema, threshold, tag):
+    from gamma_spark.streaming.incremental import (
+        read_stream_corpus,
+        stream_neardup_dedup,
+    )
+
+    src = str(tmp_path / f"in_{tag}")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / f"out_{tag}")
+    idxp = str(tmp_path / f"idx_{tag}")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_neardup_dedup(stream, idxp, out, threshold=threshold)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return {r.doc_id for r in read_stream_corpus(spark, out).select("doc_id").collect()}
+
+
+def test_stream_neardup_verify_keeps_chance_collisions(tmp_path, spark):
+    """ADVICE r4 (medium): an LSH band collision whose exact Jaccard is
+    below threshold must NOT drop the document — the default verified
+    mode keeps it; threshold=None (explicit unverified mode) drops it."""
+    from gamma_spark.operators.dedup import MinHashIndex
+
+    b1 = spark.createDataFrame([(1, _COLLIDER_A)], "doc_id long, text string")
+    # batch 2: the dissimilar collider + an exact copy of doc 1
+    b2 = spark.createDataFrame(
+        [(2, _COLLIDER_B), (3, _COLLIDER_A)], "doc_id long, text string"
+    )
+
+    # precondition: (1,2) really is an LSH candidate pair (else the
+    # test is vacuous) with sub-threshold exact Jaccard
+    idx = MinHashIndex.build(b1, "doc_id", "text")
+    cands = {(r.new_id, r.corpus_id) for r in idx.match(b2, "text").collect()}
+    assert (2, 1) in cands
+
+    kept = _run_neardup_stream(tmp_path, spark, [b1, b2], b1.schema, 0.5, "v")
+    assert kept == {1, 2}, f"verified mode must keep the non-dup: {kept}"
+
+    kept_u = _run_neardup_stream(tmp_path, spark, [b1, b2], b1.schema, None, "u")
+    assert kept_u == {1}, f"unverified mode drops candidates outright: {kept_u}"
+
+
+def test_minhash_index_append_idempotent(tmp_path, spark, documents):
+    """batch_id-keyed appends overwrite their own subdir: re-appending
+    the same micro-batch must not duplicate bucket rows."""
+    from gamma_spark.operators.dedup import MinHashIndex
+
+    b1 = documents.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    b2 = documents.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    ).select("doc_id", "text")
+    p = str(tmp_path / "mh")
+    idx = MinHashIndex.build(b1, "doc_id", "text", path=p)
+    idx = idx.append(b2, "text", batch_id=7)
+    n1 = idx.banded.count()
+    idx = idx.append(b2, "text", batch_id=7)  # retry of the same batch
+    assert idx.banded.count() == n1
+
+
+def test_bm25_index_append_idempotent(tmp_path, spark, documents):
+    """The meta ledger makes a committed batch a no-op on retry: stats
+    and postings must not double-count (ADVICE r4)."""
+    from gamma_spark.operators.retrieval import Bm25Index
+
+    b1 = documents.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    b2 = documents.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    ).select("doc_id", "text")
+    p = str(tmp_path / "bm25")
+    idx = Bm25Index.build(b1, path=p)
+    idx = idx.append(b2, batch_id=3)
+    n_post, nd, avg = idx.postings.count(), idx.n_docs, idx.avgdl
+    idx = idx.append(b2, batch_id=3)  # retry
+    assert idx.postings.count() == n_post
+    assert idx.n_docs == nd and idx.avgdl == avg
+    # a NEW batch id still appends
+    b3 = documents.filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 170)
+    ).select("doc_id", "text")
+    idx = idx.append(b3, batch_id=4)
+    assert idx.n_docs == nd + 20
+    # reload sees the ledgered stats
+    re = Bm25Index.load(spark, p)
+    assert re.n_docs == idx.n_docs and re.postings.count() == idx.postings.count()
+
+
+def test_embedding_neardup_append_idempotent(tmp_path, spark, embeddings):
+    from gamma_spark.operators.dedup import EmbeddingNearDupIndex
+
+    b1 = embeddings.filter(F.col("vec_id") < 100)
+    b2 = embeddings.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150))
+    p = str(tmp_path / "emb")
+    idx = EmbeddingNearDupIndex.build(b1, path=p)
+    idx = idx.append(b2, batch_id=9)
+    nv, nb = idx.vectors.count(), idx.banded.count()
+    idx = idx.append(b2, batch_id=9)  # retry
+    assert idx.vectors.count() == nv and idx.banded.count() == nb
