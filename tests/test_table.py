@@ -313,6 +313,62 @@ def test_bucketed_store_aborted_commit_preserves_state(tmp_path, spark, table, m
     assert retried.get_doc_by_id(7).collect()[0].text == "must-not-survive"
 
 
+def test_bucketed_store_torn_swap_rolls_back(tmp_path, spark, table, monkeypatch):
+    """Crash BETWEEN bucket renames (VERDICT r4 #8): the swap journal
+    in the trash dir lets the next open detect meta.commit < journal
+    commit and roll every affected bucket back — reload sees the
+    pre-commit state exactly, and a clean retry then lands."""
+    from gamma_spark import table as tbl
+    from gamma_spark.table import BucketedDocStore
+
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    before_rows = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in store.table().df.select("doc_id", "text", "n_chars").collect()
+    }
+    before_commit = store.meta["commit"]
+
+    # batch touching several buckets, so the rename loop has multiple
+    # iterations to die between
+    batch = spark.createDataFrame(
+        [(i, f"torn-{i}", "en", "src1", i) for i in (3, 7, 11, 20, 41)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    real_rename = tbl.os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src_p, dst_p):
+        calls["n"] += 1
+        if calls["n"] > 3:  # die mid-loop: some buckets new, some old
+            raise RuntimeError("injected crash mid-swap")
+        return real_rename(src_p, dst_p)
+
+    monkeypatch.setattr(tbl.os, "rename", flaky_rename)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.upsert(batch)
+    monkeypatch.undo()
+    assert calls["n"] > 3  # the loop really was interrupted mid-way
+
+    reloaded = BucketedDocStore(spark, str(tmp_path / "store"))
+    after_rows = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in reloaded.table().df.select("doc_id", "text", "n_chars").collect()
+    }
+    assert after_rows == before_rows
+    assert reloaded.meta["commit"] == before_commit
+    # no in-flight dirs survive recovery
+    leftovers = [
+        p.name for p in (tmp_path / "store").iterdir()
+        if p.name.startswith((".trash", ".staging"))
+    ]
+    assert leftovers == []
+    # and the store still works: a clean retry of the same batch lands
+    retried = reloaded.upsert(batch)
+    assert retried.get_doc_by_id(3).collect()[0].text == "torn-3"
+    assert retried.get_doc_by_id(41).collect()[0].text == "torn-41"
+
+
 def test_migrate_since_detects_null_swaps(spark):
     """ADVICE r3: bare xxhash64 skips NULL inputs, so (NULL,'x') ->
     ('x',NULL) hashed identically and the update was dropped. The JSON
