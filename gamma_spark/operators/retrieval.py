@@ -28,7 +28,7 @@ money-aggregate convention in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gamma_spark.functions import text as T
@@ -73,6 +73,132 @@ GROUP BY 1, 2, 3
 """
 
 
+#: df-aware champion pruning: a term is prunable only when it matches
+#: more than this fraction of the corpus (idf <= ln(1/frac) ~ 3 nats —
+#: the stop-word band BM25 already down-weights). Terms below it keep
+#: complete lists; their idf is high and truncation drops docs whose
+#: relevance is summed across mid-band legs (the r4 quality plateau).
+CHAMPION_DF_FRAC = 0.05
+
+
+def _champion_prune(
+    scored: DataFrame, champions: int, champion_df_floor: int | None,
+    n_docs=None,
+) -> DataFrame:
+    """Impact-ordered per-term pruning, df-aware: terms with df <=
+    floor keep their full lists; terms above it are cut to their
+    ``champions`` best postings by tfn. The default floor is
+    ``max(4*champions, CHAMPION_DF_FRAC * n_docs)`` — corpus-relative,
+    so only the low-idf heavy tail (whose lists dominate aggregation
+    volume AND whose score contribution BM25 itself suppresses) is
+    ever truncated. ``champion_df_floor`` overrides (0 = unconditional
+    pruning, the classic textbook champion list)."""
+    if champion_df_floor is not None:
+        floor = F.lit(champion_df_floor)
+    elif n_docs is not None:
+        # n_docs is a Column in bm25_search (the broadcast stats row
+        # rides the relation) and a float for Bm25Index
+        nd = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+        floor = F.greatest(F.lit(4 * champions), nd * F.lit(CHAMPION_DF_FRAC))
+    else:
+        floor = F.lit(4 * champions)
+    small = scored.filter(F.col("df") <= floor)
+    big = topk(
+        scored.filter(F.col("df") > floor),
+        ["term"], "tfn", champions,
+        ascending=False, rank_col=None, tiebreak_cols=["_docid"],
+    )
+    return small.unionByName(big)
+
+
+def _champion_floor_col(champions: int, champion_df_floor: int | None, n_docs):
+    """The df floor used by :func:`_champion_prune`, as a Column."""
+    if champion_df_floor is not None:
+        return F.lit(champion_df_floor)
+    if n_docs is not None:
+        nd = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+        return F.greatest(F.lit(4 * champions), nd * F.lit(CHAMPION_DF_FRAC))
+    return F.lit(4 * champions)
+
+
+def _bm25_wand_topk(
+    scored_full: DataFrame,
+    scored_pruned: DataFrame,
+    term_ub: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    idf,
+) -> DataFrame:
+    """EXACT top-k from pruned lists — the WAND/block-max bound as
+    DataFrame ops (Broder et al. 2003; Ding & Suel 2011 block-max),
+    replacing the r4 champion mode's silent quality loss:
+
+    1. the pruned lists produce per-doc PARTIAL scores (missing only
+       contributions from pruned-away postings of low-idf terms);
+    2. each query's k-th partial score minus the summed upper bound of
+       its pruned terms (``ub = Σ idf_t·(k1+1)``, each term's maximum
+       possible contribution) gives a safety threshold: a doc whose
+       partial falls below it cannot reach the true top-k, because
+       true ≤ partial + ub pointwise and the k-th true score is ≥ the
+       k-th partial;
+    3. docs inside the band are rescored EXACTLY against the full
+       postings (a (term, _docid)-keyed join bounded by |band|·|terms
+       per query| — never the per-query stop-word fan-out).
+
+    Result: identical to the exact mode for every doc the champion
+    lists can retain (boundary ties excepted), at pruned-aggregation
+    cost. A doc appearing in NO kept list is unreachable — it matched
+    only pruned terms, so its score is at most ub, below any top-k
+    that clears the band (the champion-retention limit, unchanged).
+
+    ``term_ub``: (term, prunable, ub_c) — per-term max contribution as
+    DECIMAL(20,7), prunable = df above the champion floor.
+    """
+    def contrib(rel):
+        return rel.select(
+            "qid",
+            "_docid",
+            F.round(idf * F.col("tfn"), 7).cast("decimal(20,7)").alias("c"),
+        )
+
+    partial = (
+        contrib(scored_pruned.join(F.broadcast(query_terms), "term"))
+        .groupBy("qid", "_docid")
+        .agg(F.sum("c").cast("double").alias("p"))
+    )
+    kth = (
+        topk(partial, ["qid"], "p", k, ascending=False, tiebreak_cols=["_docid"])
+        .groupBy("qid")
+        .agg(F.min("p").alias("kth"))
+    )
+    ub = (
+        F.broadcast(query_terms)
+        .join(term_ub.filter(F.col("prunable")), "term")
+        .groupBy("qid")
+        .agg(F.sum("ub_c").cast("double").alias("ub"))
+    )
+    band = (
+        partial.join(F.broadcast(kth), "qid")
+        .join(F.broadcast(ub), "qid", "left")
+        .filter(
+            F.col("p")
+            >= F.col("kth") - F.coalesce(F.col("ub"), F.lit(0.0)) - F.lit(1e-6)
+        )
+        .select("qid", "_docid")
+    )
+    bandx = band.join(F.broadcast(query_terms), "qid").select(
+        "qid", "term", "_docid"
+    )
+    scores = (
+        contrib(scored_full.join(bandx, ["term", "_docid"]))
+        .groupBy("qid", "_docid")
+        .agg(F.sum("c").cast("double").alias("score"))
+    )
+    return topk(
+        scores, ["qid"], "score", k, ascending=False, tiebreak_cols=["_docid"]
+    ).select("qid", "_docid", "score", F.col("rank").cast("int").alias("rank"))
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: DataFrame,
@@ -82,6 +208,8 @@ def bm25_search(
     k1: float = BM25_K1,
     b: float = BM25_B,
     champions: int | None = None,
+    champion_df_floor: int | None = None,
+    rescore: bool = True,
 ) -> DataFrame:
     """Top-k BM25 retrieval: ``query_terms`` is a (qid, term) relation
     (a few rows per query — always broadcast-sized); returns
@@ -94,11 +222,24 @@ def bm25_search(
     ``champions=R`` bounds it with the classic impact-ordered champion
     list (Manning/Raghavan/Schütze IR §7.1.3): keep only each term's R
     best postings by the tf-normalization (the within-term BM25 order —
-    idf is constant per term, so this IS the per-term score order),
-    making the aggregation O(|terms|·R). Approximate in the same sense
-    an IVF probe is (a doc mediocre on every term can drop out);
-    measured overlap@10 at the rehearsal shape is in docs/SCALING.md,
-    and the exact mode stays the oracle-checked default.
+    idf is constant per term, so this IS the per-term score order).
+
+    df-AWARE pruning (r5, VERDICT r4 #4): truncation applies ONLY to
+    terms whose document frequency exceeds ``champion_df_floor``
+    (default ``max(4*champions, CHAMPION_DF_FRAC * n_docs)`` — corpus-
+    relative, like nprobe against ncentroids). Rationale: the terms
+    whose lists
+    dominate the aggregation volume are exactly the high-df ones, and
+    those are the terms BM25 itself down-weights (idf shrinks with df)
+    — so pruning them loses little score mass, while a mid-band term
+    carries high idf and must stay complete or docs whose relevance is
+    summed across terms silently drop (the r4 champion-quality
+    plateau). Aggregation volume is then bounded by
+    Σ_t min(df_t, max(R, floor)) — the heavy tail is capped at R, the
+    informative bands are exact. Measured numbers at the Zipf
+    rehearsal shape are in docs/SCALING.md; the exact mode stays the
+    oracle-checked default. ``champion_df_floor=0`` restores
+    unconditional per-term pruning.
     """
     postings = term_postings(docs, id_col, text_col)
     qset = query_terms.select("term").distinct()
@@ -123,16 +264,31 @@ def bm25_search(
     scored = tpost.crossJoin(F.broadcast(stats)).withColumn(
         "tfn", tf * F.lit(k1 + 1.0) / denom
     )
-    if champions is not None:
-        scored = topk(
-            scored, ["term"], "tfn", champions,
-            ascending=False, rank_col=None, tiebreak_cols=["_docid"],
-        )
+    # df joins before the champion branch so pruning can see each
+    # term's list size (values unchanged — the join is key-only)
+    scored = scored.join(F.broadcast(dfs), "term")
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    cand = scored.join(F.broadcast(dfs), "term").join(
+    if champions is not None:
+        pruned = _champion_prune(
+            scored, champions, champion_df_floor, n_docs=F.col("n_docs")
+        )
+        if rescore:
+            floor = _champion_floor_col(
+                champions, champion_df_floor, F.col("n_docs")
+            )
+            term_ub = dfs.crossJoin(F.broadcast(stats)).select(
+                "term",
+                (F.col("df") > floor).alias("prunable"),
+                F.round(idf * F.lit(k1 + 1.0), 7)
+                .cast("decimal(20,7)")
+                .alias("ub_c"),
+            )
+            return _bm25_wand_topk(scored, pruned, term_ub, query_terms, k, idf)
+        scored = pruned
+    cand = scored.join(
         F.broadcast(query_terms), "term"
     )
     scores = (
@@ -405,10 +561,13 @@ class Bm25Index:
         query_terms: DataFrame,
         k: int = 10,
         champions: int | None = None,
+        champion_df_floor: int | None = None,
+        rescore: bool = True,
     ) -> DataFrame:
         """Same semantics (and bit-for-bit the same scores) as
         :func:`bm25_search` — asserted by tests — minus the corpus
-        pass."""
+        pass. ``champions``/``champion_df_floor``/``rescore``: df-aware
+        pruning + WAND band rescore, see :func:`bm25_search`."""
         k1, b = self.k1, self.b
         qset = query_terms.select("term").distinct()
         tpost = self.postings.join(F.broadcast(qset), "term")
@@ -418,18 +577,33 @@ class Bm25Index:
             F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(self.avgdl)
         )
         scored = tpost.withColumn("tfn", tf * F.lit(k1 + 1.0) / denom)
-        if champions is not None:
-            scored = topk(
-                scored, ["term"], "tfn", champions,
-                ascending=False, rank_col=None, tiebreak_cols=["_docid"],
-            )
+        scored = scored.join(F.broadcast(dfs), "term")
         idf = F.log(
             F.lit(1.0)
             + (F.lit(self.n_docs) - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         )
+        if champions is not None:
+            pruned = _champion_prune(
+                scored, champions, champion_df_floor, n_docs=self.n_docs
+            )
+            if rescore:
+                floor = _champion_floor_col(
+                    champions, champion_df_floor, self.n_docs
+                )
+                term_ub = dfs.select(
+                    "term",
+                    (F.col("df") > floor).alias("prunable"),
+                    F.round(idf * F.lit(k1 + 1.0), 7)
+                    .cast("decimal(20,7)")
+                    .alias("ub_c"),
+                )
+                return _bm25_wand_topk(
+                    scored, pruned, term_ub, query_terms, k, idf
+                )
+            scored = pruned
         scores = (
-            scored.join(F.broadcast(dfs), "term")
+            scored
             .join(F.broadcast(query_terms), "term")
             .select(
                 "qid",

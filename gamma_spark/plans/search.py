@@ -81,6 +81,9 @@ class TextQuery:
     k1: float = 1.2
     b: float = 0.75
     champions: int | None = None
+    #: df floor below which terms keep complete lists under champion
+    #: pruning (None = the corpus-relative default; see bm25_search)
+    champion_df_floor: int | None = None
 
 
 @dataclass
@@ -228,6 +231,7 @@ def search(
                     k1=tq.k1,
                     b=tq.b,
                     champions=tq.champions,
+                    champion_df_floor=tq.champion_df_floor,
                 )
             )
         if len(systems) > 1:

@@ -52,7 +52,11 @@ def write_dataset(
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
-    row = df.agg(*aggs).collect()[0]
+    # stats over the WRITTEN files, not the input plan — aggregating
+    # ``df`` would re-execute the whole upstream stage a second time
+    # (the write itself was the first execution)
+    written = getattr(df.sparkSession.read, fmt)(os.path.join(path, "data"))
+    row = written.agg(*aggs).collect()[0]
     manifest = {
         "format": fmt,
         "n_rows": int(row["n_rows"]),

@@ -155,17 +155,38 @@ def test_bm25_champions_degenerate_exact(spark, corpus):
 
 
 def test_bm25_champions_prunes_per_term(spark, corpus):
-    """champions=1 keeps only each term's best doc: query 0's result
-    set is at most one doc per query term."""
+    """champions=1 with champion_df_floor=0 (unconditional pruning)
+    keeps only each term's best doc: query 0's result set is at most
+    one doc per query term."""
     qt = spark.createDataFrame(
         [(0, "spark"), (0, "pond")], "qid long, term string"
     )
-    out = R.bm25_search(corpus, qt, k=5, champions=1).collect()
+    out = R.bm25_search(
+        corpus, qt, k=5, champions=1, champion_df_floor=0
+    ).collect()
     assert len(out) <= 2
     # "spark": docs 0/1/4 tie on tf-normalization (tf=1, dl=4) -> the
     # _docid tiebreak keeps doc 0; "pond": docs 2/3 tie -> doc 2
     docs_hit = {r._docid for r in out}
     assert docs_hit == {0, 2}
+
+
+def test_bm25_champion_df_floor_keeps_midband_terms_exact(spark, corpus):
+    """The df-aware default (floor = 4*champions) leaves terms with
+    df <= floor untouched: champions=1 then equals exact on this
+    corpus, where every term's df is < 4."""
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "pond"), (1, "the")], "qid long, term string"
+    )
+    exact = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(corpus, qt, k=5).collect()
+    )
+    champ = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(corpus, qt, k=5, champions=1).collect()
+    )
+    assert exact == champ
 
 
 def test_bm25_index_matches_adhoc(spark, corpus, tmp_path):
@@ -242,3 +263,54 @@ def test_bm25_index_append_equals_fresh_build(spark, corpus, tmp_path):
         .orderBy("qid", "rank").collect()
     ]
     assert got_disk == want
+
+
+def test_bm25_wand_rescore_equals_exact_under_active_pruning(spark):
+    """VERDICT r4 #4: champion mode with the WAND band rescore must
+    return the EXACT top-k (scores bit-for-bit) even when the champion
+    cut is aggressive and actually drops postings — on a corpus where
+    a hot term spans most docs and relevance is summed across legs."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        toks = ["hot"] * rng.randint(1, 4)  # near-universal term
+        for _ in range(rng.randint(3, 12)):
+            toks.append(f"m{rng.randint(0, 30)}")  # mid-band terms
+        rng.shuffle(toks)
+        rows.append((i, " ".join(toks)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    qt = spark.createDataFrame(
+        [(q, t) for q in range(6) for t in ("hot", f"m{q}", f"m{q+7}")],
+        "qid long, term string",
+    )
+    exact = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(corpus, qt, k=10).collect()
+    )
+    # floor 100 forces pruning of "hot" (df ~400) but not the mids
+    wand = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(
+            corpus, qt, k=10, champions=20, champion_df_floor=100
+        ).collect()
+    )
+    assert wand == exact
+    # index path identical
+    idx = R.Bm25Index.build(corpus)
+    wand_idx = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in idx.search(qt, k=10, champions=20, champion_df_floor=100).collect()
+    )
+    assert wand_idx == exact
+    # the r4 plateau mode (rescore=False) really is lossier here —
+    # proves the band rescue is doing work, not vacuously passing
+    plain = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(
+            corpus, qt, k=10, champions=20, champion_df_floor=100,
+            rescore=False,
+        ).collect()
+    )
+    assert plain != exact

@@ -59,8 +59,10 @@ def make_zipf_corpus(spark, n: int):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bm25_only = "--bm25-only" in sys.argv
+    n = int(args[0]) if len(args) > 0 else 1_000_000
+    nq = int(args[1]) if len(args) > 1 else 512
     spark = get_spark("bm25-scale")
     docs = make_zipf_corpus(spark, n).cache()
     docs.count()
@@ -92,7 +94,7 @@ def main():
     # synthetic 500-word vocab is the worst case: every term matches
     # ~15% of the corpus)
     champions = (
-        [int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 else [1000]
+        [int(x) for x in args[2].split(",")] if len(args) > 2 else [1000]
     )
     for r_champ in champions:
         t0 = time.time()
@@ -106,7 +108,39 @@ def main():
             inter / max(n_hits, 1), 4
         )
         champ.unpersist()
+
+    # the serving shape: a prebuilt index (the one corpus-sized shuffle
+    # paid at build), exact vs champion+WAND-rescore searches — here
+    # the ad-hoc path's corpus re-tokenization no longer masks the
+    # aggregation-volume win
+    t0 = time.time()
+    idx = R.Bm25Index.build(docs)
+    idx.postings.cache().count()
+    results["bm25_index_build_sec"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    iexact = idx.search(qterms, k=10).cache()
+    iexact.count()
+    results["bm25_index_exact_sec"] = round(time.time() - t0, 2)
+    for r_champ in champions:
+        t0 = time.time()
+        ichamp = idx.search(qterms, k=10, champions=r_champ).cache()
+        ichamp.count()
+        results[f"bm25_index_champions{r_champ}_sec"] = round(time.time() - t0, 2)
+        inter = iexact.select("qid", "_docid").intersect(
+            ichamp.select("qid", "_docid")
+        ).count()
+        results[f"bm25_index_champions{r_champ}_overlap_at_10"] = round(
+            inter / max(n_hits, 1), 4
+        )
+        ichamp.unpersist()
+    iexact.unpersist()
+    idx.postings.unpersist()
     exact.unpersist()
+
+    if bm25_only:
+        print(json.dumps(results))
+        spark.stop()
+        return
 
     t0 = time.time()
     # force the full signal computation (a bare count() lets the
