@@ -154,6 +154,8 @@ def _bm25_wand_topk(
     ``term_ub``: (term, prunable, ub_c) — per-term max contribution as
     DECIMAL(20,7), prunable = df above the champion floor.
     """
+    from gamma_spark.session import stage
+
     def contrib(rel):
         return rel.select(
             "qid",
@@ -161,7 +163,11 @@ def _bm25_wand_topk(
             F.round(idf * F.col("tfn"), 7).cast("decimal(20,7)").alias("c"),
         )
 
-    partial = (
+    # scored_full feeds the pruned lists AND the band rescore join;
+    # partial feeds the k-th threshold AND the band filter — stage
+    # both so the postings/tokenize subplan runs once per search
+    scored_full = stage(scored_full)
+    partial = stage(
         contrib(scored_pruned.join(F.broadcast(query_terms), "term"))
         .groupBy("qid", "_docid")
         .agg(F.sum("c").cast("double").alias("p"))
