@@ -46,7 +46,13 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 1_000_000
     disk = "--mem" not in sys.argv
-    spark = get_spark("pipeline-scale")
+    # shuffle partitions scale with the corpus (~25k docs each): the
+    # reduce-side agg/join state per task is then bounded regardless
+    # of n — the same rule a cluster submit script applies
+    spark = get_spark(
+        "pipeline-scale",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(32, n // 25_000))},
+    )
     root = tempfile.mkdtemp(prefix="gamma_pipeline_stage_")
 
     def hand_off(df, name):

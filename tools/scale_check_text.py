@@ -28,9 +28,16 @@ from gamma_spark.session import get_spark  # noqa: E402
 VOCAB = [f"w{i}" for i in range(500)]
 
 
-def make_corpus(spark, n: int):
+def make_corpus(spark, n: int, partitions: int | None = None):
     """~10% of docs are near-duplicates of a 'source' doc (a few tokens
-    perturbed) — the structure LSH must recover."""
+    perturbed) — the structure LSH must recover.
+
+    ``partitions`` defaults to ~50k docs per partition (min 32): the
+    per-task hash-aggregate tables downstream (shingle/signature aggs)
+    are sized by docs-per-partition, so partition count must scale
+    with the corpus or a fixed-32 layout OOMs the default heap at 4M+
+    docs — exactly the cluster-sizing rule (partitions ~ input bytes),
+    applied to the rehearsal generator."""
 
     def gen(batches):
         for pdf in batches:
@@ -48,7 +55,8 @@ def make_corpus(spark, n: int):
                 texts.append(" ".join(toks))
             yield pd.DataFrame({"doc_id": ids, "text": texts})
 
-    return spark.range(n).repartition(32).mapInPandas(
+    parts = partitions if partitions is not None else max(32, n // 50_000)
+    return spark.range(n).repartition(parts).mapInPandas(
         gen, schema="doc_id long, text string"
     )
 
