@@ -1035,10 +1035,11 @@ class EmbeddingNearDupIndex:
             import json as _json
             import os as _os
 
+            from gamma_spark.io_util import atomic_write_json
+
             banded.write.mode("overwrite").parquet(f"{path}/bands")
             base.write.mode("overwrite").parquet(f"{path}/vectors")
-            with open(_os.path.join(path, "meta.json"), "w") as fh:
-                _json.dump(meta, fh)
+            atomic_write_json(_os.path.join(path, "meta.json"), meta)
             spark = embs.sparkSession
             banded = _read_tree(spark, f"{path}/bands")
             base = _read_tree(spark, f"{path}/vectors")

@@ -461,6 +461,15 @@ class Bm25Index:
         committed append duplicates (doc, term, tf) rows AND inflates
         n_docs/avgdl — the recovery path there is a full ``build``.
 
+        SINGLE-WRITER contract (same as ``_compact_parquet``,
+        dedup.py): the ledger update is a driver-local
+        read-modify-write of meta.json, so exactly one appender may run
+        at a time — two concurrent appenders would each read the old
+        ``batches`` list and the later meta replace drops the other's
+        committed id, re-opening the double-append window. Retries of
+        the SAME batch_id (Spark micro-batch replay) are safe; parallel
+        appends of different batches are the caller's lock to take.
+
         Crash contract (with batch_id): postings commit via Spark's
         file commit protocol, the meta (stats + ledger) rewrites last.
         A crash between the two leaves the batch's postings visible but
@@ -499,11 +508,13 @@ class Bm25Index:
             else:
                 post_new.write.mode("append").parquet(f"{self.path}/postings")
             post = _read_postings(new_docs.sparkSession, f"{self.path}/postings")
-            with open(_os.path.join(self.path, "meta.json"), "w") as fh:
-                _json.dump(
-                    {"n_docs": n2, "avgdl": avg2, "k1": self.k1, "b": self.b,
-                     "batches": committed}, fh
-                )
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                _os.path.join(self.path, "meta.json"),
+                {"n_docs": n2, "avgdl": avg2, "k1": self.k1, "b": self.b,
+                 "batches": committed},
+            )
         else:
             post = self.postings.unionByName(post_new)
         return Bm25Index(post, n2, avg2, k1=self.k1, b=self.b, path=self.path)
@@ -536,15 +547,15 @@ class Bm25Index:
             # meta sidecar makes the index loadable without a stats
             # re-scan (S5 dump/load parity for the lexical model; the
             # done-marker is the meta file itself, written last)
-            import json as _json
             import os as _os
 
-            with open(_os.path.join(path, "meta.json"), "w") as fh:
-                _json.dump(
-                    {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1,
-                     "b": b, "batches": []},
-                    fh,
-                )
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                _os.path.join(path, "meta.json"),
+                {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1,
+                 "b": b, "batches": []},
+            )
         return cls(post, row.n_docs, row.avgdl, k1=k1, b=b, path=path)
 
     @classmethod

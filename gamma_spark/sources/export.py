@@ -54,8 +54,13 @@ def write_dataset(
         aggs.append(F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
     # stats over the WRITTEN files, not the input plan — aggregating
     # ``df`` would re-execute the whole upstream stage a second time
-    # (the write itself was the first execution)
-    written = getattr(df.sparkSession.read, fmt)(os.path.join(path, "data"))
+    # (the write itself was the first execution). The explicit schema
+    # matters for json: inference cannot handle a 0-row dataset (it
+    # raises) and would add an extra scan + can re-type all-null
+    # columns (e.g. token_col -> string, breaking the sum)
+    written = getattr(
+        df.sparkSession.read.schema(df.schema), fmt
+    )(os.path.join(path, "data"))
     row = written.agg(*aggs).collect()[0]
     manifest = {
         "format": fmt,
@@ -66,8 +71,15 @@ def write_dataset(
     }
     if token_col is not None:
         manifest["n_tokens"] = int(row["n_tokens"] or 0)
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
+    # atomic replace: the manifest is the done-marker — a torn write
+    # would present a committed-looking dataset with an unreadable
+    # manifest
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "manifest.json"))
     return manifest
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gamma_spark import filters as GF
+from gamma_spark.io_util import atomic_write_json, read_json_or_none
 
 DOCID = "_docid"
 DELETED = "_deleted"
@@ -330,8 +331,7 @@ class GammaTable:
         snap = os.path.join(root, ts)
         self._df.write.mode("overwrite").parquet(os.path.join(snap, "docs"))
         meta = {"id_col": self.id_col, "created": ts, "columns": self._df.columns}
-        with open(os.path.join(snap, "meta.json"), "w") as fh:
-            json.dump(meta, fh)
+        atomic_write_json(os.path.join(snap, "meta.json"), meta)
         with open(os.path.join(snap, DONE_MARKER), "w") as fh:
             fh.write("done\n")
         return snap
@@ -455,7 +455,7 @@ class BucketedDocStore:
             raise FileNotFoundError(f"no complete commit under {root}")
 
     @staticmethod
-    def _recover_torn_swap(root: str) -> None:
+    def _recover_torn_swap(root: str) -> bool:
         """Detect and heal a half-swapped docs dir. ``_swap_commit``
         journals the swap (commit number + affected buckets) into the
         trash dir BEFORE the first rename; the trash dir is removed
@@ -482,14 +482,14 @@ class BucketedDocStore:
         docs_path = os.path.join(root, "docs")
         for trash in sorted(_glob.glob(os.path.join(root, ".trash-*"))):
             recovered = True
-            jpath = os.path.join(trash, "swap.json")
-            journal = None
-            if os.path.exists(jpath):
-                with open(jpath) as fh:
-                    journal = json.load(fh)
+            # an unparsable journal == crashed before the (atomic)
+            # journal replace landed, i.e. before any rename — the docs
+            # dir is untouched, so treat it exactly like no journal:
+            # clean up, never roll back
+            journal = read_json_or_none(os.path.join(trash, "swap.json"))
             if journal is not None:
-                with open(os.path.join(root, "meta.json")) as fh:
-                    cur_commit = int(json.load(fh)["commit"])
+                cur_meta = read_json_or_none(os.path.join(root, "meta.json"))
+                cur_commit = int(cur_meta["commit"]) if cur_meta else -1
                 if cur_commit < int(journal["commit"]):
                     # torn: roll back exactly the buckets the loop
                     # touched — an old dir parked in the trash is
@@ -553,8 +553,10 @@ class BucketedDocStore:
 
     @staticmethod
     def _commit_meta(root: str, meta: dict) -> None:
-        with open(os.path.join(root, "meta.json"), "w") as fh:
-            json.dump(meta, fh)
+        # atomic replace: _recover_torn_swap reads this very file to
+        # decide rollback-vs-cleanup, so it must never observe a
+        # truncated prefix of its own commit step
+        atomic_write_json(os.path.join(root, "meta.json"), meta)
         with open(os.path.join(root, DONE_MARKER), "w") as fh:
             fh.write(f"commit={meta['commit']}\n")
 
@@ -672,8 +674,10 @@ class BucketedDocStore:
         # swap (meta.commit < journal.commit -> roll back from trash)
         # from an interrupted cleanup (equal -> just remove the trash);
         # see _recover_torn_swap
-        with open(os.path.join(trash, "swap.json"), "w") as fh:
-            json.dump({"commit": commit, "hit": [int(b) for b in hit]}, fh)
+        atomic_write_json(
+            os.path.join(trash, "swap.json"),
+            {"commit": commit, "hit": [int(b) for b in hit]},
+        )
         for b in hit:
             src = os.path.join(staging, f"{BUCKET}={b}")
             dst = os.path.join(docs_path, f"{BUCKET}={b}")

@@ -107,3 +107,27 @@ def test_write_dataset_roundtrip_with_manifest(tmp_path, spark, documents):
     # missing manifest = uncommitted dataset
     with _pytest.raises(FileNotFoundError):
         read_dataset(spark, str(tmp_path / "nope"))
+
+
+def test_write_dataset_empty_jsonl_and_allnull_tokens(tmp_path, spark, documents):
+    """ADVICE r5: manifest stats read back the written files with the
+    input schema pinned — json inference would raise on a 0-row
+    dataset and re-type an all-null token column as string."""
+    from pyspark.sql import functions as F
+
+    from gamma_spark.sources.export import write_dataset
+
+    df = documents.limit(50).select(
+        "doc_id", "text", F.lit(None).cast("long").alias("n_tokens")
+    )
+    # empty dataset, json format: previously spark.read.json could not
+    # infer a schema from zero rows and raised
+    man0 = write_dataset(
+        df.limit(0), str(tmp_path / "empty"), fmt="json", token_col="n_tokens"
+    )
+    assert man0["n_rows"] == 0 and man0["n_tokens"] == 0
+    # all-null token col must still sum as long (0), not fail as string
+    man1 = write_dataset(
+        df, str(tmp_path / "nulltok"), fmt="json", token_col="n_tokens"
+    )
+    assert man1["n_rows"] == 50 and man1["n_tokens"] == 0

@@ -526,6 +526,53 @@ def test_bm25_index_append_idempotent(tmp_path, spark, documents):
     assert re.n_docs == idx.n_docs and re.postings.count() == idx.postings.count()
 
 
+def test_bm25_index_append_crash_before_meta_then_retry(
+    tmp_path, spark, documents, monkeypatch
+):
+    """The documented crash contract (retrieval.py append docstring):
+    postings commit, then the meta (stats + ledger) replaces last. A
+    crash between the two leaves the batch visible but un-ledgered;
+    retrying the SAME batch_id overwrites the same subdir and completes
+    the ledger — stats count the batch exactly once."""
+    import gamma_spark.io_util as ioutil
+    from gamma_spark.operators.retrieval import Bm25Index
+
+    b1 = documents.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    b2 = documents.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    ).select("doc_id", "text")
+    p = str(tmp_path / "bm25c")
+    idx = Bm25Index.build(b1, path=p)
+    nd0, avg0 = idx.n_docs, idx.avgdl
+
+    real_replace = ioutil.os.replace
+    armed = {"on": True}
+
+    def crash_on_meta(src_p, dst_p):
+        if armed["on"] and str(dst_p).endswith("meta.json"):
+            raise RuntimeError("injected crash before meta commit")
+        return real_replace(src_p, dst_p)
+
+    monkeypatch.setattr(ioutil.os, "replace", crash_on_meta)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        idx.append(b2, batch_id=11)
+    armed["on"] = False
+
+    # reload: the old meta is intact (atomic replace never landed), so
+    # stats are one batch stale exactly as documented
+    re = Bm25Index.load(spark, p)
+    assert re.n_docs == nd0 and re.avgdl == avg0
+    # retry of the same batch on the stale index completes the commit
+    done = re.append(b2, batch_id=11)
+    assert done.n_docs == nd0 + 50
+    # postings contain the batch exactly once
+    batch_docs = done.postings.select("_docid").distinct().count()
+    assert batch_docs == 150
+    # and a second retry is now the ledgered no-op
+    again = done.append(b2, batch_id=11)
+    assert again.n_docs == done.n_docs and again.avgdl == done.avgdl
+
+
 def test_embedding_neardup_append_idempotent(tmp_path, spark, embeddings):
     from gamma_spark.operators.dedup import EmbeddingNearDupIndex
 

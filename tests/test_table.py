@@ -369,6 +369,91 @@ def test_bucketed_store_torn_swap_rolls_back(tmp_path, spark, table, monkeypatch
     assert retried.get_doc_by_id(41).collect()[0].text == "torn-41"
 
 
+def test_bucketed_store_crash_during_meta_write_recovers(
+    tmp_path, spark, table, monkeypatch
+):
+    """ADVICE r5 (medium): a crash DURING the meta.json commit write
+    must not tear the very file recovery keys on. With the atomic
+    tmp+os.replace protocol, a crash after the renames but mid-meta
+    leaves the OLD meta intact and a torn .tmp aside; the next open
+    sees meta.commit < journal.commit and rolls the swap back."""
+    import gamma_spark.io_util as ioutil
+    from gamma_spark.table import BucketedDocStore
+
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    before_rows = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in store.table().df.select("doc_id", "text", "n_chars").collect()
+    }
+    before_commit = store.meta["commit"]
+
+    batch = spark.createDataFrame(
+        [(i, f"metacrash-{i}", "en", "src1", i) for i in (3, 7, 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    real_replace = ioutil.os.replace
+
+    def crash_on_meta_replace(src_p, dst_p):
+        if str(dst_p).endswith("meta.json"):
+            # simulate the torn write the OLD protocol suffered: the
+            # pending bytes exist only as a truncated tmp; the real
+            # meta.json must remain the old complete file
+            with open(src_p, "w") as fh:
+                fh.write('{"id_col": "doc_id", "nbuck')  # torn prefix
+            raise RuntimeError("injected crash mid-meta-write")
+        return real_replace(src_p, dst_p)
+
+    monkeypatch.setattr(ioutil.os, "replace", crash_on_meta_replace)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.upsert(batch)
+    monkeypatch.undo()
+
+    # the store reopens (old meta parses — it was never touched) and
+    # rolls the fully-renamed-but-uncommitted swap back
+    reloaded = BucketedDocStore(spark, str(tmp_path / "store"))
+    after_rows = {
+        r.doc_id: (r.text, r.n_chars)
+        for r in reloaded.table().df.select("doc_id", "text", "n_chars").collect()
+    }
+    assert after_rows == before_rows
+    assert reloaded.meta["commit"] == before_commit
+    # clean retry lands
+    retried = reloaded.upsert(batch)
+    assert retried.get_doc_by_id(7).collect()[0].text == "metacrash-7"
+    assert retried.meta["commit"] == before_commit + 1
+
+
+def test_bucketed_store_unparsable_swap_journal_is_cleanup_only(
+    tmp_path, spark, table
+):
+    """ADVICE r5: a trash dir whose swap.json is truncated (crash
+    before the journal's atomic replace landed — i.e. before any
+    rename) must be classified as 'docs untouched, just clean up',
+    not crash the recovery path with a JSONDecodeError."""
+    import os
+
+    from gamma_spark.table import BucketedDocStore
+
+    root = str(tmp_path / "store")
+    store = BucketedDocStore.create(table, root, nbuckets=8)
+    before = {
+        r.doc_id: r.text for r in store.table().df.select("doc_id", "text").collect()
+    }
+    trash = os.path.join(root, ".trash-99")
+    os.makedirs(trash)
+    with open(os.path.join(trash, "swap.json"), "w") as fh:
+        fh.write('{"commit": 99, "hi')  # torn journal prefix
+
+    reloaded = BucketedDocStore(spark, root)  # must not raise
+    after = {
+        r.doc_id: r.text
+        for r in reloaded.table().df.select("doc_id", "text").collect()
+    }
+    assert after == before
+    assert not os.path.exists(trash)  # cleaned up
+
+
 def test_migrate_since_detects_null_swaps(spark):
     """ADVICE r3: bare xxhash64 skips NULL inputs, so (NULL,'x') ->
     ('x',NULL) hashed identically and the update was dropped. The JSON
