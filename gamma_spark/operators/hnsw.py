@@ -392,17 +392,18 @@ class HnswIndex:
             graph.repartition("_shard").write.mode("overwrite").partitionBy(
                 "_shard"
             ).parquet(os.path.join(path, "graph"))
-            with open(os.path.join(path, "meta.json"), "w") as fh:
-                json.dump(
-                    {
-                        "model": cls.name,
-                        "nshards": nshards,
-                        "metric": metric_u,
-                        "doc_vec": doc_vec,
-                        "m": m,
-                    },
-                    fh,
-                )
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                os.path.join(path, "meta.json"),
+                {
+                    "model": cls.name,
+                    "nshards": nshards,
+                    "metric": metric_u,
+                    "doc_vec": doc_vec,
+                    "m": m,
+                },
+            )
             graph = docs.sparkSession.read.parquet(os.path.join(path, "graph"))
         return cls(graph, nshards, metric_u, doc_vec, m=m, path=path)
 
@@ -439,17 +440,20 @@ class HnswIndex:
             shifted.repartition("_shard").write.mode("append").partitionBy(
                 "_shard"
             ).parquet(os.path.join(self.path, "graph"))
-            with open(os.path.join(self.path, "meta.json"), "w") as fh:
-                json.dump(
-                    {
-                        "model": self.name,
-                        "nshards": base + nshards,
-                        "metric": self.metric,
-                        "doc_vec": self.doc_vec,
-                        "m": self.m,
-                    },
-                    fh,
-                )
+            from gamma_spark.io_util import atomic_write_json
+
+            # in-place meta rewrite on a standing index — atomic, same
+            # rationale as BucketedDocStore._commit_meta
+            atomic_write_json(
+                os.path.join(self.path, "meta.json"),
+                {
+                    "model": self.name,
+                    "nshards": base + nshards,
+                    "metric": self.metric,
+                    "doc_vec": self.doc_vec,
+                    "m": self.m,
+                },
+            )
             merged = self.index_df.sparkSession.read.parquet(
                 os.path.join(self.path, "graph")
             )

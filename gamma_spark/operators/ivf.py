@@ -253,8 +253,12 @@ class IvfFlatIndex:
                 "cluster_id"
             ).parquet(os.path.join(path, "index"))
             np.save(os.path.join(path, "centroids.npy"), centroids)
-            with open(os.path.join(path, "meta.json"), "w") as fh:
-                json.dump({"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec}, fh)
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                os.path.join(path, "meta.json"),
+                {"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec},
+            )
             spark = docs.sparkSession
             assigned = spark.read.parquet(os.path.join(path, "index"))
         return cls(centroids, assigned, path)

@@ -275,10 +275,12 @@ class IvfPqIndex:
             np.save(os.path.join(path, "centroids.npy"), centroids)
             np.save(os.path.join(path, "codebooks.npy"), codebooks)
             np.save(os.path.join(path, "rotation.npy"), rotation)
-            with open(os.path.join(path, "meta.json"), "w") as fh:
-                json.dump(
-                    {"model": cls.name, "nsubvector": nsubvector, "doc_vec": doc_vec}, fh
-                )
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                os.path.join(path, "meta.json"),
+                {"model": cls.name, "nsubvector": nsubvector, "doc_vec": doc_vec},
+            )
             codes_df = docs.sparkSession.read.parquet(os.path.join(path, "codes"))
         return cls(centroids, codebooks, rotation, codes_df, docs, doc_vec, path)
 

@@ -124,7 +124,7 @@ def _champion_floor_col(champions: int, champion_df_floor: int | None, n_docs):
 def _bm25_wand_topk(
     scored_full: DataFrame,
     scored_pruned: DataFrame,
-    term_ub: DataFrame,
+    floor,
     query_terms: DataFrame,
     k: int,
     idf,
@@ -135,24 +135,34 @@ def _bm25_wand_topk(
 
     1. the pruned lists produce per-doc PARTIAL scores (missing only
        contributions from pruned-away postings of low-idf terms);
-    2. each query's k-th partial score minus the summed upper bound of
-       its pruned terms (``ub = Σ idf_t·(k1+1)``, each term's maximum
-       possible contribution) gives a safety threshold: a doc whose
-       partial falls below it cannot reach the true top-k, because
-       true ≤ partial + ub pointwise and the k-th true score is ≥ the
-       k-th partial;
+    2. the k best partial docs are rescored exactly (a k-docs-per-
+       query join) and their k-th EXACT score ``tau`` minus the summed
+       upper bound of the query's pruned terms gives the safety
+       threshold: any other doc's true score is ≤ partial + ub, and a
+       doc with partial < tau − ub therefore cannot displace the k
+       seed docs (whose true scores are ≥ tau). The per-term bound is
+       BLOCK-MAX-style (Ding & Suel 2011): a pruned-away posting's tfn
+       is at most the kept champion list's boundary (minimum) tfn —
+       the lists are impact-ordered — so ``ub_t = idf_t · min(kept
+       tfn_t)``, far tighter than the r5 global asymptote
+       ``idf_t·(k1+1)``; and tau, unlike the r5 k-th *partial*
+       threshold, already contains the pruned head-term mass. Both
+       ends of the r5 small-R band blowup close: the bound shrinks to
+       what pruning can actually hide, the threshold rises to what the
+       seeds actually score;
     3. docs inside the band are rescored EXACTLY against the full
        postings (a (term, _docid)-keyed join bounded by |band|·|terms
-       per query| — never the per-query stop-word fan-out).
-
-    Result: identical to the exact mode for every doc the champion
-    lists can retain (boundary ties excepted), at pruned-aggregation
-    cost. A doc appearing in NO kept list is unreachable — it matched
-    only pruned terms, so its score is at most ub, below any top-k
-    that clears the band (the champion-retention limit, unchanged).
-
-    ``term_ub``: (term, prunable, ub_c) — per-term max contribution as
-    DECIMAL(20,7), prunable = df above the champion floor.
+       per query| — never the per-query stop-word fan-out);
+    4. the one remaining hole — a doc in NO kept list (it matched
+       only pruned-away postings) — is detected per query instead of
+       argued away: such a doc's score is at most ub, so it can enter
+       the true top-k only when ``tau < ub`` (or fewer than k docs
+       scored at all). Those queries fall back to exact unpruned
+       scoring (ADVICE r5: the previous docstring claimed exactness
+       unconditionally; for an all-stop-word query with kth < ub it
+       was approximate). Result: exact top-k for EVERY query; the
+       fallback set is empty unless every term of a query is a
+       pruned heavy-tail term with a weak k-th candidate.
     """
     from gamma_spark.session import stage
 
@@ -163,8 +173,24 @@ def _bm25_wand_topk(
             F.round(idf * F.col("tfn"), 7).cast("decimal(20,7)").alias("c"),
         )
 
+    # per-term block-max bound over the PRUNABLE terms, computed from
+    # the kept lists themselves (df/n_docs ride along so the idf
+    # expression resolves after the agg)
+    carry = [F.first("df").alias("df")]
+    if "n_docs" in scored_pruned.columns:
+        carry.append(F.first("n_docs").alias("n_docs"))
+    term_ub = (
+        scored_pruned.filter(F.col("df") > floor)
+        .groupBy("term")
+        .agg(F.min("tfn").alias("tfn"), *carry)
+        .select(
+            "term",
+            F.round(idf * F.col("tfn"), 7).cast("decimal(20,7)").alias("ub_c"),
+        )
+    )
+
     # scored_full feeds the pruned lists AND the band rescore join;
-    # partial feeds the k-th threshold AND the band filter — stage
+    # partial feeds the seed selection AND the band filter — stage
     # both so the postings/tokenize subplan runs once per search
     scored_full = stage(scored_full)
     partial = stage(
@@ -172,23 +198,56 @@ def _bm25_wand_topk(
         .groupBy("qid", "_docid")
         .agg(F.sum("c").cast("double").alias("p"))
     )
-    kth = (
-        topk(partial, ["qid"], "p", k, ascending=False, tiebreak_cols=["_docid"])
+    # SEED rescore (r6): the k best partial docs are rescored exactly
+    # first (a tiny (term,docid) join — k docs per query). Their k-th
+    # EXACT score tau is a lower bound on the true top-k threshold
+    # that, unlike the k-th partial, already contains the pruned
+    # head-term mass — so the band `p >= tau - ub` is far narrower
+    # than `p >= kth_partial - ub` (the r5 band blowup at small R:
+    # smaller kept lists lowered the k-th partial AND raised the
+    # boundary tfn, widening the band from both ends). The seed docs
+    # themselves always pass the filter: tau <= kth_partial + ub
+    # pointwise, so kth_partial >= tau - ub.
+    seed = topk(
+        partial, ["qid"], "p", k, ascending=False, tiebreak_cols=["_docid"]
+    ).select("qid", "_docid")
+    seedx = seed.join(F.broadcast(query_terms), "qid").select(
+        "qid", "term", "_docid"
+    )
+    tau = (
+        contrib(scored_full.join(seedx, ["term", "_docid"]))
+        .groupBy("qid", "_docid")
+        .agg(F.sum("c").cast("double").alias("s"))
         .groupBy("qid")
-        .agg(F.min("p").alias("kth"))
+        .agg(F.min("s").alias("tau"), F.count(F.lit(1)).alias("nk"))
     )
     ub = (
         F.broadcast(query_terms)
-        .join(term_ub.filter(F.col("prunable")), "term")
+        .join(term_ub, "term")
         .groupBy("qid")
         .agg(F.sum("ub_c").cast("double").alias("ub"))
     )
+    # queries where a no-kept-list doc could still reach the top-k:
+    # exact fallback (tiny set — requires ub to dominate the k-th
+    # exact seed score, i.e. an effectively all-stop-word query)
+    unsafe = (
+        tau.join(ub, "qid", "left")
+        .filter(
+            (F.coalesce(F.col("ub"), F.lit(0.0)) > F.lit(0.0))
+            & (
+                (F.col("tau") < F.col("ub") + F.lit(1e-6))
+                | (F.col("nk") < F.lit(k))
+            )
+        )
+        .select("qid")
+    )
     band = (
-        partial.join(F.broadcast(kth), "qid")
+        partial.join(F.broadcast(unsafe), "qid", "left_anti")
+        .join(F.broadcast(tau), "qid")
         .join(F.broadcast(ub), "qid", "left")
         .filter(
             F.col("p")
-            >= F.col("kth") - F.coalesce(F.col("ub"), F.lit(0.0)) - F.lit(1e-6)
+            >= F.col("tau") - F.coalesce(F.col("ub"), F.lit(0.0)) - F.lit(1e-6)
         )
         .select("qid", "_docid")
     )
@@ -200,8 +259,15 @@ def _bm25_wand_topk(
         .groupBy("qid", "_docid")
         .agg(F.sum("c").cast("double").alias("score"))
     )
+    fallback_terms = query_terms.join(F.broadcast(unsafe), "qid")
+    fallback = (
+        contrib(scored_full.join(F.broadcast(fallback_terms), "term"))
+        .groupBy("qid", "_docid")
+        .agg(F.sum("c").cast("double").alias("score"))
+    )
     return topk(
-        scores, ["qid"], "score", k, ascending=False, tiebreak_cols=["_docid"]
+        scores.unionByName(fallback), ["qid"], "score", k,
+        ascending=False, tiebreak_cols=["_docid"],
     ).select("qid", "_docid", "score", F.col("rank").cast("int").alias("rank"))
 
 
@@ -285,14 +351,7 @@ def bm25_search(
             floor = _champion_floor_col(
                 champions, champion_df_floor, F.col("n_docs")
             )
-            term_ub = dfs.crossJoin(F.broadcast(stats)).select(
-                "term",
-                (F.col("df") > floor).alias("prunable"),
-                F.round(idf * F.lit(k1 + 1.0), 7)
-                .cast("decimal(20,7)")
-                .alias("ub_c"),
-            )
-            return _bm25_wand_topk(scored, pruned, term_ub, query_terms, k, idf)
+            return _bm25_wand_topk(scored, pruned, floor, query_terms, k, idf)
         scored = pruned
     cand = scored.join(
         F.broadcast(query_terms), "term"
@@ -608,15 +667,8 @@ class Bm25Index:
                 floor = _champion_floor_col(
                     champions, champion_df_floor, self.n_docs
                 )
-                term_ub = dfs.select(
-                    "term",
-                    (F.col("df") > floor).alias("prunable"),
-                    F.round(idf * F.lit(k1 + 1.0), 7)
-                    .cast("decimal(20,7)")
-                    .alias("ub_c"),
-                )
                 return _bm25_wand_topk(
-                    scored, pruned, term_ub, query_terms, k, idf
+                    scored, pruned, floor, query_terms, k, idf
                 )
             scored = pruned
         scores = (

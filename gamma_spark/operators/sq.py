@@ -93,11 +93,12 @@ class IvfSq8Index:
             ).parquet(os.path.join(path, "codes"))
             np.save(os.path.join(path, "centroids.npy"), centroids)
             np.save(os.path.join(path, "bounds.npy"), np.stack([mins, maxs]))
-            with open(os.path.join(path, "meta.json"), "w") as fh:
-                json.dump(
-                    {"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec},
-                    fh,
-                )
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                os.path.join(path, "meta.json"),
+                {"model": cls.name, "ncentroids": len(centroids), "doc_vec": doc_vec},
+            )
             codes = docs.sparkSession.read.parquet(os.path.join(path, "codes"))
         return cls(centroids, codes, mins, maxs, doc_vec, path)
 

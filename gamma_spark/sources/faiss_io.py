@@ -50,6 +50,8 @@ import os
 import struct
 
 import numpy as np
+
+from gamma_spark.io_util import atomic_write_json
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -349,17 +351,16 @@ def load_from_faiss(
             flush()
     flush()
     np.save(os.path.join(out_path, "centroids.npy"), cents)
-    with open(os.path.join(out_path, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "model": "IVFFLAT",
-                "ncentroids": len(cents),
-                "doc_vec": "embedding",
-                "source": "faiss:IwFl",
-                "faiss_nprobe": parsed["nprobe"],
-            },
-            fh,
-        )
+    atomic_write_json(
+        os.path.join(out_path, "meta.json"),
+        {
+            "model": "IVFFLAT",
+            "ncentroids": len(cents),
+            "doc_vec": "embedding",
+            "source": "faiss:IwFl",
+            "faiss_nprobe": parsed["nprobe"],
+        },
+    )
     idx = IvfFlatIndex.load(spark, out_path)
     return {"docs": idx.index_df, "metric": parsed["metric"], "index": idx}
 
@@ -411,17 +412,16 @@ def _load_ivfpq(spark, parsed, out_path, raw_docs):
     np.save(os.path.join(out_path, "centroids.npy"), cents)
     np.save(os.path.join(out_path, "codebooks.npy"), parsed["codebooks"])
     np.save(os.path.join(out_path, "rotation.npy"), np.eye(d))
-    with open(os.path.join(out_path, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "model": "IVFPQ",
-                "nsubvector": parsed["nsubvector"],
-                "doc_vec": "embedding",
-                "source": "faiss:IwPQ",
-                "faiss_nprobe": parsed["nprobe"],
-            },
-            fh,
-        )
+    atomic_write_json(
+        os.path.join(out_path, "meta.json"),
+        {
+            "model": "IVFPQ",
+            "nsubvector": parsed["nsubvector"],
+            "doc_vec": "embedding",
+            "source": "faiss:IwPQ",
+            "faiss_nprobe": parsed["nprobe"],
+        },
+    )
     if raw_docs is None:
         # no raw-feature source: ADC-only serving; a docid-only relation
         # stands in so predicate/tombstone pruning still works

@@ -156,13 +156,16 @@ def test_bm25_champions_degenerate_exact(spark, corpus):
 
 def test_bm25_champions_prunes_per_term(spark, corpus):
     """champions=1 with champion_df_floor=0 (unconditional pruning)
-    keeps only each term's best doc: query 0's result set is at most
-    one doc per query term."""
+    and rescore=False — the classic textbook champion list — keeps
+    only each term's best doc: query 0's result set is at most one doc
+    per query term. (With rescore=True the r6 per-query fallback now
+    detects kth<ub and returns the exact answer instead — covered by
+    test_bm25_wand_all_pruned_terms_falls_back_exact.)"""
     qt = spark.createDataFrame(
         [(0, "spark"), (0, "pond")], "qid long, term string"
     )
     out = R.bm25_search(
-        corpus, qt, k=5, champions=1, champion_df_floor=0
+        corpus, qt, k=5, champions=1, champion_df_floor=0, rescore=False
     ).collect()
     assert len(out) <= 2
     # "spark": docs 0/1/4 tie on tf-normalization (tf=1, dl=4) -> the
@@ -314,3 +317,43 @@ def test_bm25_wand_rescore_equals_exact_under_active_pruning(spark):
         ).collect()
     )
     assert plain != exact
+
+
+def test_bm25_wand_all_pruned_terms_falls_back_exact(spark):
+    """ADVICE r5: a query whose terms are ALL prunable (all stop-words)
+    can have a true-top-k doc that appears in NO kept list — partial
+    scores can't see it, so the band can't rescue it. The per-query
+    kth<ub detector must route such queries to exact unpruned scoring
+    instead of silently approximating (the r5 docstring overclaim)."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    # every doc contains stop-word "the"; tf varies so the champion cut
+    # (by tfn) actually ranks docs and drops most of them
+    for i in range(300):
+        toks = ["the"] * rng.randint(1, 6) + ["filler"] * rng.randint(0, 8)
+        rows.append((i, " ".join(toks)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    # single-term stop-word query: with champions=3 and floor=0 the
+    # kept list holds 3 docs but k=10 — nk<k AND kth<ub both trigger
+    qt = spark.createDataFrame(
+        [(0, "the"), (1, "filler"), (1, "the")], "qid long, term string"
+    )
+    exact = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(corpus, qt, k=10).collect()
+    )
+    wand = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in R.bm25_search(
+            corpus, qt, k=10, champions=3, champion_df_floor=0
+        ).collect()
+    )
+    assert wand == exact
+    idx = R.Bm25Index.build(corpus)
+    wand_idx = sorted(
+        (r.qid, r._docid, str(r.score), r.rank)
+        for r in idx.search(qt, k=10, champions=3, champion_df_floor=0).collect()
+    )
+    assert wand_idx == exact

@@ -1,0 +1,70 @@
+"""Isolated best-of-N A/B for single bench entries (VERDICT r5 #3).
+
+Suite-level drift on untouched code paths is often contention noise
+(the r4 dedup_groups scare: exonerated by exactly this methodology,
+groups.py:71-76). This runs ONE bench function N times in a quiet
+session — fresh cache state per repeat, nothing else on the JVM — and
+prints min/median/all, so a +47% suite drift can be pinned as real or
+noise. Run it from each code tree under comparison (e.g. HEAD vs a
+round-tip worktree) with the SAME sf_dir.
+
+Usage: python tools/ab_bench.py <entry> [repeats] [sf_dir]
+  entry ∈ {vearch, hnsw, sq8, knn_scan, ivf, knn_graph, knn_graph_10kq,
+           neardup}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+from gamma_spark.session import get_spark  # noqa: E402
+
+ENTRIES = {
+    "vearch": "bench_vearch",
+    "hnsw": "bench_hnsw",
+    "sq8": "bench_sq8",
+    "knn_scan": "bench_knn_scan",
+    "ivf": "bench_ivf",
+    "knn_graph": "bench_knn_graph",
+    "knn_graph_10kq": "bench_knn_graph_10kq",
+    "neardup": "bench_neardup_banded",
+}
+
+
+def main():
+    entry = sys.argv[1]
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    fn = getattr(bench, ENTRIES[entry])
+    spark = get_spark("ab-bench")
+    times = []
+    for i in range(repeats):
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        fn(spark, sf_dir)
+        times.append(round(time.time() - t0, 3))
+    out = {
+        "entry": entry,
+        "sf_dir": sf_dir,
+        "repeats": repeats,
+        "best": min(times),
+        "median": statistics.median(times),
+        "times": times,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
