@@ -843,6 +843,22 @@ class IvfFlatIndex:
             min_score, max_score, squared=(metric_u == "L2" and l2_sqrt and not want_sqrt)
         )
         banded = kmin is not None or kmax is not None
+        # With rescore the kernel mask is only a PRE-filter — the band
+        # is re-decided on exact scores (below). The kernel's score
+        # arithmetic (BLAS matmul over float64, squared-L2 space)
+        # differs from the rescore expression's (elementwise Catalyst
+        # sum, sqrt space) in the last ulps, so a doc whose exact score
+        # sits ON the band boundary can be masked out here and never
+        # become a candidate — the exact filter cannot resurrect what
+        # the pre-filter dropped (hypothesis-found: symmetric L2 pairs
+        # put the test midpoint exactly on a score). Guard: widen the
+        # kernel mask by a float-noise epsilon, and expand the
+        # per-cluster candidate budget by the number of docs in the
+        # uncertainty window at the BETTER-scoring edge, so admitted
+        # epsilon-out docs can never displace certain in-band docs from
+        # the top-k candidate set. Without rescore the kernel decides
+        # finally and keeps the exact inclusive bounds (epsilon = 0).
+        guard_band = banded and rescore
 
         def per_cluster(qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
             if qpdf.empty or dpdf.empty:
@@ -887,10 +903,31 @@ class IvfFlatIndex:
                     np.maximum(s, 0.0, out=s)
                     if want_sqrt:
                         np.sqrt(s, out=s)
+                eps = 0.0
+                extra = 0
+                if guard_band and metric_u != "HAMMING":
+                    # epsilon ~ 1e-9 of the score magnitude scale —
+                    # orders above float64 matmul noise (~1e-13 rel),
+                    # orders below any real score spread
+                    if metric_u == "L2":
+                        scale = float((qc * qc).sum(axis=1).max() + dnorm.max())
+                    else:
+                        scale = float(
+                            np.sqrt(
+                                max(float((qc * qc).sum(axis=1).max()), 1e-30)
+                                * max(float(dnorm.max()), 1e-30)
+                            )
+                        )
+                    eps = 1e-9 * max(1.0, scale)
+                    better_edge = kmin if asc else kmax
+                    if better_edge is not None and np.isfinite(better_edge):
+                        extra = int(
+                            (np.abs(s - better_edge) <= eps).sum(axis=1).max()
+                        )
                 if kmin is not None:
-                    s = np.where(s >= kmin, s, worst)
+                    s = np.where(s >= kmin - eps, s, worst)
                 if kmax is not None:
-                    s = np.where(s <= kmax, s, worst)
+                    s = np.where(s <= kmax + eps, s, worst)
                 # select top-kk by (score, doc position); positions are
                 # docid-ordered, so this is exactly the oracle's
                 # (score, _docid) tie order. argpartition bounds the
@@ -899,21 +936,22 @@ class IvfFlatIndex:
                 # candidate set to every position tied with the kk-th
                 # value before the lexsort (integer-valued metrics like
                 # HAMMING tie constantly; property-tested).
-                sel = np.empty((len(qc), kk), dtype=np.int64)
-                if len(ids) > kk:
+                ke = min(kk + extra, len(ids))
+                sel = np.empty((len(qc), ke), dtype=np.int64)
+                if len(ids) > ke:
                     skey = s if asc else -s
-                    pre = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
+                    pre = np.argpartition(skey, ke - 1, axis=1)[:, :ke]
                     thr = np.take_along_axis(skey, pre, axis=1).max(axis=1)
                     for r in range(len(qc)):
                         cand = np.flatnonzero(skey[r] <= thr[r])
-                        sel[r] = cand[np.lexsort((cand, skey[r][cand]))[:kk]]
+                        sel[r] = cand[np.lexsort((cand, skey[r][cand]))[:ke]]
                 else:
                     pos = np.arange(len(ids))
                     for r in range(len(qc)):
                         row = s[r] if asc else -s[r]
-                        sel[r] = np.lexsort((pos, row))[:kk]
+                        sel[r] = np.lexsort((pos, row))[:ke]
                 sc = np.take_along_axis(s, sel, axis=1)
-                qrep = np.repeat(qids_all[lo : lo + chunk], kk)
+                qrep = np.repeat(qids_all[lo : lo + chunk], ke)
                 did = ids[sel.ravel()]
                 scores = sc.ravel()
                 if banded:

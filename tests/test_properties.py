@@ -7,7 +7,7 @@ action where possible."""
 
 import duckdb
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from gamma_spark import filters as GF
@@ -252,11 +252,17 @@ def test_pq_distributed_join_salting_invariant(spark, n, k, salts, seed):
     metric=st.sampled_from(["IP", "L2"]),
     seed=st.integers(0, 10_000),
 )
+@example(n=49, k=3, metric="L2", seed=1146)
 def test_distributed_knn_join_band_matches_exact(spark, n, k, metric, seed):
     """F8 band on the distributed kNN path (VERDICT r3 #2): full-probe
-    + rescore + band must equal the exact banded kernel. Band bounds are
-    midpoints of the exact score distribution so no doc sits on a
-    boundary."""
+    + rescore + band must equal the exact banded kernel.
+
+    The pinned example is a found regression: queries are corpus docs,
+    so L2 distances come in symmetric pairs (d(1,2) == d(2,1)) and the
+    'midpoint' band bound lands EXACTLY on a doc score — the kernel's
+    squared-space pre-filter then dropped the boundary doc by last-ulp
+    rounding before the exact rescore filter could keep it (fixed by
+    the epsilon-widened guard band in knn_join_distributed)."""
     import numpy as np
 
     from gamma_spark.operators import knn
