@@ -227,6 +227,20 @@ def lm_perplexity(
         )
     )
     vocab = uni.count()  # the one driver scalar (|V|)
+    n_big = big.count()  # pre-pays the persisted materialization
+
+    # Pin the scoring join's build side when the count relations are
+    # dimension-table-sized: left to AQE, the same run either
+    # broadcasts them or shuffles the 79n score-side bigram stream on
+    # its join keys depending on runtime stat estimates — measured as
+    # a 228-vs-385 s swing on back-to-back identical 2M-doc pipeline
+    # runs (docs/SCALING.md LM-stage note). Above the cap (huge
+    # reference corpora where distinct bigrams ~ train tokens) the
+    # relations stop being broadcastable and the shuffle join is the
+    # correct plan.
+    _BCAST_ROW_CAP = 2_000_000  # ~120 MB at ~60 B/row
+    if vocab <= _BCAST_ROW_CAP and n_big <= _BCAST_ROW_CAP:
+        big, uni = F.broadcast(big), F.broadcast(uni)
 
     sb = bigram_stream(score)
     joined = sb.join(big, ["w1", "w2"], "left").join(uni, ["w1"], "left")

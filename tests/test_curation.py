@@ -124,3 +124,17 @@ def test_lm_perplexity_matches_duckdb_and_separates(spark, documents):
     )
     ppl = {r["doc_id"]: r["ppl"] for r in lm_perplexity(train, probes).collect()}
     assert ppl[1] * 3 < ppl[2]
+
+
+def test_lm_perplexity_scoring_join_broadcasts_when_small(spark, documents):
+    """The scoring join's build side is pinned: vocab-sized count
+    relations must arrive via BroadcastHashJoin (an explicit hint, not
+    an AQE runtime decision — the 2M-doc pipeline rehearsal measured a
+    228-vs-385 s LM-stage swing on identical runs when the choice was
+    left to AQE's stat estimates; docs/SCALING.md)."""
+    from gamma_spark.operators.quality import lm_perplexity
+
+    base = documents.select("doc_id", "text")
+    plan = lm_perplexity(base, base)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
