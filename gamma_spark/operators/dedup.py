@@ -142,15 +142,19 @@ WHERE len(t) >= {n}
 # minhash + banded LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
+def minhash_signatures(
+    sh: DataFrame, id_col: str, hashed: bool = False
+) -> DataFrame:
     """(id, h0..h15): minhash over the doc's shingle set.
 
     The md5-derived shingle hash is projected ONCE before the aggregate
     (16 min() aggs each referencing the raw expression would recompute
-    the md5 16x per row)."""
-    hashed = sh.select(
-        F.col(id_col), F.pmod(T.hash60("shingle"), F.lit(P)).alias("_x")
-    )
+    the md5 16x per row). ``hashed=True`` declares the ``shingle``
+    column already carries :func:`~gamma_spark.functions.text.hash60`
+    longs (see :func:`minhash_verified_pairs`'s early-hash staging), so
+    only the pmod projection remains."""
+    sh_col = F.col("shingle") if hashed else T.hash60("shingle")
+    hashed = sh.select(F.col(id_col), F.pmod(sh_col, F.lit(P)).alias("_x"))
     aggs = [
         F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(P)).alias(f"h{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -353,9 +357,22 @@ def minhash_verified_pairs(
     all-pairs stage anywhere."""
     # sh feeds the signature aggregation AND three joins in the verify
     # stage; sig feeds both sides of the LSH self-join — staged, the
-    # shingle explode runs once instead of five times
-    sh = _stage(shingles(df, id_col, text_col, n))
-    sig = _stage(minhash_signatures(sh, id_col))
+    # shingle explode runs once instead of five times. The shingle is
+    # hashed to a hash60 LONG *before* the distinct/stage: the staged
+    # relation is ~3x narrower than the string form, which is what the
+    # curate sub-stage probe showed going superlinear first at 2M docs
+    # on the default heap (the 156M-row string relation outgrows the
+    # storage fraction; the long form stays resident — docs/SCALING.md).
+    # Jaccard over distinct hashes == Jaccard over distinct shingles
+    # absent a within-doc 60-bit collision (~|doc shingles|^2 / 2^60,
+    # negligible); the DuckDB twin keeps raw strings, so the oracle
+    # hash-check cross-verifies the hashed path end-to-end.
+    sh = _stage(
+        shingles(df, id_col, text_col, n, distinct=False)
+        .select(F.col(id_col), T.hash60("shingle").alias("shingle"))
+        .distinct()
+    )
+    sig = _stage(minhash_signatures(sh, id_col, hashed=True))
     cands = lsh_candidate_pairs(sig, id_col)
     return jaccard_on_pairs(cands, sh, id_col, threshold)
 
