@@ -319,8 +319,15 @@ def jaccard_on_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # the pruned relation is read three times (sizes + both pair joins)
-    sh = _stage(sh.join(cand_ids, on=id_col, how="left_semi"))
+    # the pruned relation is read three times (sizes + both pair joins).
+    # The per-doc dedup runs AFTER the candidate prune, so ``sh`` may be
+    # the raw (non-distinct) shingle stream: the dedup shuffle is then
+    # bounded by |candidate shingles| instead of |corpus shingles| —
+    # a no-op when the caller already deduped
+    sh = _stage(
+        sh.join(cand_ids, on=id_col, how="left_semi")
+        .dropDuplicates([id_col, "shingle"])
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     expanded = pairs.join(
         sh.select(F.col(id_col).alias("id_a"), "shingle"), on="id_a"
@@ -367,10 +374,15 @@ def minhash_verified_pairs(
     # absent a within-doc 60-bit collision (~|doc shingles|^2 / 2^60,
     # negligible); the DuckDB twin keeps raw strings, so the oracle
     # hash-check cross-verifies the hashed path end-to-end.
+    #
+    # No corpus-wide distinct: min() is duplicate-insensitive, so the
+    # signature agg consumes the RAW hashed stream (staging it is then
+    # map-only — zero shuffle), and the only consumer that needs
+    # per-doc-distinct shingles is the Jaccard verify, which dedups
+    # AFTER its candidate prune (|candidate shingles|, not |corpus|).
     sh = _stage(
         shingles(df, id_col, text_col, n, distinct=False)
         .select(F.col(id_col), T.hash60("shingle").alias("shingle"))
-        .distinct()
     )
     sig = _stage(minhash_signatures(sh, id_col, hashed=True))
     cands = lsh_candidate_pairs(sig, id_col)

@@ -64,11 +64,12 @@ def main():
     out["t_annotate_gate"] = round(time.time() - t0, 1)
     t0 = time.time()
 
-    # mirrors minhash_verified_pairs' staging, broken apart for timing
+    # mirrors minhash_verified_pairs' staging, broken apart for timing:
+    # raw hashed stream, no corpus-wide distinct (min-agg is duplicate-
+    # insensitive; the verify stage dedups after its candidate prune)
     sh = stage(
         shingles(gated, "doc_id", "_text", 3, distinct=False)
         .select(F.col("doc_id"), T.hash60("shingle").alias("shingle"))
-        .distinct()
     )
     out["n_shingle_rows"] = sh.count()
     out["t_shingles"] = round(time.time() - t0, 1)
