@@ -223,13 +223,28 @@ FROM banded a JOIN banded b
 """
 
 
+def hashed_shingle_stream(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Raw (non-distinct) hash60 shingle stream — the signature-side
+    input shape shared by every minhash path (r6): min() is
+    duplicate-insensitive, so skipping the corpus-wide distinct removes
+    a |corpus shingles| shuffle, and the 16-byte long keys make the
+    stream ~3x narrower than the string form to stage/aggregate.
+    Consumers that need per-doc-distinct shingles (the Jaccard verify)
+    dedup after their candidate prune."""
+    return shingles(df, id_col, text_col, n, distinct=False).select(
+        F.col(id_col), T.hash60("shingle").alias("shingle")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    sh = shingles(df, id_col, text_col, n)
     # both sides of the LSH self-join read the signatures: stage them so
     # the shingle explode + 32-way min-agg runs once, not twice
-    sig = _stage(minhash_signatures(sh, id_col))
+    sh = hashed_shingle_stream(df, id_col, text_col, n)
+    sig = _stage(minhash_signatures(sh, id_col, hashed=True))
     return lsh_candidate_pairs(sig, id_col)
 
 
@@ -380,10 +395,7 @@ def minhash_verified_pairs(
     # map-only — zero shuffle), and the only consumer that needs
     # per-doc-distinct shingles is the Jaccard verify, which dedups
     # AFTER its candidate prune (|candidate shingles|, not |corpus|).
-    sh = _stage(
-        shingles(df, id_col, text_col, n, distinct=False)
-        .select(F.col(id_col), T.hash60("shingle").alias("shingle"))
-    )
+    sh = _stage(hashed_shingle_stream(df, id_col, text_col, n))
     sig = _stage(minhash_signatures(sh, id_col, hashed=True))
     cands = lsh_candidate_pairs(sig, id_col)
     return jaccard_on_pairs(cands, sh, id_col, threshold)
@@ -946,7 +958,9 @@ class MinHashIndex:
     def build(cls, df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", n: int = 3,
               path: str | None = None) -> "MinHashIndex":
-        sig = minhash_signatures(shingles(df, id_col, text_col, n), id_col)
+        sig = minhash_signatures(
+            hashed_shingle_stream(df, id_col, text_col, n), id_col, hashed=True
+        )
         banded = banded_signatures(sig, id_col)
         if path is not None:
             banded.write.mode("overwrite").parquet(path)
@@ -962,7 +976,9 @@ class MinHashIndex:
 
     def _bands_of(self, new_df: DataFrame, text_col: str) -> DataFrame:
         sig = minhash_signatures(
-            shingles(new_df, self.id_col, text_col, self.n), self.id_col
+            hashed_shingle_stream(new_df, self.id_col, text_col, self.n),
+            self.id_col,
+            hashed=True,
         )
         return banded_signatures(sig, self.id_col)
 
