@@ -9,8 +9,11 @@ noise. Run it from each code tree under comparison (e.g. HEAD vs a
 round-tip worktree) with the SAME sf_dir.
 
 Usage: python tools/ab_bench.py <entry> [repeats] [sf_dir]
-  entry ∈ {vearch, hnsw, sq8, knn_scan, ivf, knn_graph, knn_graph_10kq,
-           neardup}
+  entry: a builder shorthand {vearch, hnsw, sq8, knn_scan, ivf,
+  knn_graph, knn_graph_10kq, neardup} OR any bench-suite name — every
+  registry row (__spark_entry__.queries()) plus the stable bench-only
+  names (knn_ip_topk, dedup_groups, ...) resolves, so any entry the
+  BENCH artifact times can be A/B'd in isolation (r6).
 """
 
 from __future__ import annotations
@@ -39,13 +42,42 @@ ENTRIES = {
 }
 
 
+def _resolve(entry: str):
+    """Builder shorthand first, then any bench-suite query name: the
+    registry callables plus the consolidated-but-still-benched names
+    (mirrors the ``qs`` map in bench.main)."""
+    if entry in ENTRIES:
+        return getattr(bench, ENTRIES[entry])
+    import __spark_entry__ as entry_mod
+
+    qs = {
+        **entry_mod.queries(),
+        "knn_ip_topk": entry_mod.q_knn_ip,
+        "knn_hamming_topk": entry_mod.q_knn_hamming,
+        "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
+        "simhash_signatures": entry_mod.q_simhash_signatures,
+        "multimodal_features": entry_mod.q_multimodal_features,
+        "upsert_last_wins": entry_mod.q_upsert_last_wins,
+        "dedup_groups": entry_mod.q_dedup_groups,
+        "knn_fusion_multivector": entry_mod.q_knn_fusion,
+        "knn_fusion_distributed": entry_mod.q_knn_fusion_distributed,
+    }
+    if entry not in qs:
+        raise SystemExit(
+            f"unknown entry {entry!r}; builders: {sorted(ENTRIES)}; "
+            f"queries: {sorted(qs)}"
+        )
+    q = qs[entry]
+    return lambda spark, sf_dir: q(spark, sf_dir).count()
+
+
 def main():
     entry = sys.argv[1]
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    fn = getattr(bench, ENTRIES[entry])
+    fn = _resolve(entry)
     spark = get_spark("ab-bench")
     times = []
     for i in range(repeats):
