@@ -628,7 +628,10 @@ class BucketedDocStore:
         # co-locate each bucket before the partitioned write (T tasks x
         # B buckets would otherwise spray T*B tiny files — same hygiene
         # as the IVF index write, operators/ivf.py); persist so max and
-        # the write share one computation of the merge
+        # the write share one computation of the merge. The repartition
+        # must sit BELOW the persist: the docid minting inside
+        # _merge_batch numbers rows per partition id, and the fixed
+        # exchange pins those ids across the two minting jobs
         merged = merged.withColumn(BUCKET, _bucket_of(idc, nb)).repartition(
             len(hit), F.col(BUCKET)
         )
@@ -642,12 +645,16 @@ class BucketedDocStore:
             new_max = merged.select(F.max(DOCID)).collect()[0][0]
             meta = dict(self.meta)
             meta["max_docid"] = max(int(self.meta["max_docid"]), int(new_max))
-            return self._swap_commit(merged, hit, meta)
+            return self._swap_commit(merged, hit, meta, pre_partitioned=True)
         finally:
             merged.unpersist()
 
     def _swap_commit(
-        self, df: DataFrame, hit: list[int], meta: dict | None = None
+        self,
+        df: DataFrame,
+        hit: list[int],
+        meta: dict | None = None,
+        pre_partitioned: bool = False,
     ) -> "BucketedDocStore":
         """Commit ``df``'s rows as the new content of the ``hit``
         buckets: stage to a fresh directory, atomically rename each
@@ -657,7 +664,15 @@ class BucketedDocStore:
         fiddling — the session conf is never touched (ADVICE r3: the
         previous dynamic-mode toggle leaked session-wide when the conf
         was unset before the call). A ``hit`` bucket absent from ``df``
-        (e.g. fully compacted away) is removed."""
+        (e.g. fully compacted away) is removed.
+
+        ``pre_partitioned=True`` declares the caller already
+        co-located ``df`` on the bucket column (upsert repartitions
+        below its persist so the staged write reads the CACHED layout);
+        repartitioning again here would shuffle every merged row a
+        second time. The default keeps the pre-write repartition for
+        unpartitioned callers (delete_by_filter, compact) — without it
+        T scan tasks x B buckets would spray T*B tiny staging files."""
         import shutil
 
         docs_path = os.path.join(self.root, "docs")
@@ -666,9 +681,10 @@ class BucketedDocStore:
         trash = os.path.join(self.root, f".trash-{commit}")
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)  # leftovers of a crashed swap
-        df.repartition(max(1, len(hit)), F.col(BUCKET)).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET).parquet(staging)
+        out = df if pre_partitioned else df.repartition(
+            max(1, len(hit)), F.col(BUCKET)
+        )
+        out.write.mode("overwrite").partitionBy(BUCKET).parquet(staging)
         os.makedirs(trash, exist_ok=True)
         # journal BEFORE the first rename: open() can then tell a torn
         # swap (meta.commit < journal.commit -> roll back from trash)
