@@ -1,0 +1,184 @@
+"""Streaming near-dup dedup rehearsal: micro-batches against a
+1M-doc standing corpus, through the REAL Structured Streaming
+machinery (file source, maxFilesPerTrigger=1, availableNow,
+checkpointed foreachBatch) — the `stream_neardup_dedup` sink with
+Jaccard-verified drops and exactly-once batch-<id> output.
+
+What it proves, with numbers instead of the SCALING.md argument:
+
+- per-batch wall time is FLAT as batches accumulate (the index grows
+  by |batch| bands per batch; nothing re-mines the corpus), and each
+  batch costs a fraction of the naive alternative (re-mining corpus ∪
+  batch measured 58-105 s per batch at 1M docs — the MinHashIndex
+  SCALING row);
+- correctness at scale: planted near-dups of CORPUS docs (3/80 tokens
+  perturbed, J≈0.93) are dropped, within-batch dup losers are dropped
+  (keeper = min id survives), fresh docs all survive, and — because
+  drops are exact-Jaccard-verified — a drop can only be a planted
+  pair, so false positives are structurally zero and asserted.
+
+The batch generator reproduces `make_corpus`'s per-id rng so corpus
+source texts can be regenerated without reading the corpus.
+
+Usage: python tools/scale_check_stream.py [n_corpus] [n_batches] [batch_size]
+Defaults: 1_000_000 docs, 5 batches x 20_000 docs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gamma_spark.operators.dedup import MinHashIndex  # noqa: E402
+from gamma_spark.session import get_spark  # noqa: E402
+from gamma_spark.streaming.incremental import (  # noqa: E402
+    read_stream_corpus,
+    stream_neardup_dedup,
+)
+from scale_check_text import VOCAB, make_corpus  # noqa: E402
+
+THRESHOLD = 0.5
+
+
+def corpus_text(doc_id: int) -> str:
+    """Regenerate make_corpus's text for a NON-dup corpus id
+    (id % 10 != 1): rng(42+id) over VOCAB, 80 tokens."""
+    rng = np.random.default_rng(42 + int(doc_id))
+    return " ".join(rng.choice(VOCAB, size=80))
+
+
+def build_batch(b: int, size: int, n_corpus: int) -> pd.DataFrame:
+    """Deterministic micro-batch ``b``: ids n_corpus + b*size + j.
+
+    j % 10 == 0 → near-dup of corpus doc (j*97 % n_corpus, forced to
+      % 10 == 5 so the source is a fresh corpus doc): 3 of 80 tokens
+      perturbed — must be DROPPED (cross-corpus).
+    j % 10 == 1 → near-dup of the batch's j-1 doc — must be dropped
+      in favor of the (smaller-id) keeper (within-batch).
+    else fresh text from a disjoint seed space — must SURVIVE.
+    """
+    rows = []
+    for j in range(size):
+        did = n_corpus + b * size + j
+        rng = np.random.default_rng(900_000_000 + did)
+        if j % 10 == 0:
+            src = (j * 97 + b * 131) % n_corpus
+            src -= src % 10
+            src += 5  # % 10 == 5 → a fresh (non-dup) corpus doc
+            toks = corpus_text(src).split(" ")
+            for _ in range(3):
+                toks[int(rng.integers(0, 80))] = str(rng.choice(VOCAB))
+            kind = "corpus_dup"
+        elif j % 10 == 1:
+            toks = rows[-1]["text"].split(" ")
+            for _ in range(3):
+                toks[int(rng.integers(0, 80))] = str(rng.choice(VOCAB))
+            kind = "batch_dup"
+        else:
+            toks = list(rng.choice(VOCAB, size=80))
+            kind = "fresh"
+        rows.append({"doc_id": did, "text": " ".join(toks), "kind": kind})
+    return pd.DataFrame(rows)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    size = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+    spark = get_spark(
+        "stream-scale",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(32, n // 25_000))},
+    )
+    root = tempfile.mkdtemp(prefix="gamma_stream_scale_")
+    index_path = os.path.join(root, "index")
+    out_path = os.path.join(root, "corpus")
+    src = os.path.join(root, "incoming")
+    os.makedirs(src, exist_ok=True)
+    results = {"n_corpus": n, "n_batches": n_batches, "batch_size": size}
+
+    # standing corpus: the survivors set the stream dedups against;
+    # lives under out_path like any earlier batch's output would
+    t0 = time.time()
+    corpus = make_corpus(spark, n)
+    corpus.write.mode("overwrite").parquet(f"{out_path}/batch-bootstrap")
+    results["corpus_write_sec"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    MinHashIndex.build(
+        read_stream_corpus(spark, out_path), "doc_id", "text", path=index_path
+    )
+    results["index_build_sec"] = round(time.time() - t0, 1)
+
+    # micro-batches: one parquet file each so maxFilesPerTrigger=1
+    # maps file -> micro-batch
+    batches = []
+    for b in range(n_batches):
+        pdf = build_batch(b, size, n)
+        batches.append(pdf)
+        spark.createDataFrame(pdf[["doc_id", "text"]]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = (
+        stream_neardup_dedup(
+            stream, index_path, out_path, threshold=THRESHOLD
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    results["stream_total_sec"] = round(time.time() - t0, 1)
+    results["per_batch_sec"] = [
+        round(p["durationMs"]["triggerExecution"] / 1000.0, 1)
+        for p in q.recentProgress  # dict-like StreamingQueryProgress
+        if p["numInputRows"] > 0
+    ]
+
+    # adjudicate survivors against the planted structure
+    survived = {
+        r[0]
+        for r in read_stream_corpus(spark, out_path)
+        .filter(F.col("doc_id") >= n)
+        .select("doc_id")
+        .collect()
+    }
+    planted = pd.concat(batches, ignore_index=True)
+    cd = planted[planted["kind"] == "corpus_dup"]["doc_id"]
+    bd = planted[planted["kind"] == "batch_dup"]["doc_id"]
+    fresh = planted[planted["kind"] == "fresh"]["doc_id"]
+    results["corpus_dup_drop_rate"] = round(
+        1.0 - sum(d in survived for d in cd) / len(cd), 4
+    )
+    results["batch_dup_drop_rate"] = round(
+        1.0 - sum(d in survived for d in bd) / len(bd), 4
+    )
+    fresh_survived = sum(d in survived for d in fresh)
+    results["fresh_survival_rate"] = round(fresh_survived / len(fresh), 4)
+    # Jaccard-verified drops: a dropped FRESH doc would be a false
+    # positive — structurally impossible (nothing is similar to it)
+    assert fresh_survived == len(fresh), "verified drop hit a fresh doc"
+    print(json.dumps(results))
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
