@@ -288,6 +288,13 @@ def main():
                 k for k, v in prev.get("queries", {}).items()
                 if isinstance(v, (int, float))
             }
+            # names whose DEFINITION differs from a given artifact are
+            # not comparable under that name and are dropped from the
+            # shared set (VERDICT r5 #2: r5 benched the TOPK+DISTRIBUTED
+            # variants union under the r1-r4 TOPK-only name; from r6 the
+            # legs are separate entries)
+            redefined = {"BENCH_r05.json": {"knn_fusion_multivector"}}
+            prev_qs -= redefined.get(os.path.basename(arts[-1]), set())
             shared = {k: v for k, v in timings.items() if k in prev_qs}
             out["shared_prev_total"] = round(sum(shared.values()), 3)
             out["shared_prev_n"] = len(shared)
