@@ -72,10 +72,24 @@ def stage(df):
     signature/annotation subplans are recomputed once per reference.
     This is the single-job analogue of the production pattern at
     100 TB: write the intermediate to a staging table once, read it
-    many times."""
+    many times.
+
+    ``SPARK_GRAFT_STAGE_LEVEL`` overrides the storage level (any
+    ``pyspark.StorageLevel`` name). The default keeps hot intermediates
+    on-heap; long single-JVM chains (the pipeline rehearsal at 4M+
+    docs) set ``DISK_ONLY`` so staged blocks never compete with task
+    execution memory — measured: the 4M curate stage OOMs the default
+    8 GiB heap on a slow host with on-heap staging and completes with
+    disk staging, while small-corpus timings are unaffected."""
+    import os as _os
+
     from pyspark.storagelevel import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    level = getattr(
+        StorageLevel,
+        _os.environ.get("SPARK_GRAFT_STAGE_LEVEL", "MEMORY_AND_DISK"),
+    )
+    return df.persist(level)
 
 
 def get_spark(

@@ -273,3 +273,21 @@ def test_search_request_text_only(spark, documents):
     rows = out.collect()
     assert 0 < len(rows) <= 3
     assert all(r.rank <= 3 for r in rows)
+
+
+def test_stage_level_env_knob(spark, documents, monkeypatch):
+    """SPARK_GRAFT_STAGE_LEVEL redirects staged intermediates to the
+    named StorageLevel (the pipeline rehearsal sets DISK_ONLY so 4M+
+    single-JVM chains never compete with execution memory); default
+    stays MEMORY_AND_DISK."""
+    from pyspark.storagelevel import StorageLevel
+
+    from gamma_spark.session import stage
+
+    df = stage(documents.select("doc_id"))
+    assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
+    df.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_LEVEL", "DISK_ONLY")
+    df2 = stage(documents.select("doc_id", "lang"))
+    assert df2.storageLevel == StorageLevel.DISK_ONLY
+    df2.unpersist()

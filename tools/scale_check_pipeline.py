@@ -46,6 +46,14 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(args[0]) if args else 1_000_000
     disk = "--mem" not in sys.argv
+    if disk:
+        # operator-INTERNAL staged intermediates (the minhash shingle /
+        # signature relations inside curate) go to disk too: on-heap
+        # staging at 4M+ docs sits at the 8 GiB default heap's edge —
+        # it passed on one host instance (754 s series) and OOM'd in
+        # the curate stage on a slower one. Disk staging removes the
+        # host dependence; a cluster stages these to tables anyway.
+        os.environ.setdefault("SPARK_GRAFT_STAGE_LEVEL", "DISK_ONLY")
     # shuffle partitions scale with the corpus (~25k docs each): the
     # reduce-side agg/join state per task is then bounded regardless
     # of n — the same rule a cluster submit script applies
