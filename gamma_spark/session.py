@@ -85,10 +85,17 @@ def stage(df):
 
     from pyspark.storagelevel import StorageLevel
 
-    level = getattr(
-        StorageLevel,
-        _os.environ.get("SPARK_GRAFT_STAGE_LEVEL", "MEMORY_AND_DISK"),
-    )
+    name = _os.environ.get("SPARK_GRAFT_STAGE_LEVEL", "MEMORY_AND_DISK")
+    level = getattr(StorageLevel, name, None)
+    if not isinstance(level, StorageLevel):
+        allowed = sorted(
+            k for k, v in vars(StorageLevel).items()
+            if isinstance(v, StorageLevel)
+        )
+        raise ValueError(
+            f"SPARK_GRAFT_STAGE_LEVEL={name!r} is not a "
+            f"pyspark.StorageLevel name; allowed: {', '.join(allowed)}"
+        )
     return df.persist(level)
 
 

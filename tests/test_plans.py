@@ -284,6 +284,7 @@ def test_stage_level_env_knob(spark, documents, monkeypatch):
 
     from gamma_spark.session import stage
 
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_LEVEL", raising=False)
     df = stage(documents.select("doc_id"))
     assert df.storageLevel == StorageLevel.MEMORY_AND_DISK
     df.unpersist()
@@ -291,3 +292,8 @@ def test_stage_level_env_knob(spark, documents, monkeypatch):
     df2 = stage(documents.select("doc_id", "lang"))
     assert df2.storageLevel == StorageLevel.DISK_ONLY
     df2.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_LEVEL", "NOT_A_LEVEL")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_STAGE_LEVEL"):
+        stage(documents.select("doc_id"))

@@ -81,6 +81,9 @@ def fingerprint(df) -> dict:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+    # anchor every node count to its detail-section header `(N) Name`:
+    # formatted explain prints each node twice (numbered tree + detail
+    # section), so bare substring counts would double-count (ADVICE r6)
     shuffles = len(
         re.findall(
             r"Arguments: (hashpartitioning|rangepartitioning|SinglePartition)",
@@ -89,12 +92,14 @@ def fingerprint(df) -> dict:
     )
     return {
         "shuffles": shuffles,
-        "reused": plan.count("ReusedExchange"),
+        "reused": len(re.findall(r"\(\d+\) ReusedExchange", plan)),
         "bcast": len(re.findall(r"\(\d+\) BroadcastExchange", plan)),
         "codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "py": sum(plan.count(m) for m in _PY_VEC),
-        "py_row": plan.count("BatchEvalPython"),
-        "scans": plan.count("Scan parquet"),
+        "py": sum(
+            len(re.findall(rf"\(\d+\) {m}\b", plan)) for m in _PY_VEC
+        ),
+        "py_row": len(re.findall(r"\(\d+\) BatchEvalPython", plan)),
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
         "pushed": len(
             [
                 m
@@ -168,10 +173,10 @@ def main():
     with open(os.path.join(REPO, "docs", "PLAN_AUDIT.md"), "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote docs/PLAN_AUDIT.md ({len(rows)} queries)")
+    spark.stop()
     if bad:
         print(f"FAIL: row-at-a-time Python eval in: {bad}", file=sys.stderr)
         sys.exit(1)
-    spark.stop()
 
 
 if __name__ == "__main__":
