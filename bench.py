@@ -146,9 +146,82 @@ def bench_neardup_banded(spark, sf_dir):
     ).count()
 
 
+# ---------------------------------------------------------------------------
+# Host-drift canary (VERDICT r6 #1). A FROZEN, code-independent probe
+# workload timed at the start of every bench run so round-over-round
+# totals can be normalized for host-speed shifts (docs/SCALING.md
+# documents ~2x drift mid-round on identical code). DO NOT EDIT the
+# canary legs — any change breaks cross-round normalization. Neither
+# leg imports gamma_spark code or reads testdata.
+# ---------------------------------------------------------------------------
+_CANARY_N = 20_000_000
+
+
+def _canary_jvm(spark) -> None:
+    # pure-JVM leg: generate -> hash -> shuffle groupBy -> sort
+    df = spark.range(0, _CANARY_N, 1, 32)
+    (
+        df.select(
+            ((F.col("id") * F.lit(2654435761)) % F.lit(1000003)).alias("k"),
+            (F.col("id") % F.lit(97)).alias("g"),
+        )
+        .groupBy("g")
+        .agg(
+            F.sum("k").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.approx_count_distinct("k").alias("d"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+
+
+def _canary_arrow(spark) -> None:
+    # Arrow/pandas leg: pinned-seed matmul inside a pandas UDF — probes
+    # the Python-worker + Arrow-transfer + BLAS throughput the kernel
+    # drops depend on
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _probe(x):
+        rng = np.random.default_rng(42)
+        m = rng.standard_normal((64, 64)).astype(np.float32)
+        v = np.stack([np.full(64, float(i) % 7.0, np.float32) for i in x])
+        return pd.Series((v @ m).sum(axis=1).astype(float))
+
+    # explicit annotations (not via the module's `from __future__ import
+    # annotations` strings, which pandas_udf can't resolve locally)
+    _probe.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    probe = pandas_udf(_probe, "double")
+
+    spark.range(0, 400_000, 1, 32).select(
+        F.sum(probe(F.col("id"))).alias("s")
+    ).collect()
+
+
+def run_canary(spark) -> dict[str, float]:
+    """Best-of-3 per leg, with one untimed warmup pass (JIT, Python
+    worker spin-up) so the canary measures steady-state host speed."""
+    legs = {"jvm": _canary_jvm, "arrow": _canary_arrow}
+    out: dict[str, float] = {}
+    for name, fn in legs.items():
+        fn(spark)  # warmup, untimed
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark)
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gamma_spark-bench")
+    canary = run_canary(spark)
+    canary_s = round(sum(canary.values()), 3)
+    print(f"[bench] canary {canary} total {canary_s}s", file=sys.stderr)
     # warm the JVM + parquet footers so per-query times measure the work
     for t in ("embeddings", "documents", "lineitem", "events"):
         try:
@@ -270,6 +343,8 @@ def main():
         "unit": "sec",
         "queries": {**timings, **errors},
         "sf": _sf_of(sf_dir),
+        "canary": canary,
+        "canary_s": canary_s,
     }
     # round-over-round comparability as the suite grows (VERDICT r4 #9):
     # this run's total restricted to the query names present in the
@@ -299,6 +374,16 @@ def main():
             out["shared_prev_total"] = round(sum(shared.values()), 3)
             out["shared_prev_n"] = len(shared)
             out["shared_prev_artifact"] = os.path.basename(arts[-1])
+            # canary-normalized comparison (VERDICT r6 #1): scale this
+            # run's shared total by prev_canary/this_canary so a host
+            # that is 2x slower this round doesn't read as a 2x code
+            # regression. Only possible once the prev artifact carries
+            # a canary (r7+).
+            prev_canary = prev.get("canary_s")
+            if isinstance(prev_canary, (int, float)) and canary_s > 0:
+                out["shared_prev_total_norm"] = round(
+                    sum(shared.values()) * prev_canary / canary_s, 3
+                )
     except Exception as exc:  # noqa: BLE001 — never break the artifact
         print(f"[bench] shared_prev_total failed: {exc}", file=sys.stderr)
     if errors:
