@@ -1166,20 +1166,27 @@ class EmbeddingNearDupIndex:
         )
         nb = self._bands_from(nbase, self.planes, self.meta["bands"], self.meta["bits"])
         if self.path is not None:
-            # vectors FIRST: a crash between the two appends then leaves
-            # a doc with a vector but no bands (simply not yet indexed —
-            # re-append heals), never bands whose candidates silently
-            # fail the verify join
-            if batch_id is not None:
-                nbase.write.mode("overwrite").parquet(
-                    f"{self.path}/vectors/batch-{batch_id}"
-                )
-                nb.write.mode("overwrite").parquet(
-                    f"{self.path}/bands/batch-{batch_id}"
-                )
-            else:
-                nbase.write.mode("append").parquet(f"{self.path}/vectors")
-                nb.write.mode("append").parquet(f"{self.path}/bands")
+            from gamma_spark.io_util import writer_lock
+
+            # self-enforced single-writer: concurrent appenders racing
+            # the two-relation write (and Spark's non-transactional
+            # append-mode temporary dirs) fail fast instead of
+            # interleaving (io_util.writer_lock)
+            with writer_lock(self.path):
+                # vectors FIRST: a crash between the two appends then
+                # leaves a doc with a vector but no bands (simply not
+                # yet indexed — re-append heals), never bands whose
+                # candidates silently fail the verify join
+                if batch_id is not None:
+                    nbase.write.mode("overwrite").parquet(
+                        f"{self.path}/vectors/batch-{batch_id}"
+                    )
+                    nb.write.mode("overwrite").parquet(
+                        f"{self.path}/bands/batch-{batch_id}"
+                    )
+                else:
+                    nbase.write.mode("append").parquet(f"{self.path}/vectors")
+                    nb.write.mode("append").parquet(f"{self.path}/bands")
             spark = new_embs.sparkSession
             banded = _read_tree(spark, f"{self.path}/bands")
             vectors = _read_tree(spark, f"{self.path}/vectors")

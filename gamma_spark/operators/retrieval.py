@@ -525,9 +525,14 @@ class Bm25Index:
         read-modify-write of meta.json, so exactly one appender may run
         at a time — two concurrent appenders would each read the old
         ``batches`` list and the later meta replace drops the other's
-        committed id, re-opening the double-append window. Retries of
-        the SAME batch_id (Spark micro-batch replay) are safe; parallel
-        appends of different batches are the caller's lock to take.
+        committed id, re-opening the double-append window. The contract
+        is SELF-ENFORCING for path-backed indexes: the whole append
+        runs under an ``O_EXCL`` lockfile (io_util.writer_lock), so a
+        second concurrent appender fails fast with
+        ``ConcurrentWriterError`` instead of losing a ledger entry.
+        Retries of the SAME batch_id (Spark micro-batch replay) are
+        safe; a lock left by a crashed appender is stolen when its pid
+        is dead.
 
         Crash contract (with batch_id): postings commit via Spark's
         file commit protocol, the meta (stats + ledger) rewrites last.
@@ -536,46 +541,60 @@ class Bm25Index:
         overwrites the same subdir and completes the ledger — no
         duplication (the reference recovers the analogous gap by
         replay, `search/gamma_engine.cc:1175-1285`)."""
+        import contextlib as _ctx
         import json as _json
         import os as _os
 
-        committed: list = []
-        if self.path is not None and _os.path.exists(
-            _os.path.join(self.path, "meta.json")
-        ):
-            with open(_os.path.join(self.path, "meta.json")) as fh:
-                committed = _json.load(fh).get("batches", [])
-        if batch_id is not None and str(batch_id) in committed:
-            # already fully committed — idempotent skip
-            return Bm25Index(
-                self.postings, self.n_docs, self.avgdl,
-                k1=self.k1, b=self.b, path=self.path,
-            )
-        post_new = term_postings(new_docs, id_col, text_col)
-        stats = post_new.agg(
-            F.countDistinct("_docid").cast("double").alias("nd"),
-            F.sum("tf").cast("double").alias("s"),
-        ).collect()[0]
-        n2 = self.n_docs + stats.nd
-        avg2 = (self.avgdl * self.n_docs + stats.s) / n2
-        if self.path is not None:
-            if batch_id is not None:
-                post_new.write.mode("overwrite").parquet(
-                    f"{self.path}/postings/batch-{batch_id}"
-                )
-                committed = committed + [str(batch_id)]
-            else:
-                post_new.write.mode("append").parquet(f"{self.path}/postings")
-            post = _read_postings(new_docs.sparkSession, f"{self.path}/postings")
-            from gamma_spark.io_util import atomic_write_json
+        from gamma_spark.io_util import writer_lock
 
-            atomic_write_json(
-                _os.path.join(self.path, "meta.json"),
-                {"n_docs": n2, "avgdl": avg2, "k1": self.k1, "b": self.b,
-                 "batches": committed},
-            )
-        else:
-            post = self.postings.unionByName(post_new)
+        # lock covers the whole ledger-read -> write -> meta-replace
+        # sequence (memory-only indexes have no shared state to guard)
+        guard = (
+            writer_lock(self.path) if self.path is not None
+            else _ctx.nullcontext()
+        )
+        with guard:
+            committed: list = []
+            if self.path is not None and _os.path.exists(
+                _os.path.join(self.path, "meta.json")
+            ):
+                with open(_os.path.join(self.path, "meta.json")) as fh:
+                    committed = _json.load(fh).get("batches", [])
+            if batch_id is not None and str(batch_id) in committed:
+                # already fully committed — idempotent skip
+                return Bm25Index(
+                    self.postings, self.n_docs, self.avgdl,
+                    k1=self.k1, b=self.b, path=self.path,
+                )
+            post_new = term_postings(new_docs, id_col, text_col)
+            stats = post_new.agg(
+                F.countDistinct("_docid").cast("double").alias("nd"),
+                F.sum("tf").cast("double").alias("s"),
+            ).collect()[0]
+            n2 = self.n_docs + stats.nd
+            avg2 = (self.avgdl * self.n_docs + stats.s) / n2
+            if self.path is not None:
+                if batch_id is not None:
+                    post_new.write.mode("overwrite").parquet(
+                        f"{self.path}/postings/batch-{batch_id}"
+                    )
+                    committed = committed + [str(batch_id)]
+                else:
+                    post_new.write.mode("append").parquet(
+                        f"{self.path}/postings"
+                    )
+                post = _read_postings(
+                    new_docs.sparkSession, f"{self.path}/postings"
+                )
+                from gamma_spark.io_util import atomic_write_json
+
+                atomic_write_json(
+                    _os.path.join(self.path, "meta.json"),
+                    {"n_docs": n2, "avgdl": avg2, "k1": self.k1,
+                     "b": self.b, "batches": committed},
+                )
+            else:
+                post = self.postings.unionByName(post_new)
         return Bm25Index(post, n2, avg2, k1=self.k1, b=self.b, path=self.path)
 
     @classmethod

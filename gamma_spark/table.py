@@ -675,47 +675,55 @@ class BucketedDocStore:
         T scan tasks x B buckets would spray T*B tiny staging files."""
         import shutil
 
-        docs_path = os.path.join(self.root, "docs")
-        commit = int(self.meta["commit"]) + 1
-        staging = os.path.join(self.root, f".staging-{commit}")
-        trash = os.path.join(self.root, f".trash-{commit}")
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)  # leftovers of a crashed swap
-        out = df if pre_partitioned else df.repartition(
-            max(1, len(hit)), F.col(BUCKET)
-        )
-        out.write.mode("overwrite").partitionBy(BUCKET).parquet(staging)
-        os.makedirs(trash, exist_ok=True)
-        # journal BEFORE the first rename: open() can then tell a torn
-        # swap (meta.commit < journal.commit -> roll back from trash)
-        # from an interrupted cleanup (equal -> just remove the trash);
-        # see _recover_torn_swap
-        atomic_write_json(
-            os.path.join(trash, "swap.json"),
-            {"commit": commit, "hit": [int(b) for b in hit]},
-        )
-        for b in hit:
-            src = os.path.join(staging, f"{BUCKET}={b}")
-            dst = os.path.join(docs_path, f"{BUCKET}={b}")
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(trash, f"{BUCKET}={b}"))
-            else:
-                # marker: this commit CREATES the bucket — rollback
-                # must delete it, while a bucket with neither trash
-                # entry nor marker was never touched and must be left
-                with open(os.path.join(trash, f"created-{b}"), "w") as fh:
-                    fh.write("created\n")
-            if os.path.exists(src):
-                os.rename(src, dst)
-        # meta BEFORE cleanup: trash removal is the "swap fully
-        # durable" marker recovery keys on (and a crash after the
-        # renames but before the meta write must stay recoverable —
-        # the old dirs live in the trash until the new meta lands)
-        out_meta = dict(meta if meta is not None else self.meta)
-        out_meta["commit"] = commit
-        self._commit_meta(self.root, out_meta)
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
+        from gamma_spark.io_util import writer_lock
+
+        # self-enforced single-writer (io_util.writer_lock): two
+        # concurrent committers would both derive commit N+1 from the
+        # same opened meta and collide on the staging/trash dirs and
+        # the ledger — the second one now fails fast with
+        # ConcurrentWriterError instead
+        with writer_lock(self.root):
+            docs_path = os.path.join(self.root, "docs")
+            commit = int(self.meta["commit"]) + 1
+            staging = os.path.join(self.root, f".staging-{commit}")
+            trash = os.path.join(self.root, f".trash-{commit}")
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)  # crashed-swap leftovers
+            out = df if pre_partitioned else df.repartition(
+                max(1, len(hit)), F.col(BUCKET)
+            )
+            out.write.mode("overwrite").partitionBy(BUCKET).parquet(staging)
+            os.makedirs(trash, exist_ok=True)
+            # journal BEFORE the first rename: open() can then tell a torn
+            # swap (meta.commit < journal.commit -> roll back from trash)
+            # from an interrupted cleanup (equal -> just remove the trash);
+            # see _recover_torn_swap
+            atomic_write_json(
+                os.path.join(trash, "swap.json"),
+                {"commit": commit, "hit": [int(b) for b in hit]},
+            )
+            for b in hit:
+                src = os.path.join(staging, f"{BUCKET}={b}")
+                dst = os.path.join(docs_path, f"{BUCKET}={b}")
+                if os.path.exists(dst):
+                    os.rename(dst, os.path.join(trash, f"{BUCKET}={b}"))
+                else:
+                    # marker: this commit CREATES the bucket — rollback
+                    # must delete it, while a bucket with neither trash
+                    # entry nor marker was never touched and must be left
+                    with open(os.path.join(trash, f"created-{b}"), "w") as fh:
+                        fh.write("created\n")
+                if os.path.exists(src):
+                    os.rename(src, dst)
+            # meta BEFORE cleanup: trash removal is the "swap fully
+            # durable" marker recovery keys on (and a crash after the
+            # renames but before the meta write must stay recoverable —
+            # the old dirs live in the trash until the new meta lands)
+            out_meta = dict(meta if meta is not None else self.meta)
+            out_meta["commit"] = commit
+            self._commit_meta(self.root, out_meta)
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(trash, ignore_errors=True)
         # drop Spark's cached file listing for the path — later reads
         # must see the swapped files, not the pre-commit index
         self.spark.catalog.refreshByPath(docs_path)
