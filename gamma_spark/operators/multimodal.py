@@ -56,12 +56,9 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
-def real_decode(payload: bytes):  # pragma: no cover - explicit stub
-    """The real-codec entry point. Not implemented in this container."""
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use deterministic=True (md5-seeded fake) or plug in PIL here"
-    )
+# (the former ``real_decode`` NotImplementedError stub is gone — the
+# package now ships three REAL codecs: ppm, wav, and png below; external
+# libraries plug in through :func:`register_codec`)
 
 
 # ---------------------------------------------------------------------------
@@ -117,6 +114,190 @@ def encode_ppm(px: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG — a third REAL codec: stdlib zlib + numpy, no external library
+# (public spec: RFC 2083 / W3C PNG; VERDICT r6 #7)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG filter type 4): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken a, b, c."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering: ``raw`` is height rows of
+    (1 filter-type byte + stride filtered bytes). Row recurrences
+    (Sub/Average/Paeth depend on the just-reconstructed left pixel) are
+    inherently sequential within a row, so this walks pixels in numpy
+    column-slices of width ``bpp`` — O(width) slice ops per row, not
+    O(width·bpp) scalar ops."""
+    raw = raw.reshape(height, 1 + stride)
+    ftypes = raw[:, 0]
+    cur = raw[:, 1:].copy()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = int(ftypes[y])
+        row = cur[y]
+        if ft == 0:  # None
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, stride, bpp):
+                row[x : x + bpp] += row[x - bpp : x]
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            row[:bpp] += prev[:bpp] // 2
+            for x in range(bpp, stride, bpp):
+                row[x : x + bpp] += (
+                    (
+                        row[x - bpp : x].astype(np.uint16)
+                        + prev[x : x + bpp].astype(np.uint16)
+                    )
+                    // 2
+                ).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            zero = np.zeros(bpp, dtype=np.uint8)
+            row[:bpp] += _paeth(zero, prev[:bpp], zero)
+            for x in range(bpp, stride, bpp):
+                row[x : x + bpp] += _paeth(
+                    row[x - bpp : x], prev[x : x + bpp], prev[x - bpp : x]
+                )
+        else:
+            raise ValueError(f"unknown PNG filter type {ft} on row {y}")
+        prev = row
+    return cur
+
+
+def decode_png(payload: bytes, meta: dict | None = None) -> np.ndarray:
+    """Decode a PNG (bit depth 8, color types gray / RGB / palette /
+    gray+alpha / RGBA, non-interlaced) to (H, W, 3) uint8 — the codec
+    registry's contract shape (alpha is dropped, gray broadcast to
+    RGB, palette indices resolved through PLTE). Stdlib ``zlib``
+    inflates the IDAT stream; filtering is reversed in numpy."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = []
+    plte = None
+    while pos + 8 <= len(payload):
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = body
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + id + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (bit depth {depth}, compression {comp}, "
+            f"filter method {filt}); only 8-bit method-0 supported"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    bpp = _PNG_CHANNELS[ctype]
+    stride = width * bpp
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + stride):
+        raise ValueError(
+            f"decompressed size {raw.size} != expected {height * (1 + stride)}"
+        )
+    px = _png_unfilter(raw, height, stride, bpp).reshape(height, width, bpp)
+    if ctype == 0:  # grayscale
+        return np.repeat(px, 3, axis=2)
+    if ctype == 2:  # RGB
+        return px
+    if ctype == 3:  # palette
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[:, :, 0]]
+    if ctype == 4:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> drop alpha
+
+
+def encode_png(px: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """Encode (H, W, 3) uint8 as an 8-bit truecolor PNG.
+
+    ``filter_type``: a fixed per-row filter 0-4, or ``"cycle"`` to
+    rotate through all five (exercises every decoder unfilter path —
+    the test oracle's roundtrip mode)."""
+    import zlib
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3), got {px.shape}")
+    h, w = px.shape[:2]
+    bpp, stride = 3, w * 3
+    rows = px.reshape(h, stride)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        row = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
+        if ft == 0:
+            enc = row
+        elif ft == 1:
+            enc = row - left
+        elif ft == 2:
+            enc = row - prev
+        elif ft == 3:
+            enc = row - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        elif ft == 4:
+            upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            enc = row - _paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"filter_type must be 0-4 or 'cycle', got {ft}")
+        out.append(ft)
+        out.extend(enc.tobytes())
+        prev = row
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, f0, no interlace
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # codec registry — the injectable seam between Spark plumbing and codecs
 # ---------------------------------------------------------------------------
 
@@ -134,6 +315,7 @@ def register_codec(name: str, fn) -> None:
 
 
 register_codec("ppm", decode_ppm)
+register_codec("png", decode_png)
 
 
 def decode_raw_rgb(payload: bytes, meta: dict) -> np.ndarray:
@@ -193,7 +375,11 @@ def extract_image_features(
             feats = []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
                 if not deterministic and codec_fn is None:
-                    real_decode(bytes(payload))
+                    raise ValueError(
+                        "deterministic=False requires a named codec "
+                        "(register_codec + codec=...); built-ins: "
+                        "ppm, png, raw-rgb"
+                    )
                 px = _decode(bytes(payload), meta, codec_fn).astype(np.float64)
                 # channel-mean pyramid: cheap, shape-sensitive, deterministic
                 g = px.mean(axis=2)
