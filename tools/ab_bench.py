@@ -8,6 +8,12 @@ prints min/median/all, so a +47% suite drift can be pinned as real or
 noise. Run it from each code tree under comparison (e.g. HEAD vs a
 round-tip worktree) with the SAME sf_dir.
 
+PROTOCOL (r7): when comparing two code trees, run the pair in BOTH
+orders (A,B then B,A) and compare within-position — on this host the
+first JVM of a back-to-back sequence wins by ~10-20% regardless of
+tree (the upsert_chain exoneration, docs/SCALING.md r7 note), so a
+single-order pair confounds tree identity with position.
+
 Usage: python tools/ab_bench.py <entry> [repeats] [sf_dir]
   entry: a builder shorthand {vearch, hnsw, sq8, knn_scan, ivf,
   knn_graph, knn_graph_10kq, neardup} OR any bench-suite name — every
