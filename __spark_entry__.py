@@ -1119,7 +1119,10 @@ def q_hnsw_recall_check(spark, sf_dir):
     queries_df = _queries_df(spark, sf_dir)
     exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     idx = HnswIndex.build(docs, nshards=4, m=16, ef_construction=80, metric="L2")
-    approx = idx.search(None, queries_df, k=KNN_K, ef_search=128)
+    # mode="graph": this row's purpose is to gate the TRAVERSAL kernel's
+    # recall — the auto router would route small sf shards to the exact
+    # scan (recall 1.0 by construction) and the gate would measure nothing
+    approx = idx.search(None, queries_df, k=KNN_K, ef_search=128, mode="graph")
     return recall_check(exact, approx, k=KNN_K, threshold=HNSW_RECALL_T)
 
 

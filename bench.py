@@ -102,7 +102,11 @@ def bench_hnsw(spark, sf_dir):
     queries = docs.select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
     ).limit(512)
-    n = idx.search(None, queries, k=10, ef_search=64).count()
+    # mode="graph": keep this entry measuring the traversal kernel it has
+    # measured since r4 — the r7 auto router would flip small-sf shards
+    # to the exact scan and silently redefine the benched workload
+    # (the r5 fusion-rename lesson)
+    n = idx.search(None, queries, k=10, ef_search=64, mode="graph").count()
     idx.index_df.unpersist()
     return n
 

@@ -60,6 +60,34 @@ DEFAULT_M = 32  # nlinks (`gamma_index_hnswlib.cc:26-44`)
 DEFAULT_EF_CONSTRUCTION = 100
 DEFAULT_EF_SEARCH = 64
 
+# -- bulk-vs-graph routing (VERDICT r6 #4) -----------------------------------
+# Per (shard, qsplit) cogroup block the two kernels cost, per query:
+#   graph traversal: a Python heap/frontier overhead floor plus
+#     ~ef·m0·d MACs of frontier distance evals;
+#   blocked exact GEMM scan: n_shard · d MACs.
+# Both scale linearly in the query count, so it cancels. The MAC rate
+# is the MEASURED effective throughput under full worker concurrency
+# (32 parallel Python workers share memory bandwidth: the 50k x 500k
+# probe session measured ~6e8 MACs/s/core for the scan — 8x below the
+# single-process BLAS rate — and ~3.5 ms per graph traversal). Below
+# the break-even shard size (~30k rows at d=64) the scan is BOTH
+# faster and exact (per-shard exact top-k union = global exact
+# top-k); above it the graph's cache-resident frontiers win. The
+# graph's total cost also grows with the shard COUNT (every query
+# traverses every shard), so over-sharded corpora route to the scan —
+# exactly the regime the 32-shard rehearsal measures.
+SCAN_MACS_PER_SEC = 6e8     # measured under full concurrency, NOT peak BLAS
+GRAPH_SEC_PER_QUERY = 3.5e-3  # measured per-traversal Python overhead floor
+
+
+def _route_to_scan(
+    n_shard: int, dim: int, ef: int = DEFAULT_EF_SEARCH, m: int = DEFAULT_M
+) -> bool:
+    """True when the exact GEMM scan beats graph traversal per query."""
+    scan_sec = (n_shard * dim) / SCAN_MACS_PER_SEC
+    graph_sec = GRAPH_SEC_PER_QUERY + (ef * 2 * m * dim) / SCAN_MACS_PER_SEC
+    return scan_sec < graph_sec
+
 
 class NpHnsw:
     """In-memory HNSW over a fixed vector matrix — the per-shard build
@@ -254,6 +282,70 @@ class NpHnsw:
             self.entry, self.max_level = i, level
 
     # -- search -----------------------------------------------------------
+    def scan(
+        self,
+        qmat: np.ndarray,
+        k: int,
+        valid: np.ndarray | None = None,
+        dist_lo: float = -np.inf,
+        dist_hi: float = np.inf,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT top-k via blocked GEMM over the whole shard — the bulk
+        twin of :meth:`search` with identical output contract
+        (positions/-1 pads, internal distances/+inf pads, admission-only
+        valid mask and band). Chunked over queries so the score matrix
+        stays ≤ ~256 MB whatever the batch. Per-shard exact top-k makes
+        the global merge exact (shards partition the corpus), so this
+        path's recall is 1.0 by construction.
+
+        Bit-reproducibility caveat (same as knn_scan): GEMM
+        accumulation order varies with the query blocking, so scores
+        across different ``qsplits`` agree to ~1e-12 relative, not to
+        the last bit; ranks over distinct distances are stable."""
+        qmat = self._prep(np.atleast_2d(np.asarray(qmat, dtype=np.float64)))
+        nq = len(qmat)
+        n = 0 if self.vecs is None else len(self.vecs)
+        out_i = np.full((nq, k), -1, dtype=np.int64)
+        out_d = np.full((nq, k), np.inf)
+        if n == 0:
+            return out_i, out_d
+        kk = min(k, n)
+        # small chunks + ONE reusable distance buffer + in-place ops:
+        # the naive `sq - 2*(qb @ vecs.T)` allocates three matrices per
+        # chunk and, under 32 concurrent workers, serializes on
+        # mmap/page-zeroing — measured 7x slower than this form at the
+        # 6k x 62k rehearsal shape (bit-identical results)
+        chunk = max(1, int(4_000_000 // n))
+        buf = None
+        invalid = None if valid is None else ~valid
+        for s in range(0, nq, chunk):
+            qb = qmat[s : s + chunk]
+            if buf is None or buf.shape[0] != len(qb):
+                buf = np.empty((len(qb), n))
+            np.matmul(qb, self.vecs.T, out=buf)
+            if self.metric == "L2":
+                buf *= -2.0
+                buf += self.sq[None, :]
+            else:
+                buf *= -1.0
+            if invalid is not None:
+                buf[:, invalid] = np.inf
+            if dist_lo != -np.inf or dist_hi != np.inf:
+                np.copyto(buf, np.inf, where=(buf < dist_lo) | (buf > dist_hi))
+            if kk < n:
+                part = np.argpartition(buf, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.broadcast_to(np.arange(n), (len(qb), n)).copy()
+            dd = np.take_along_axis(buf, part, axis=1)
+            order = np.argsort(dd, axis=1, kind="stable")
+            idx = np.take_along_axis(part, order, axis=1)
+            dd = np.take_along_axis(dd, order, axis=1)
+            miss = ~np.isfinite(dd)
+            idx[miss] = -1
+            out_i[s : s + chunk, :kk] = idx
+            out_d[s : s + chunk, :kk] = dd
+        return out_i, out_d
+
     def search(
         self,
         qmat: np.ndarray,
@@ -489,18 +581,47 @@ class HnswIndex:
         min_score: float | None = None,
         max_score: float | None = None,
         qsplits: int = 1,
+        mode: str = "auto",
         **_ignored,
     ) -> DataFrame:
         """Fan-out graph search: queries × shards → ONE cogroup shuffle
-        on (_shard, _qs) → per-shard traversal (k admitted hits per
-        query per shard) → global top-k. The queries relation is never
+        on (_shard, _qs) → per-shard kernel (k admitted hits per query
+        per shard) → global top-k. The queries relation is never
         collected; ``qsplits`` bounds per-task query count for
-        corpus-scale joins (graph rows replicate per split)."""
+        corpus-scale joins (graph rows replicate per split).
+
+        ``mode``: ``"auto"`` routes each shard block to graph traversal
+        or the exact GEMM scan by the per-query cost model
+        (:func:`_route_to_scan` — the scan wins on small/medium shards
+        and is exact by construction, the graph wins on huge shards);
+        ``"graph"`` / ``"scan"`` force a kernel."""
         metric_u = (metric or self.metric).upper()
         if metric_u != self.metric:
             raise ValueError(
                 f"HNSW graph was built for {self.metric}; links are "
                 f"metric-specific (rebuild for {metric_u})"
+            )
+        if mode not in ("auto", "graph", "scan"):
+            raise ValueError(f"mode must be auto/graph/scan, got {mode!r}")
+        if mode == "auto" and self.path:
+            # parquet-backed: resolve the route driver-side (count is
+            # metadata-only under aggregate pushdown, dim reads one row)
+            # so the scan plan can PRUNE the adjacency columns below —
+            # shipping + Arrow-deserializing _nbrs is a large share of
+            # the cogroup cost the scan doesn't need. In-memory indexes
+            # keep per-shard kernel routing (a count would re-run the
+            # whole graph build).
+            total = self.index_df.count()
+            dim = len(
+                self.index_df.select(self.doc_vec).first()[0]
+            )
+            mode = (
+                "scan"
+                if _route_to_scan(
+                    max(1, total // self.nshards), dim,
+                    ef=max(int(ef_search), int(k)), m=self.m,
+                )
+                else "graph"
             )
         spark = self.index_df.sparkSession
         qsplits = max(1, int(qsplits))
@@ -516,11 +637,11 @@ class HnswIndex:
             valid_col = valid_col & predicate
         if "_deleted" in g.columns:
             valid_col = valid_col & ~F.col("_deleted")
+        graph_cols = [] if mode == "scan" else ["_level", "_nbrs"]
         gsel = g.select(
             "_shard",
             "_pos",
-            "_level",
-            "_nbrs",
+            *graph_cols,
             F.col("_docid"),
             F.col(dvec).alias("_dvec"),
             valid_col.alias("_valid"),
@@ -561,27 +682,39 @@ class HnswIndex:
             order = np.argsort(gpdf["_pos"].to_numpy(), kind="stable")
             mat = np.stack(gpdf["_dvec"].to_numpy())[order]
             ids = gpdf["_docid"].to_numpy(dtype=np.int64)[order]
-            levels = gpdf["_level"].to_numpy(dtype=np.int64)[order]
             valid = gpdf["_valid"].to_numpy(dtype=bool)[order]
-            nbrs_raw = gpdf["_nbrs"].to_numpy()[order]
 
             g = NpHnsw(m=m_, ef_construction=DEFAULT_EF_CONSTRUCTION, metric=mname)
             g.vecs = g._prep(mat)
             if mname == "L2":
                 g.sq = (g.vecs * g.vecs).sum(axis=1)
-            g.levels = levels
-            g.adj = [
-                [np.asarray(lvl, dtype=np.int64) for lvl in row] for row in nbrs_raw
-            ]
-            top = int(levels.max())
-            # deterministic entry: highest level, lowest position
-            g.entry = int(np.flatnonzero(levels == top)[0])
-            g.max_level = top
-
             qmat = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
             qids = qpdf["qid"].to_numpy(dtype=np.int64)
             kk = k_ if not band_at_emit else ef  # keep all, band below
-            pos, dist = g.search(qmat, kk, ef=ef, valid=valid, dist_lo=dlo, dist_hi=dhi)
+            use_scan = mode == "scan" or (
+                mode == "auto"
+                and _route_to_scan(len(ids), mat.shape[1], ef=ef, m=m_)
+            )
+            if use_scan:
+                # bulk path: exact GEMM scan — no graph state needed
+                pos, dist = g.scan(
+                    qmat, kk, valid=valid, dist_lo=dlo, dist_hi=dhi
+                )
+            else:
+                levels = gpdf["_level"].to_numpy(dtype=np.int64)[order]
+                nbrs_raw = gpdf["_nbrs"].to_numpy()[order]
+                g.levels = levels
+                g.adj = [
+                    [np.asarray(lvl, dtype=np.int64) for lvl in row]
+                    for row in nbrs_raw
+                ]
+                top = int(levels.max())
+                # deterministic entry: highest level, lowest position
+                g.entry = int(np.flatnonzero(levels == top)[0])
+                g.max_level = top
+                pos, dist = g.search(
+                    qmat, kk, ef=ef, valid=valid, dist_lo=dlo, dist_hi=dhi
+                )
             keep = pos.ravel() >= 0
             qrep = np.repeat(qids, kk)[keep]
             p = pos.ravel()[keep]
@@ -632,6 +765,7 @@ class HnswIndex:
         ef_search: int = DEFAULT_EF_SEARCH,
         query_id: str = "qid",
         query_vec: str = "qvec",
+        mode: str = "auto",
         **_ignored,
     ) -> DataFrame:
         """Request-path search — same plan as the distributed join (no
@@ -648,4 +782,5 @@ class HnswIndex:
             l2_sqrt=l2_sqrt,
             min_score=min_score,
             max_score=max_score,
+            mode=mode,
         )

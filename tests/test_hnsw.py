@@ -95,7 +95,7 @@ def hnsw(docs):
 
 def test_hnsw_recall_vs_exact(hnsw, docs, queries):
     exact = knn.knn_join(docs, queries, k=10, metric="L2").collect()
-    approx = hnsw.search(None, queries, k=10, ef_search=128).collect()
+    approx = hnsw.search(None, queries, k=10, ef_search=128, mode="graph").collect()
     assert _recall(approx, exact) >= 0.9
     # self-hit: every query vector is a doc, so rank-1 must be itself
     best = {r.qid: r._docid for r in approx if r.rank == 1}
@@ -105,7 +105,9 @@ def test_hnsw_recall_vs_exact(hnsw, docs, queries):
 def test_hnsw_filter_during_traversal(hnsw, docs, queries):
     pred = F.col("label") == 1
     exact = knn.knn_join(docs, queries, k=10, metric="L2", predicate=pred).collect()
-    approx = hnsw.search(None, queries, k=10, ef_search=200, predicate=pred).collect()
+    approx = hnsw.search(
+        None, queries, k=10, ef_search=200, predicate=pred, mode="graph"
+    ).collect()
     labels = {r._docid: r.label for r in docs.select("_docid", "label").collect()}
     assert all(labels[r._docid] == 1 for r in approx)
     assert _recall(approx, exact) >= 0.85
@@ -114,25 +116,41 @@ def test_hnsw_filter_during_traversal(hnsw, docs, queries):
 def test_hnsw_score_band(hnsw, docs, queries):
     lo, hi = 1.0, 15.0
     out = hnsw.search(
-        None, queries, k=10, ef_search=200, min_score=lo, max_score=hi
+        None, queries, k=10, ef_search=200, min_score=lo, max_score=hi,
+        mode="graph",
     ).collect()
     assert out, "band should admit some hits"
     assert all(lo <= r.score <= hi for r in out)
 
 
-def test_hnsw_qsplits_invariant(hnsw, queries):
-    a = hnsw.knn_join_distributed(queries, k=10, ef_search=128).collect()
-    b = hnsw.knn_join_distributed(queries, k=10, ef_search=128, qsplits=3).collect()
+@pytest.mark.parametrize("mode", ["graph", "scan"])
+def test_hnsw_qsplits_invariant(hnsw, queries, mode):
+    a = hnsw.knn_join_distributed(queries, k=10, ef_search=128, mode=mode).collect()
+    b = hnsw.knn_join_distributed(
+        queries, k=10, ef_search=128, qsplits=3, mode=mode
+    ).collect()
     ka = {(r.qid, r.rank): (r._docid, r.score) for r in a}
     kb = {(r.qid, r.rank): (r._docid, r.score) for r in b}
-    assert ka == kb
+    if mode == "graph":
+        # per-candidate gathers: bit-identical under any partitioning
+        assert ka == kb
+    else:
+        # GEMM accumulation order varies with the query blocking (the
+        # knn_scan caveat): ranks exact, scores to 1e-9
+        assert ka.keys() == kb.keys()
+        for key, (doc, score) in ka.items():
+            doc_b, score_b = kb[key]
+            assert doc == doc_b
+            assert score == pytest.approx(score_b, abs=1e-9)
 
 
 def test_hnsw_deterministic_rebuild(docs, queries):
     a = HnswIndex.build(docs, nshards=4, m=16, metric="IP", seed=9)
     b = HnswIndex.build(docs, nshards=4, m=16, metric="IP", seed=9)
-    ra = {(r.qid, r.rank): (r._docid, r.score) for r in a.search(None, queries, k=5).collect()}
-    rb = {(r.qid, r.rank): (r._docid, r.score) for r in b.search(None, queries, k=5).collect()}
+    ra = {(r.qid, r.rank): (r._docid, r.score)
+          for r in a.search(None, queries, k=5, mode="graph").collect()}
+    rb = {(r.qid, r.rank): (r._docid, r.score)
+          for r in b.search(None, queries, k=5, mode="graph").collect()}
     assert ra == rb
 
 
@@ -140,8 +158,10 @@ def test_hnsw_dump_load_roundtrip(docs, queries, tmp_path):
     path = str(tmp_path / "hnsw_idx")
     built = HnswIndex.build(docs, nshards=2, m=16, metric="COSINE", path=path)
     loaded = HnswIndex.load(docs.sparkSession, path)
-    r1 = {(r.qid, r.rank): r._docid for r in built.search(None, queries, k=5).collect()}
-    r2 = {(r.qid, r.rank): r._docid for r in loaded.search(None, queries, k=5).collect()}
+    r1 = {(r.qid, r.rank): r._docid
+          for r in built.search(None, queries, k=5, mode="graph").collect()}
+    r2 = {(r.qid, r.rank): r._docid
+          for r in loaded.search(None, queries, k=5, mode="graph").collect()}
     assert r1 == r2
     assert loaded.metric == "COSINE" and loaded.nshards == 2
 
@@ -216,3 +236,114 @@ def test_hnsw_append_segments(docs, queries, tmp_path):
     # reload sees the appended segments
     reloaded = HnswIndex.load(docs.sparkSession, path)
     assert reloaded.nshards == 3 and reloaded.index_df.count() == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# bulk router: exact GEMM scan for small/medium shards (VERDICT r6 #4)
+# ---------------------------------------------------------------------------
+
+def test_np_hnsw_scan_matches_bruteforce():
+    """The scan kernel is EXACT: positions equal the brute-force top-k,
+    valid mask and band are admission-only, k > n pads with -1/inf."""
+    rng = np.random.default_rng(17)
+    mat = rng.normal(size=(300, 12))
+    q = rng.normal(size=(25, 12))
+    g = NpHnsw(m=8, metric="L2")
+    g.vecs = g._prep(mat)
+    g.sq = (g.vecs * g.vecs).sum(axis=1)
+    pos, dist = g.scan(q, k=7)
+    d = g.sq[None, :] - 2.0 * (q @ mat.T)
+    truth = np.argsort(d, axis=1, kind="stable")[:, :7]
+    assert (pos == truth).all()
+    # valid mask
+    valid = np.arange(300) % 3 == 0
+    pos_v, _ = g.scan(q, k=7, valid=valid)
+    dv = d.copy()
+    dv[:, ~valid] = np.inf
+    assert (pos_v == np.argsort(dv, axis=1, kind="stable")[:, :7]).all()
+    # k > n pads
+    pos_p, dist_p = g.scan(q[:2], k=400)
+    assert (pos_p[:, 300:] == -1).all() and np.isinf(dist_p[:, 300:]).all()
+    # band maps to admission: everything outside [lo, hi] dropped
+    lo = float(np.quantile(d, 0.1))
+    pos_b, dist_b = g.scan(q, k=7, dist_lo=lo)
+    got = dist_b[np.isfinite(dist_b)]
+    assert (got >= lo - 1e-12).all()
+
+
+def test_route_to_scan_cost_model():
+    """Small shards (over-sharded corpora, tiny test fixtures) route to
+    the scan; at and above the measured break-even (~30k rows at d=64,
+    ef=64, m=16) the graph's cache-resident frontiers win. Constants
+    are MEASURED under full worker concurrency (hnsw.py header)."""
+    from gamma_spark.operators.hnsw import _route_to_scan
+
+    assert _route_to_scan(1_000, 64, ef=64, m=16)       # test fixtures
+    assert _route_to_scan(15_625, 64, ef=64, m=16)      # 500k / 32 shards
+    assert not _route_to_scan(62_500, 64, ef=64, m=16)  # 500k / 8 shards
+    assert not _route_to_scan(10_000_000, 768)          # production shard
+    # higher ef raises the graph's per-query cost -> scan wins longer
+    assert _route_to_scan(30_000, 64, ef=512, m=16)
+
+
+def test_hnsw_scan_mode_matches_exact_join(hnsw, docs, queries):
+    """Forced scan mode == the exact kNN join, row for row (per-shard
+    exact top-k union = global exact top-k) — and auto mode routes these
+    small test shards to the same result."""
+    exact = {
+        (r.qid, r.rank): r._docid
+        for r in knn.knn_join(docs, queries, k=10, metric="L2").collect()
+    }
+    scan = {
+        (r.qid, r.rank): r._docid
+        for r in hnsw.search(None, queries, k=10, mode="scan").collect()
+    }
+    assert scan == exact
+    auto = {
+        (r.qid, r.rank): r._docid
+        for r in hnsw.search(None, queries, k=10, mode="auto").collect()
+    }
+    assert auto == exact  # router fired: these shards are tiny
+
+
+def test_hnsw_scan_mode_respects_filter_and_band(hnsw, docs, queries):
+    pred = F.col("label") == 1
+    exact = {
+        (r.qid, r.rank): r._docid
+        for r in knn.knn_join(
+            docs, queries, k=10, metric="L2", predicate=pred
+        ).collect()
+    }
+    scan = {
+        (r.qid, r.rank): r._docid
+        for r in hnsw.search(
+            None, queries, k=10, predicate=pred, mode="scan"
+        ).collect()
+    }
+    assert scan == exact
+    banded = hnsw.search(
+        None, queries, k=10, min_score=1.0, max_score=15.0, mode="scan"
+    ).collect()
+    assert banded and all(1.0 <= r.score <= 15.0 for r in banded)
+
+
+def test_hnsw_mode_validation(hnsw, queries):
+    with pytest.raises(ValueError, match="mode"):
+        hnsw.search(None, queries, k=5, mode="warp")
+
+
+def test_hnsw_auto_resolves_driver_side_for_path_backed(docs, queries, tmp_path):
+    """Parquet-backed indexes resolve the auto route on the driver and
+    PRUNE the adjacency columns from the scan plan — results must still
+    equal the exact join (these shards are far below break-even)."""
+    path = str(tmp_path / "routed")
+    idx = HnswIndex.build(docs, nshards=2, m=16, metric="L2", path=path)
+    exact = {
+        (r.qid, r.rank): r._docid
+        for r in knn.knn_join(docs, queries, k=5, metric="L2").collect()
+    }
+    auto = {
+        (r.qid, r.rank): r._docid
+        for r in idx.search(None, queries, k=5, mode="auto").collect()
+    }
+    assert auto == exact

@@ -95,10 +95,29 @@ def main():
     qrel = docs.filter(F.col("_docid") < nq_big).select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
     )
-    t0 = time.time()
-    cnt = hnsw.knn_join_distributed(qrel, k=K, ef_search=64, qsplits=8).count()
-    results["hnsw_join_50kq_s"] = round(time.time() - t0, 2)
-    results["hnsw_join_50kq_rows"] = cnt
+    # r7 router rehearsal (VERDICT r6 #4): the same bulk join through
+    # the graph-traversal kernel vs the auto router (which takes the
+    # exact GEMM scan below the break-even shard size). Recall is
+    # sampled on the NQ queries whose exact top-k we already hold.
+    from gamma_spark.operators.hnsw import _route_to_scan
+
+    dim = len(qrows[0].embedding)
+    results["router_fires"] = bool(
+        _route_to_scan(n // nshards, dim, ef=64, m=16)
+    )
+    for mode in ("graph", "auto"):
+        t0 = time.time()
+        res = hnsw.knn_join_distributed(
+            qrel, k=K, ef_search=64, qsplits=8, mode=mode
+        )
+        sample = res.filter(F.col("qid") < NQ).select("qid", "_docid")
+        cnt = res.count()
+        got = {(r.qid, r._docid) for r in sample.collect()}
+        results[f"hnsw_join_50kq_{mode}_s"] = round(time.time() - t0, 2)
+        results[f"hnsw_join_50kq_{mode}_rows"] = cnt
+        results[f"hnsw_join_50kq_{mode}_recall"] = round(
+            len(got & exact) / len(exact), 4
+        )
 
     print(json.dumps(results))
 
