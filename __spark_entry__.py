@@ -1019,11 +1019,16 @@ def q_pq_graph_exact(spark, sf_dir):
 #   VEARCH  nprobe=16 rn=128   -> 0.925
 #   HNSW    m=16 efc=80 ef=128 -> >= 0.9 (tests/test_hnsw.py)
 #   IVFSQ8  full probe         -> >= 0.9 (quantization-only error)
+#   HNSW-SCAN routed bulk scan  -> >= 0.999 (exact by construction)
 IVF_RECALL_T = 0.9
 PQ_RECALL_T = 0.9
 HNSW_RECALL_T = 0.9
 SCANN_RECALL_T = 0.9
 SQ8_RECALL_T = 0.9
+# the r7 routed bulk path is exact by construction (per-shard exact
+# top-k union) — gate it at 0.999 so any future regression that makes
+# the scan approximate fails the driver hash, not just a unit test
+HNSW_SCAN_RECALL_T = 0.999
 
 
 def q_ivf_recall_check(spark, sf_dir):
@@ -1126,6 +1131,22 @@ def q_hnsw_recall_check(spark, sf_dir):
     return recall_check(exact, approx, k=KNN_K, threshold=HNSW_RECALL_T)
 
 
+def q_hnsw_scan_recall_check(spark, sf_dir):
+    """The r7 bulk-router scan kernel (operators/hnsw.py NpHnsw.scan):
+    per-shard exact GEMM top-k whose global merge is the exact answer,
+    so the gate sits at 0.999 — a regression that makes this path
+    approximate fails the driver hash."""
+    from gamma_spark.operators.ann import recall_check
+    from gamma_spark.operators.hnsw import HnswIndex
+
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    idx = HnswIndex.build(docs, nshards=4, m=16, ef_construction=80, metric="L2")
+    approx = idx.search(None, queries_df, k=KNN_K, mode="scan")
+    return recall_check(exact, approx, k=KNN_K, threshold=HNSW_SCAN_RECALL_T)
+
+
 SQL_IVF_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {IVF_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
 )
@@ -1134,6 +1155,9 @@ SQL_PQ_RECALL_CHECK = (
 )
 SQL_HNSW_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {HNSW_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
+)
+SQL_HNSW_SCAN_RECALL_CHECK = (
+    f"SELECT {KNN_K}::INT AS k, {HNSW_SCAN_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
 )
 SQL_SCANN_RECALL_CHECK = (
     f"SELECT {KNN_K}::INT AS k, {SCANN_RECALL_T}::DOUBLE AS threshold, true AS recall_ok"
@@ -1987,14 +2011,16 @@ GROUP BY lang, source
 
 
 def q_ann_recall_checks(spark, sf_dir):
-    """All four trained-index recall gates (IVFFLAT / IVFPQ / HNSW /
-    VEARCH-ScaNN) as ONE relation with a model discriminator — keeps
-    every pruned search path driver-hash-checked in a single registry
-    slot (VERDICT r3 #1 consolidation pattern)."""
+    """All trained-index recall gates (IVFFLAT / IVFPQ / HNSW graph /
+    HNSW routed scan / VEARCH-ScaNN / IVFSQ8) as ONE relation with a
+    model discriminator — keeps every pruned search path
+    driver-hash-checked in a single registry slot (VERDICT r3 #1
+    consolidation pattern)."""
     parts = [
         q_ivf_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFFLAT")),
         q_pq_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFPQ")),
         q_hnsw_recall_check(spark, sf_dir).withColumn("model", F.lit("HNSW")),
+        q_hnsw_scan_recall_check(spark, sf_dir).withColumn("model", F.lit("HNSW-SCAN")),
         q_scann_recall_check(spark, sf_dir).withColumn("model", F.lit("VEARCH")),
         q_sq8_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFSQ8")),
     ]
@@ -2012,6 +2038,7 @@ def _sql_ann_recall_checks() -> str:
                 ("IVFFLAT", SQL_IVF_RECALL_CHECK),
                 ("IVFPQ", SQL_PQ_RECALL_CHECK),
                 ("HNSW", SQL_HNSW_RECALL_CHECK),
+                ("HNSW-SCAN", SQL_HNSW_SCAN_RECALL_CHECK),
                 ("VEARCH", SQL_SCANN_RECALL_CHECK),
                 ("IVFSQ8", SQL_SQ8_RECALL_CHECK),
             ]

@@ -111,6 +111,18 @@ def bench_hnsw(spark, sf_dir):
     return n
 
 
+def bench_hnsw_bulk_routed(spark, sf_dir):
+    """NEW r7: the bulk corpus-join shape through the cost router —
+    at sf0.1's shard sizes this resolves to the exact GEMM scan
+    (recall 1.0 by construction), the path over-sharded corpora take."""
+    from gamma_spark.operators.hnsw import HnswIndex
+
+    docs = entry_mod._docs(spark, sf_dir)
+    idx = HnswIndex.build(docs, nshards=8, m=16, ef_construction=80, metric="L2")
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    return idx.knn_join_distributed(q, k=10, ef_search=64, mode="auto").count()
+
+
 def bench_vearch(spark, sf_dir):
     """Anisotropic 4-bit VEARCH build + 512-query ADC+rerank search
     (SURVEY K7, new r4)."""
@@ -319,6 +331,7 @@ def main():
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir).count())
     run("hnsw_build_search_512q", lambda: bench_hnsw(spark, sf_dir))
+    run("hnsw_bulk_routed", lambda: bench_hnsw_bulk_routed(spark, sf_dir))
     run("vearch_build_search_512q", lambda: bench_vearch(spark, sf_dir))
     run("sq8_build_search_512q", lambda: bench_sq8(spark, sf_dir))
     run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
