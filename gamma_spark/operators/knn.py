@@ -146,11 +146,14 @@ def knn_scan(
                 qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
                 s = dn @ qn.T
             elif metric_u == "L2":
-                s = (
-                    (dmat * dmat).sum(axis=1)[:, None]
-                    - 2.0 * (dmat @ qmat.T)
-                    + (qmat * qmat).sum(axis=1)[None, :]
-                )
+                # in-place accumulation: the naive 3-allocation form
+                # serializes on mmap/page-zeroing under full worker
+                # concurrency (the hnsw.scan lesson, SCALING.md r7);
+                # (-2g + dsq) + qsq is bit-identical to (dsq - 2g) + qsq
+                s = dmat @ qmat.T
+                s *= -2.0
+                s += (dmat * dmat).sum(axis=1)[:, None]
+                s += (qmat * qmat).sum(axis=1)[None, :]
                 np.maximum(s, 0.0, out=s)
                 if l2_sqrt:
                     np.sqrt(s, out=s)
