@@ -327,9 +327,18 @@ class IvfFlatIndex:
         chunk = max(1, self.PROBE_CHUNK_CELLS // max(1, len(cents)))
         cent_sq = (cents * cents).sum(axis=1)[None, :]
         out = np.empty((len(qmat), nprobe), dtype=np.int64)
+        buf = None
         for lo in range(0, len(qmat), chunk):
             qc = qmat[lo : lo + chunk]
-            d = (qc * qc).sum(axis=1)[:, None] - 2.0 * (qc @ cents.T) + cent_sq
+            # one reusable buffer + in-place accumulation (bit-identical
+            # to the three-allocation expression; SCALING.md r7)
+            if buf is None or buf.shape != (len(qc), len(cents)):
+                buf = np.empty((len(qc), len(cents)))
+            np.matmul(qc, cents.T, out=buf)
+            buf *= -2.0
+            buf += (qc * qc).sum(axis=1)[:, None]
+            buf += cent_sq
+            d = buf
             if nprobe < len(cents):
                 # argpartition bounds the sort to nprobe instead of
                 # ncentroids·log(ncentroids) per query
@@ -787,14 +796,33 @@ class IvfFlatIndex:
         else:
             psel = qsel
 
+        # bound the per-worker probe matrix: 8M float64 cells = 64 MB —
+        # smaller than the driver's PROBE_CHUNK_CELLS because 32 workers
+        # allocate concurrently (the hnsw.scan lesson, SCALING.md r7);
+        # at 131k centroids an unchunked 10k-row Arrow batch would
+        # transiently hold ~10 GB per worker
+        exec_chunk_cells = 8_000_000
+
         def probe(batches):
+            buf = None
             for pdf in batches:
                 if pdf.empty:
                     continue
                 mat = np.stack(pdf[probe_col].to_numpy()).astype(np.float64)
-                d = -2.0 * (mat @ cents.T) + cnorm[None, :]
                 if nprobe < len(cents):
-                    part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+                    rows = max(1, exec_chunk_cells // max(1, len(cents)))
+                    parts = []
+                    for lo in range(0, len(mat), rows):
+                        mb = mat[lo : lo + rows]
+                        if buf is None or buf.shape != (len(mb), len(cents)):
+                            buf = np.empty((len(mb), len(cents)))
+                        np.matmul(mb, cents.T, out=buf)
+                        buf *= -2.0
+                        buf += cnorm[None, :]
+                        parts.append(
+                            np.argpartition(buf, nprobe - 1, axis=1)[:, :nprobe]
+                        )
+                    part = np.concatenate(parts, axis=0)
                 else:
                     part = np.broadcast_to(
                         np.arange(len(cents)), (len(mat), len(cents))
