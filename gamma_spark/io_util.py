@@ -15,6 +15,7 @@ whole new file, never a truncated prefix.
 from __future__ import annotations
 
 import contextlib
+import fcntl
 import json
 import os
 
@@ -25,61 +26,78 @@ class ConcurrentWriterError(RuntimeError):
 
 @contextlib.contextmanager
 def writer_lock(dir_path: str, name: str = "writer.lock"):
-    """``O_EXCL`` lockfile making the single-writer contracts
+    """``flock``-backed lockfile making the single-writer contracts
     self-enforcing (Bm25Index.append / EmbeddingNearDupIndex.append /
     BucketedDocStore commits): a second concurrent writer FAILS FAST
     with :class:`ConcurrentWriterError` instead of silently losing a
     ledger entry to a read-modify-write race.
 
-    Crash recovery: the lock records the holder's pid; a lock whose
-    pid is no longer alive ON THIS HOST is stale (the writer crashed
-    between acquire and release) and is stolen. An unreadable/empty
-    pid is treated as ALIVE (conservative — the acquire-to-write-pid
-    window is microseconds, and wrongly stealing a live writer's lock
-    is the one failure this helper exists to prevent). These sidecar
-    stores are driver-local by contract (see ``_compact_parquet``), so
-    pid liveness is a valid staleness oracle; a multi-host deployment
-    over shared storage needs an external coordinator instead.
+    The exclusion is a kernel ``flock(LOCK_EX)``, not lockfile
+    *existence*, so crash recovery is automatic: the kernel releases
+    the lock when the holder dies, and the next writer acquires even
+    though the stale file is still on disk. This replaces the earlier
+    pid-file steal protocol, whose read-check-unlink sequence had a
+    TOCTOU window where two waiters could both classify a dead
+    holder's lock as stale and both end up inside the critical
+    section (one unlinking the other's freshly won lock).
+
+    Two classic flock pitfalls are closed explicitly:
+
+    * open→flock vs unlink race: after winning the flock we verify
+      the lock *path* still names the inode we locked (the previous
+      holder may have unlinked it between our ``open`` and our
+      ``flock``, and a third writer may have locked a fresh file at
+      the same path). Inode mismatch → close and retry on the fresh
+      file, so two writers can never hold locks on different inodes
+      of the same path.
+    * the pid written into the file is DIAGNOSTIC ONLY (for the error
+      message); lock state never depends on file content, so there is
+      no unreadable-pid ambiguity and nothing to steal.
+
+    These sidecar stores are driver-local by contract (see
+    ``_compact_parquet``), so a local-filesystem flock is a valid
+    exclusion oracle; a multi-host deployment over shared storage
+    needs an external coordinator instead.
     """
     os.makedirs(dir_path, exist_ok=True)
     lock = os.path.join(dir_path, name)
     fd = None
     while fd is None:
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            pid = 0
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
             try:
                 with open(lock) as fh:
-                    pid = int(fh.read().strip() or "-1")
-            except (OSError, ValueError):
-                pid = -1  # vanished or torn: conservative -> alive
-            alive = True
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True
-            if alive:
-                raise ConcurrentWriterError(
-                    f"single-writer lock {lock} is held by pid {pid}; "
-                    "concurrent appends to this store are not supported "
-                    "— serialize writers or remove a stale lock from a "
-                    "crashed one"
-                )
-            # holder is a dead local pid: steal and retry the O_EXCL
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
+                    holder = fh.read().strip() or "?"
+            except OSError:
+                holder = "?"
+            os.close(fd)
+            raise ConcurrentWriterError(
+                f"single-writer lock {lock} is held by pid {holder}; "
+                "concurrent appends to this store are not supported — "
+                "serialize writers (a crashed writer's lock releases "
+                "automatically)"
+            )
+        try:
+            same_inode = os.fstat(fd).st_ino == os.stat(lock).st_ino
+        except FileNotFoundError:
+            same_inode = False
+        if not same_inode:
+            os.close(fd)
+            fd = None  # locked a just-unlinked inode: retry on the path
     try:
+        os.ftruncate(fd, 0)
         os.write(fd, str(os.getpid()).encode())
-        os.fsync(fd)
-        os.close(fd)
         yield
     finally:
+        # Unlink BEFORE releasing: a waiter that opened this inode in
+        # the meantime fails the inode re-check above and retries on
+        # the fresh path, so the unlink can't hand two writers locks
+        # on different inodes.
         with contextlib.suppress(FileNotFoundError):
             os.unlink(lock)
+        os.close(fd)
 
 
 def atomic_write_json(path: str, obj) -> None:

@@ -50,6 +50,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -76,17 +77,101 @@ DEFAULT_EF_SEARCH = 64
 # graph's total cost also grows with the shard COUNT (every query
 # traverses every shard), so over-sharded corpora route to the scan —
 # exactly the regime the 32-shard rehearsal measures.
+#
+# These module constants are the FROZEN FALLBACK (the r6 probe-session
+# measurements on the build host). On a different cluster the
+# break-even shard size moves several-fold, so the constants resolve
+# in priority order (VERDICT r7 #2):
+#   1. env override (operators pin a known-good route fleet-wide),
+#   2. per-index calibration measured by :func:`calibrate_router` at
+#      build time and persisted in the index meta sidecar,
+#   3. these frozen defaults.
 SCAN_MACS_PER_SEC = 6e8     # measured under full concurrency, NOT peak BLAS
 GRAPH_SEC_PER_QUERY = 3.5e-3  # measured per-traversal Python overhead floor
+ENV_SCAN_MACS = "SPARK_GRAFT_HNSW_SCAN_MACS_PER_SEC"
+ENV_GRAPH_SPQ = "SPARK_GRAFT_HNSW_GRAPH_SEC_PER_QUERY"
+
+
+def _env_float(name: str) -> float | None:
+    raw = os.environ.get(name)
+    if raw is None or raw == "":
+        return None
+    try:
+        v = float(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be a float, got {raw!r}")
+    if v <= 0:
+        raise ValueError(f"{name} must be > 0, got {raw!r}")
+    return v
 
 
 def _route_to_scan(
-    n_shard: int, dim: int, ef: int = DEFAULT_EF_SEARCH, m: int = DEFAULT_M
+    n_shard: int,
+    dim: int,
+    ef: int = DEFAULT_EF_SEARCH,
+    m: int = DEFAULT_M,
+    scan_macs: float | None = None,
+    graph_spq: float | None = None,
 ) -> bool:
-    """True when the exact GEMM scan beats graph traversal per query."""
-    scan_sec = (n_shard * dim) / SCAN_MACS_PER_SEC
-    graph_sec = GRAPH_SEC_PER_QUERY + (ef * 2 * m * dim) / SCAN_MACS_PER_SEC
+    """True when the exact GEMM scan beats graph traversal per query.
+
+    ``scan_macs`` / ``graph_spq`` are the calibrated constants from the
+    index meta (None → frozen defaults); the env vars win over both."""
+    env_macs, env_spq = _env_float(ENV_SCAN_MACS), _env_float(ENV_GRAPH_SPQ)
+    scan_macs = env_macs or scan_macs or SCAN_MACS_PER_SEC
+    graph_spq = env_spq or graph_spq or GRAPH_SEC_PER_QUERY
+    scan_sec = (n_shard * dim) / scan_macs
+    graph_sec = graph_spq + (ef * 2 * m * dim) / scan_macs
     return scan_sec < graph_sec
+
+
+def calibrate_router(
+    dim: int = 64,
+    n_scan: int = 8192,
+    n_graph: int = 1024,
+    nq: int = 64,
+    m: int = 16,
+    ef: int = DEFAULT_EF_SEARCH,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Measure the two router constants on THIS host with a bounded
+    micro-probe (~0.5 s: one small scan GEMM, one 1k-node graph build,
+    one traversal batch) so a persisted index routes by measured local
+    speed instead of the build host's frozen numbers (VERDICT r7 #2).
+
+    Both legs run in the same process back to back, so while a
+    single-process probe overstates the ABSOLUTE throughput a worker
+    sees under 32-way concurrency, the memory-bandwidth derate hits
+    the scan GEMM and the traversal's frontier evals alike — the
+    break-even shard size depends on their RATIO, which the probe
+    preserves. Env overrides remain the escape hatch for hosts where
+    that assumption fails."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n_scan, dim))
+    q = rng.standard_normal((nq, dim))
+    g = NpHnsw(m=m, metric="L2")
+    g.vecs = g._prep(mat)
+    g.sq = (g.vecs * g.vecs).sum(axis=1)
+    g.scan(q[:8], 10)  # warmup (page-in, BLAS thread spin-up)
+    t0 = time.perf_counter()
+    g.scan(q, 10)
+    scan_s = max(time.perf_counter() - t0, 1e-6)
+    scan_macs = nq * n_scan * dim / scan_s
+
+    gb = NpHnsw(m=m, ef_construction=48, metric="L2").build(
+        mat[:n_graph], seed=seed
+    )
+    gb.search(q[:8], 10, ef=ef)  # warmup
+    t0 = time.perf_counter()
+    gb.search(q, 10, ef=ef)
+    graph_s = max(time.perf_counter() - t0, 1e-6)
+    # subtract the MAC share so the constant is the Python/heap
+    # overhead FLOOR the cost model adds MACs back onto
+    graph_spq = max(graph_s / nq - (ef * 2 * m * dim) / scan_macs, 1e-5)
+    return {
+        "scan_macs_per_sec": round(scan_macs, 1),
+        "graph_sec_per_query": round(graph_spq, 6),
+    }
 
 
 class NpHnsw:
@@ -293,10 +378,14 @@ class NpHnsw:
         """EXACT top-k via blocked GEMM over the whole shard — the bulk
         twin of :meth:`search` with identical output contract
         (positions/-1 pads, internal distances/+inf pads, admission-only
-        valid mask and band). Chunked over queries so the score matrix
-        stays ≤ ~256 MB whatever the batch. Per-shard exact top-k makes
-        the global merge exact (shards partition the corpus), so this
-        path's recall is 1.0 by construction.
+        valid mask and band). Chunked over queries (4M float64 cells) so
+        the score matrix stays ≤ 32 MB whatever the batch. Per-shard
+        exact top-k makes the global merge exact (shards partition the
+        corpus), so this path's recall is 1.0 by construction; distance
+        ties at the k boundary keep the SMALLEST positions (positions
+        map to docid-sorted order, so this matches knn_scan's and the
+        oracle's smallest-docid tie rule — exact duplicate vectors
+        produce such ties even on float metrics).
 
         Bit-reproducibility caveat (same as knn_scan): GEMM
         accumulation order varies with the query blocking, so scores
@@ -334,10 +423,24 @@ class NpHnsw:
                 np.copyto(buf, np.inf, where=(buf < dist_lo) | (buf > dist_hi))
             if kk < n:
                 part = np.argpartition(buf, kk - 1, axis=1)[:, :kk]
+                # boundary-tie repair (ADVICE r7): argpartition keeps
+                # arbitrary tied members; rows whose kth distance ties
+                # past the boundary re-select the smallest positions
+                # among the tied set, exactly as knn_scan does.
+                thr = np.take_along_axis(buf, part, axis=1).max(axis=1)
+                tied = np.flatnonzero(
+                    np.isfinite(thr)
+                    & ((buf <= thr[:, None]).sum(axis=1) > kk)
+                )
+                for r in tied:
+                    cand = np.flatnonzero(buf[r] <= thr[r])
+                    part[r] = cand[np.lexsort((cand, buf[r][cand]))[:kk]]
             else:
                 part = np.broadcast_to(np.arange(n), (len(qb), n)).copy()
             dd = np.take_along_axis(buf, part, axis=1)
-            order = np.argsort(dd, axis=1, kind="stable")
+            # (distance, position) order everywhere, not just at the
+            # boundary: position order = docid order
+            order = np.lexsort((part, dd), axis=1)
             idx = np.take_along_axis(part, order, axis=1)
             dd = np.take_along_axis(dd, order, axis=1)
             miss = ~np.isfinite(dd)
@@ -421,6 +524,7 @@ class HnswIndex:
         doc_vec: str,
         m: int = DEFAULT_M,
         path: str | None = None,
+        router: dict[str, float] | None = None,
     ):
         self.index_df = index_df
         self.nshards = int(nshards)
@@ -428,6 +532,9 @@ class HnswIndex:
         self.doc_vec = doc_vec
         self.m = m
         self.path = path
+        # calibrated routing constants (persisted indexes only); env
+        # vars override inside _route_to_scan
+        self.router = router or {}
 
     # -- build -----------------------------------------------------------
     @classmethod
@@ -480,12 +587,16 @@ class HnswIndex:
             ]
         )
         graph = sharded.groupBy("_shard").applyInPandas(build_shard, schema=schema)
+        router = None
         if path:
             graph.repartition("_shard").write.mode("overwrite").partitionBy(
                 "_shard"
             ).parquet(os.path.join(path, "graph"))
             from gamma_spark.io_util import atomic_write_json
 
+            # measure the routing constants on this host once per build
+            # and persist them with the index (VERDICT r7 #2)
+            router = calibrate_router(m=m)
             atomic_write_json(
                 os.path.join(path, "meta.json"),
                 {
@@ -494,10 +605,13 @@ class HnswIndex:
                     "metric": metric_u,
                     "doc_vec": doc_vec,
                     "m": m,
+                    "router": router,
                 },
             )
             graph = docs.sparkSession.read.parquet(os.path.join(path, "graph"))
-        return cls(graph, nshards, metric_u, doc_vec, m=m, path=path)
+        return cls(
+            graph, nshards, metric_u, doc_vec, m=m, path=path, router=router
+        )
 
     def append(
         self,
@@ -544,6 +658,7 @@ class HnswIndex:
                     "metric": self.metric,
                     "doc_vec": self.doc_vec,
                     "m": self.m,
+                    "router": self.router or None,
                 },
             )
             merged = self.index_df.sparkSession.read.parquet(
@@ -551,7 +666,7 @@ class HnswIndex:
             )
         return HnswIndex(
             merged, base + nshards, self.metric, self.doc_vec, m=self.m,
-            path=self.path,
+            path=self.path, router=self.router,
         )
 
     @classmethod
@@ -565,6 +680,7 @@ class HnswIndex:
             meta["doc_vec"],
             m=meta.get("m", DEFAULT_M),
             path=path,
+            router=meta.get("router") or None,
         )
 
     # -- search ----------------------------------------------------------
@@ -603,6 +719,11 @@ class HnswIndex:
             )
         if mode not in ("auto", "graph", "scan"):
             raise ValueError(f"mode must be auto/graph/scan, got {mode!r}")
+        # calibrated constants from the index meta (env still wins
+        # inside _route_to_scan); in-memory indexes fall back to the
+        # frozen defaults
+        r_macs = self.router.get("scan_macs_per_sec")
+        r_spq = self.router.get("graph_sec_per_query")
         if mode == "auto" and self.path:
             # parquet-backed: resolve the route driver-side (count is
             # metadata-only under aggregate pushdown, dim reads one row)
@@ -611,18 +732,25 @@ class HnswIndex:
             # the cogroup cost the scan doesn't need. In-memory indexes
             # keep per-shard kernel routing (a count would re-run the
             # whole graph build).
-            total = self.index_df.count()
-            dim = len(
-                self.index_df.select(self.doc_vec).first()[0]
-            )
-            mode = (
-                "scan"
-                if _route_to_scan(
-                    max(1, total // self.nshards), dim,
-                    ef=max(int(ef_search), int(k)), m=self.m,
+            live = self.index_df
+            if "_deleted" in live.columns:
+                live = live.filter(~F.col("_deleted"))
+            total = live.count()
+            first = live.select(self.doc_vec).first()
+            if first is None:
+                # empty index: no hits either way; the scan kernel is
+                # the cheaper no-op (no graph deserialization)
+                mode = "scan"
+            else:
+                mode = (
+                    "scan"
+                    if _route_to_scan(
+                        max(1, total // self.nshards), len(first[0]),
+                        ef=max(int(ef_search), int(k)), m=self.m,
+                        scan_macs=r_macs, graph_spq=r_spq,
+                    )
+                    else "graph"
                 )
-                else "graph"
-            )
         spark = self.index_df.sparkSession
         qsplits = max(1, int(qsplits))
         k_ = int(k)
@@ -693,7 +821,10 @@ class HnswIndex:
             kk = k_ if not band_at_emit else ef  # keep all, band below
             use_scan = mode == "scan" or (
                 mode == "auto"
-                and _route_to_scan(len(ids), mat.shape[1], ef=ef, m=m_)
+                and _route_to_scan(
+                    len(ids), mat.shape[1], ef=ef, m=m_,
+                    scan_macs=r_macs, graph_spq=r_spq,
+                )
             )
             if use_scan:
                 # bulk path: exact GEMM scan — no graph state needed

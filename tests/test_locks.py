@@ -36,32 +36,96 @@ def test_writer_lock_released_on_exception(tmp_path):
     assert not os.path.exists(os.path.join(d, "writer.lock"))
 
 
-def test_writer_lock_steals_dead_pid(tmp_path):
-    """A lock left by a CRASHED writer (dead local pid) is stale and
-    must be stolen, or every post-crash append would fail forever."""
+def test_writer_lock_crashed_writer_releases(tmp_path):
+    """A lock FILE left by a crashed writer must not block forever:
+    the kernel drops the flock with the dead process, so acquisition
+    succeeds even though the stale file (and its garbled or dead-pid
+    content — content is diagnostic only) is still on disk."""
     d = str(tmp_path / "store")
     os.makedirs(d)
-    # a real pid that is guaranteed dead: a finished subprocess
-    proc = subprocess.run([sys.executable, "-c", "pass"], check=True)
     dead = subprocess.Popen([sys.executable, "-c", "pass"])
     dead.wait()
-    del proc
-    with open(os.path.join(d, "writer.lock"), "w") as fh:
-        fh.write(str(dead.pid))
-    with writer_lock(d):  # steals, does not raise
+    for content in (str(dead.pid), "not-a-pid", ""):
+        with open(os.path.join(d, "writer.lock"), "w") as fh:
+            fh.write(content)
+        with writer_lock(d):  # no flock held on the file -> acquirable
+            pass
+
+
+def test_writer_lock_excludes_live_cross_process_holder(tmp_path):
+    """A live holder in ANOTHER process excludes us via the kernel
+    flock — including during the open-to-write-pid window, which the
+    old pid-file protocol could only approximate conservatively."""
+    d = str(tmp_path / "store")
+    ready = str(tmp_path / "ready")
+    release = str(tmp_path / "release")
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import sys, time, pathlib\n"
+            "sys.path.insert(0, %r)\n"
+            "from gamma_spark.io_util import writer_lock\n"
+            "with writer_lock(%r):\n"
+            "    pathlib.Path(%r).touch()\n"
+            "    while not pathlib.Path(%r).exists(): time.sleep(0.01)\n"
+            % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), d, ready, release),
+        ]
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while not os.path.exists(ready):
+            assert time.time() < deadline, "holder subprocess never acquired"
+            time.sleep(0.01)
+        with pytest.raises(ConcurrentWriterError):
+            with writer_lock(d):
+                pass
+    finally:
+        with open(release, "w"):
+            pass
+        holder.wait(timeout=30)
+    with writer_lock(d):  # acquirable once the holder exits
         pass
 
 
-def test_writer_lock_conservative_on_unreadable_pid(tmp_path):
-    """An empty/garbled pid is treated as a LIVE holder (the
-    acquire-to-write window): never steal what might be alive."""
+def test_writer_lock_mutual_exclusion_stress(tmp_path):
+    """TOCTOU regression (ADVICE r7): N processes hammering acquire
+    with retry must serialize perfectly — a read-modify-write counter
+    under the lock ends at exactly the number of acquisitions. Under
+    the old steal protocol two stealers could both enter."""
     d = str(tmp_path / "store")
-    os.makedirs(d)
-    with open(os.path.join(d, "writer.lock"), "w") as fh:
-        fh.write("not-a-pid")
-    with pytest.raises(ConcurrentWriterError):
-        with writer_lock(d):
-            pass
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    script = (
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from gamma_spark.io_util import writer_lock, ConcurrentWriterError\n"
+        "done = 0\n"
+        "while done < 20:\n"
+        "    try:\n"
+        "        with writer_lock(%r):\n"
+        "            n = int(open(%r).read())\n"
+        "            time.sleep(0.001)\n"
+        "            open(%r, 'w').write(str(n + 1))\n"
+        "        done += 1\n"
+        "    except ConcurrentWriterError:\n"
+        "        time.sleep(0.001)\n"
+        % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            d,
+            counter,
+            counter,
+        )
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script]) for _ in range(4)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    assert int(open(counter).read()) == 4 * 20
 
 
 # -- integration: the three guarded commit sections --------------------------

@@ -102,19 +102,29 @@ def main():
     from gamma_spark.operators.hnsw import _route_to_scan
 
     dim = len(qrows[0].embedding)
+    # report the calibrated constants the route actually used (r8):
+    # build persisted them in the index meta via calibrate_router()
+    results["router_calibrated"] = dict(hnsw.router)
     results["router_fires"] = bool(
-        _route_to_scan(n // nshards, dim, ef=64, m=16)
+        _route_to_scan(
+            n // nshards, dim, ef=64, m=16,
+            scan_macs=hnsw.router.get("scan_macs_per_sec"),
+            graph_spq=hnsw.router.get("graph_sec_per_query"),
+        )
     )
     for mode in ("graph", "auto"):
         t0 = time.time()
         res = hnsw.knn_join_distributed(
             qrel, k=K, ef_search=64, qsplits=8, mode=mode
         )
-        sample = res.filter(F.col("qid") < NQ).select("qid", "_docid")
         cnt = res.count()
-        got = {(r.qid, r._docid) for r in sample.collect()}
+        # timing covers ONE join execution (the count) so the metric is
+        # comparable across modes and rounds (ADVICE r7); the recall
+        # sample below is a separately-timed recompute, not part of it
         results[f"hnsw_join_50kq_{mode}_s"] = round(time.time() - t0, 2)
         results[f"hnsw_join_50kq_{mode}_rows"] = cnt
+        sample = res.filter(F.col("qid") < NQ).select("qid", "_docid")
+        got = {(r.qid, r._docid) for r in sample.collect()}
         results[f"hnsw_join_50kq_{mode}_recall"] = round(
             len(got & exact) / len(exact), 4
         )
