@@ -432,3 +432,31 @@ def test_router_calibration_and_overrides(tmp_path, docs, queries, monkeypatch):
     assert meta["router"] == idx.router
     loaded = HnswIndex.load(docs.sparkSession, path)
     assert loaded.router == idx.router
+
+
+def test_routed_scan_plan_prunes_adjacency_columns(docs, queries, tmp_path):
+    """VERDICT r7 #5: the routed GEMM scan over a Parquet-backed index
+    must PRUNE the adjacency columns from the parquet scan — shipping
+    and Arrow-deserializing _nbrs to a kernel that never reads it is
+    pure waste. Pinned as a ReadSchema assertion."""
+    path = str(tmp_path / "pruneidx")
+    idx = HnswIndex.build(docs, nshards=2, m=16, metric="L2", path=path)
+    df = idx.search(None, queries, k=5, mode="auto")  # resolves to scan
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    schemas = [
+        ln for ln in plan.splitlines() if ln.strip().startswith("ReadSchema:")
+    ]
+    assert schemas, "expected at least one parquet scan in the plan"
+    offenders = [ln for ln in schemas if "_nbrs" in ln or "_level" in ln]
+    assert not offenders, (
+        "routed scan plan reads adjacency columns from parquet: "
+        f"{offenders}"
+    )
+    # the graph path, by contrast, legitimately reads them
+    dfg = idx.search(None, queries, k=5, mode="graph")
+    plang = dfg._sc._jvm.PythonSQLUtils.explainString(
+        dfg._jdf.queryExecution(), "formatted"
+    )
+    assert "_nbrs" in plang

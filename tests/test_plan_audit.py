@@ -31,13 +31,48 @@ from plan_audit import AUDIT_SET, fingerprint  # noqa: E402
 # their plan is a regression, not tuning
 _SCAN_STAGE_ONLY = {"pii_scrub": 0, "filter_range_term": 0}
 
+# Per-query MAXIMUM data-moving exchange counts (VERDICT r7 #4),
+# pinned at the docs/PLAN_AUDIT.md values of the r7 plans: an
+# accidental extra shuffle on any audited row fails the suite instead
+# of surfacing as a doc diff. Ceilings are maxima — a plan that LOSES
+# a shuffle passes (then lower the ceiling when updating the doc).
+_SHUFFLE_CEILINGS = {
+    "knn_metrics_topk": 3,
+    "knn_ip_filtered_banded": 1,
+    "knn_ivfflat_exact": 1,
+    "knn_ivfpq_variants_exact": 7,
+    "knn_fusion_multivector": 16,
+    "search_request_full": 2,
+    "filter_range_term": 0,
+    "bm25_topk": 6,
+    "hybrid_rrf": 11,
+    "dedup_minhash_verified": 3,
+    "paragraph_dedup": 2,
+    "pii_scrub": 0,
+    "mixture_sample": 1,
+    "pack_sequences": 3,
+    "lm_perplexity": 3,
+    "events_session_window": 1,
+    "pricing_summary": 1,
+}
+
 
 @pytest.fixture(scope="module")
 def audit_fps(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    return {name: fingerprint(qs[name](spark, sf_dir)) for name in AUDIT_SET}
+    # fingerprint in the SAME planning environment as tools/plan_audit.py
+    # (AQE off): under AQE planning, exchanges that runtime reuse would
+    # dedupe print as separate nodes, inflating counts vs the doc
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return {
+            name: fingerprint(qs[name](spark, sf_dir)) for name in AUDIT_SET
+        }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def test_no_row_at_a_time_python_eval(audit_fps):
@@ -55,6 +90,27 @@ def test_scan_stage_operators_stay_shuffle_free(audit_fps):
             f"{name} grew a shuffle ({got} > {budget}): it is documented "
             "as scan-stage-only (docs/PLAN_AUDIT.md)"
         )
+
+
+def test_shuffle_counts_within_ceilings(audit_fps):
+    """Every audited plan's exchange count stays at or below its
+    pinned r7 value — one accidental extra shuffle on a flagship path
+    is a 100x-scale regression and must be a red test, not a doc
+    diff."""
+    assert set(_SHUFFLE_CEILINGS) == set(AUDIT_SET), (
+        "AUDIT_SET changed: add a ceiling for every audited query"
+    )
+    over = {
+        n: (fp["shuffles"], _SHUFFLE_CEILINGS[n])
+        for n, fp in audit_fps.items()
+        if fp["shuffles"] > _SHUFFLE_CEILINGS[n]
+    }
+    assert not over, (
+        f"shuffle-count regressions (got > ceiling): {over} — either an "
+        "accidental extra exchange crept into the plan, or the workload "
+        "legitimately changed (then update docs/PLAN_AUDIT.md AND this "
+        "ceiling in the same commit)"
+    )
 
 
 def test_pushdown_still_reaches_parquet(audit_fps):
