@@ -20,6 +20,13 @@ What it proves, with numbers instead of the SCALING.md argument:
 The batch generator reproduces `make_corpus`'s per-id rng so corpus
 source texts can be regenerated without reading the corpus.
 
+r8 soak mode (VERDICT r7 #6): a sampler thread records, per completed
+micro-batch, the JVM's persistent-RDD count, the block manager's
+local-dir bytes (shuffle/spill files), and memory-store bytes — the
+three places an unbounded-stream leak would accumulate. All three must
+be FLAT across >=20 batches (the r7 unpersist fix closed cache growth;
+this keeps it closed past the 5-batch rehearsal horizon).
+
 Usage: python tools/scale_check_stream.py [n_corpus] [n_batches] [batch_size]
 Defaults: 1_000_000 docs, 5 batches x 20_000 docs.
 """
@@ -144,8 +151,73 @@ def main():
         .trigger(availableNow=True)
         .start()
     )
+
+    # -- leak sampler (VERDICT r7 #6): one snapshot per second, keyed
+    # by the last COMPLETED batch id; the per-batch series must be flat
+    import threading
+
+    jsc = spark.sparkContext._jsc
+    env_cls = spark.sparkContext._jvm.org.apache.spark.SparkEnv
+    try:
+        local_dirs = [
+            d.getAbsolutePath()
+            for d in env_cls.get().blockManager().diskBlockManager().localDirs()
+        ]
+    except Exception:
+        local_dirs = []
+
+    def _du(paths) -> int:
+        total = 0
+        for p in paths:
+            for r, _, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(r, f))
+                    except OSError:
+                        pass
+        return total
+
+    per_batch: dict[int, dict] = {}
+
+    def _sampler():
+        while q.isActive:  # property, not callable
+            try:
+                lp = q.lastProgress
+                bid = int(lp["batchId"]) if lp else -1
+                snap = {
+                    "persistent_rdds": int(jsc.getPersistentRDDs().size()),
+                    "localdir_mb": round(_du(local_dirs) / 1e6, 1),
+                }
+                try:
+                    snap["memstore_mb"] = round(
+                        env_cls.get().blockManager().memoryStore().memoryUsed()
+                        / 1e6,
+                        1,
+                    )
+                except Exception:
+                    pass
+                # first snapshot wins: lastProgress flips to bid when
+                # the batch COMPLETES, so the first sample is the clean
+                # post-batch state (later ones are mid-next-batch)
+                per_batch.setdefault(bid, snap)
+            except Exception:
+                pass
+            time.sleep(1.0)
+
+    sampler = threading.Thread(target=_sampler, daemon=True)
+    sampler.start()
     q.awaitTermination()
+    sampler.join(timeout=5)
     results["stream_total_sec"] = round(time.time() - t0, 1)
+    soak_ids = sorted(b for b in per_batch if b >= 0)
+    results["soak"] = {
+        "batch_ids": soak_ids,
+        "persistent_rdds": [per_batch[b]["persistent_rdds"] for b in soak_ids],
+        "localdir_mb": [per_batch[b]["localdir_mb"] for b in soak_ids],
+        "memstore_mb": [
+            per_batch[b].get("memstore_mb") for b in soak_ids
+        ],
+    }
     results["per_batch_sec"] = [
         round(p["durationMs"]["triggerExecution"] / 1000.0, 1)
         for p in q.recentProgress  # dict-like StreamingQueryProgress
