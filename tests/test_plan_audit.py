@@ -63,8 +63,12 @@ def audit_fps(spark, sf_dir):
 
     qs = entry_mod.queries()
     # fingerprint in the SAME planning environment as tools/plan_audit.py
-    # (AQE off): under AQE planning, exchanges that runtime reuse would
-    # dedupe print as separate nodes, inflating counts vs the doc
+    # (AQE off, cold cache): under AQE planning, exchanges that runtime
+    # reuse would dedupe print as separate nodes, and cached relations
+    # left by earlier test modules substitute into equal logical plans
+    # (InMemoryTableScan instead of parquet), both skewing counts vs
+    # the doc
+    spark.catalog.clearCache()
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
