@@ -64,6 +64,12 @@ def ensure_parallelism(df, min_partitions: int | None = None, fanout: float = 1.
     return df
 
 
+#: active stage_scope collectors (innermost last); stage() registers
+#: every persist into the innermost scope so repeated-call sites
+#: (streaming foreachBatch handlers) can release them per batch
+_STAGE_SCOPES: list[list] = []
+
+
 def stage(df):
     """Persist an intermediate that downstream operators consume 2-5x
     (MEMORY_AND_DISK, lazy). Catalyst's exchange reuse does NOT fire
@@ -73,6 +79,13 @@ def stage(df):
     This is the single-job analogue of the production pattern at
     100 TB: write the intermediate to a staging table once, read it
     many times.
+
+    Inside a :func:`stage_scope`, the persist is registered for
+    release at scope exit — callers that invoke staged operators
+    REPEATEDLY in one session (streaming micro-batch handlers) must
+    wrap each call, or the pinned storage fraction grows without
+    bound (the r8 20-batch soak measured +3-4 persisted RDDs per
+    micro-batch until the 8 GiB heap OOM'd at batch ~14).
 
     ``SPARK_GRAFT_STAGE_LEVEL`` overrides the storage level (any
     ``pyspark.StorageLevel`` name). The default keeps hot intermediates
@@ -96,7 +109,39 @@ def stage(df):
             f"SPARK_GRAFT_STAGE_LEVEL={name!r} is not a "
             f"pyspark.StorageLevel name; allowed: {', '.join(allowed)}"
         )
-    return df.persist(level)
+    df = df.persist(level)
+    if _STAGE_SCOPES:
+        _STAGE_SCOPES[-1].append(df)
+    return df
+
+
+def stage_scope():
+    """Context manager releasing every :func:`stage` persist made
+    inside it (innermost scope wins for nesting). Use around any code
+    that calls staged operators repeatedly in one long-lived session —
+    the streaming foreachBatch handlers wrap each micro-batch so
+    per-batch staged intermediates (shingle streams, signatures, LSH
+    pair relations) are unpersisted once the batch's outputs are
+    written, keeping storage memory FLAT on an unbounded stream.
+
+    Exit MUST come after the scope's outputs are materialized (the
+    handlers write parquet before returning); unpersisting earlier
+    would just silently recompute."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        staged: list = []
+        _STAGE_SCOPES.append(staged)
+        try:
+            yield staged
+        finally:
+            _STAGE_SCOPES.pop()
+            for df in staged:
+                with contextlib.suppress(Exception):
+                    df.unpersist()
+
+    return _scope()
 
 
 def get_spark(

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from gamma_spark.operators.ivf import IvfFlatIndex, assign_clusters
 from gamma_spark.operators.topk import topk
+from gamma_spark.session import stage_scope
 
 
 def index_append_batch(index, batch_df: DataFrame, path: str):
@@ -88,7 +89,10 @@ def stream_index_appender(stream_df: DataFrame, index, path: str):
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        state["index"] = index_append_batch(state["index"], batch_df, path)
+        # per-batch staged intermediates released once the append is
+        # durable — an unbounded stream must not pin storage (r8 soak)
+        with stage_scope():
+            state["index"] = index_append_batch(state["index"], batch_df, path)
 
     return stream_df.writeStream.foreachBatch(handle)
 
@@ -229,9 +233,10 @@ def stream_curated_appender(
         # micro-batch retries (Spark replays a failed batch with the
         # same batch_id; an append sink would duplicate survivors).
         # Read the corpus root with recursiveFileLookup=true.
-        curate_batch(batch_df, id_col, text_col, **gate).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/batch-{batch_id}")
+        with stage_scope():
+            curate_batch(batch_df, id_col, text_col, **gate).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/batch-{batch_id}")
 
     return stream_df.writeStream.foreachBatch(handle)
 
@@ -323,6 +328,18 @@ def stream_neardup_dedup(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # EVERY staged intermediate of this batch — including the ones
+        # inside minhash_verified_pairs (shingle stream, signatures,
+        # LSH pair relation) — is released at scope exit. Before this,
+        # each micro-batch pinned +3-4 persisted RDDs forever; the r8
+        # 20-batch 1M-corpus soak OOM'd the default 8 GiB heap at
+        # batch ~14 from exactly that growth (storage inside
+        # spark.memory.storageFraction is unevictable, so execution
+        # memory shrank batch over batch).
+        with stage_scope():
+            _handle(batch_df, batch_id)
+
+    def _handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # collapse within-batch near-dups first (keeper = min id)
         if threshold is None:

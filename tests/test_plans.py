@@ -297,3 +297,36 @@ def test_stage_level_env_knob(spark, documents, monkeypatch):
 
     with _pytest.raises(ValueError, match="SPARK_GRAFT_STAGE_LEVEL"):
         stage(documents.select("doc_id"))
+
+
+def test_stage_scope_releases_persists(spark, documents):
+    """r8 soak regression: staged intermediates created inside a
+    stage_scope (including ones nested in operators like
+    minhash_verified_pairs) are unpersisted at scope exit, so a
+    streaming handler calling staged operators per micro-batch keeps
+    the persistent-RDD count FLAT instead of pinning +3-4 per batch
+    until the heap OOMs."""
+    from gamma_spark.operators.dedup import minhash_verified_pairs
+    from gamma_spark.session import stage, stage_scope
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    base = int(jsc.getPersistentRDDs().size())
+    small = documents.select("doc_id", "text").orderBy("doc_id").limit(60)
+    with stage_scope():
+        pairs = minhash_verified_pairs(small, "doc_id", "text", threshold=0.5)
+        pairs.count()  # materialize while the stages are alive
+        assert int(jsc.getPersistentRDDs().size()) > base
+    assert int(jsc.getPersistentRDDs().size()) == base
+
+    # nesting: the inner scope releases only its own persists
+    with stage_scope():
+        outer = stage(small.select("doc_id"))
+        outer.count()
+        mid = int(jsc.getPersistentRDDs().size())
+        with stage_scope():
+            inner = stage(small.select("text"))
+            inner.count()
+            assert int(jsc.getPersistentRDDs().size()) > mid
+        assert int(jsc.getPersistentRDDs().size()) == mid
+    assert int(jsc.getPersistentRDDs().size()) == base

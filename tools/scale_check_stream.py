@@ -184,9 +184,13 @@ def main():
             try:
                 lp = q.lastProgress
                 bid = int(lp["batchId"]) if lp else -1
+                rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
                 snap = {
                     "persistent_rdds": int(jsc.getPersistentRDDs().size()),
                     "localdir_mb": round(_du(local_dirs) / 1e6, 1),
+                    "jvm_heap_mb": round(
+                        (rt.totalMemory() - rt.freeMemory()) / 1e6, 1
+                    ),
                 }
                 try:
                     snap["memstore_mb"] = round(
@@ -206,7 +210,11 @@ def main():
 
     sampler = threading.Thread(target=_sampler, daemon=True)
     sampler.start()
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+        stream_err = None
+    except Exception as exc:  # noqa: BLE001 — the partial series IS the
+        stream_err = f"{type(exc).__name__}: {exc}"  # diagnostic on a leak
     sampler.join(timeout=5)
     results["stream_total_sec"] = round(time.time() - t0, 1)
     soak_ids = sorted(b for b in per_batch if b >= 0)
@@ -214,10 +222,21 @@ def main():
         "batch_ids": soak_ids,
         "persistent_rdds": [per_batch[b]["persistent_rdds"] for b in soak_ids],
         "localdir_mb": [per_batch[b]["localdir_mb"] for b in soak_ids],
+        "jvm_heap_mb": [per_batch[b].get("jvm_heap_mb") for b in soak_ids],
         "memstore_mb": [
             per_batch[b].get("memstore_mb") for b in soak_ids
         ],
     }
+    if stream_err is not None:
+        results["stream_error"] = stream_err[:500]
+        results["per_batch_sec"] = [
+            round(p["durationMs"]["triggerExecution"] / 1000.0, 1)
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        print(json.dumps(results))
+        shutil.rmtree(root, ignore_errors=True)
+        sys.exit(1)
     results["per_batch_sec"] = [
         round(p["durationMs"]["triggerExecution"] / 1000.0, 1)
         for p in q.recentProgress  # dict-like StreamingQueryProgress
