@@ -216,10 +216,40 @@ def _canary_arrow(spark) -> None:
     ).collect()
 
 
+def _canary_membw(spark) -> None:
+    # r8: memory-bandwidth leg under FULL worker concurrency — the r8
+    # normalized comparison showed kernel-heavy entries (blocked GEMM,
+    # shingle explodes) drifting ~2x more than the jvm/arrow legs
+    # capture; this leg streams a large float buffer through every
+    # worker simultaneously, the regime those entries live in. Recorded
+    # as canary2 (NOT part of canary_s — the r7 legs stay frozen so
+    # r7->r8 normalization remains valid; canary2 baselines r9+).
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _probe(x):
+        rng = np.random.default_rng(7)
+        buf = rng.standard_normal(2_000_000)  # 16 MB/task, busts L2
+        out = np.empty(len(x))
+        for i, v in enumerate(x):
+            buf *= 1.0000001
+            out[i] = buf[int(v) % len(buf)]
+        return pd.Series(out)
+
+    _probe.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    probe = pandas_udf(_probe, "double")
+    # 100 sweeps x 16 MB per task x 32 concurrent tasks: ~50 GB of
+    # traffic through shared bandwidth, dwarfing scheduling overhead
+    spark.range(0, 3200, 1, 32).select(
+        F.sum(probe(F.col("id"))).alias("s")
+    ).collect()
+
+
 def run_canary(spark) -> dict[str, float]:
     """Best-of-3 per leg, with one untimed warmup pass (JIT, Python
     worker spin-up) so the canary measures steady-state host speed."""
-    legs = {"jvm": _canary_jvm, "arrow": _canary_arrow}
+    legs = {"jvm": _canary_jvm, "arrow": _canary_arrow, "membw": _canary_membw}
     out: dict[str, float] = {}
     for name, fn in legs.items():
         fn(spark)  # warmup, untimed
@@ -236,8 +266,14 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gamma_spark-bench")
     canary = run_canary(spark)
+    # canary_s stays the FROZEN r7 pair (jvm + arrow) so cross-round
+    # normalization is unbroken; the r8 membw leg is reported apart
+    membw_s = canary.pop("membw", None)
     canary_s = round(sum(canary.values()), 3)
-    print(f"[bench] canary {canary} total {canary_s}s", file=sys.stderr)
+    print(
+        f"[bench] canary {canary} total {canary_s}s membw {membw_s}s",
+        file=sys.stderr,
+    )
     # warm the JVM + parquet footers so per-query times measure the work
     for t in ("embeddings", "documents", "lineitem", "events"):
         try:
@@ -362,6 +398,10 @@ def main():
         "sf": _sf_of(sf_dir),
         "canary": canary,
         "canary_s": canary_s,
+        # r8: memory-bandwidth-under-concurrency leg (separate series;
+        # becomes usable for normalization from r9 on)
+        "canary2": {"membw": membw_s},
+        "canary2_s": membw_s,
     }
     # round-over-round comparability as the suite grows (VERDICT r4 #9):
     # this run's total restricted to the query names present in the

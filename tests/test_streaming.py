@@ -584,3 +584,38 @@ def test_embedding_neardup_append_idempotent(tmp_path, spark, embeddings):
     nv, nb = idx.vectors.count(), idx.banded.count()
     idx = idx.append(b2, batch_id=9)  # retry
     assert idx.vectors.count() == nv and idx.banded.count() == nb
+
+
+def test_stream_neardup_dedup_releases_persists_per_batch(
+    tmp_path, spark, documents
+):
+    """r8 soak regression, end-to-end: the foreachBatch handler must
+    leave ZERO persisted RDDs behind after the stream drains — before
+    the stage_scope fix each micro-batch pinned +3-4 (the staged
+    intermediates inside minhash_verified_pairs), which OOM'd the
+    20-batch 1M-corpus soak."""
+    from gamma_spark.streaming.incremental import stream_neardup_dedup
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    base = int(jsc.getPersistentRDDs().size())
+
+    src = str(tmp_path / "incoming")
+    for lo in (0, 60, 120):
+        documents.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 60)
+        ).select("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_neardup_dedup(
+            stream, str(tmp_path / "idx"), str(tmp_path / "corpus")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert int(jsc.getPersistentRDDs().size()) == base
