@@ -25,12 +25,14 @@ class ConcurrentWriterError(RuntimeError):
 
 
 @contextlib.contextmanager
-def writer_lock(dir_path: str, name: str = "writer.lock"):
+def writer_lock(dir_path: str, name: str = "writer.lock", block: bool = False):
     """``flock``-backed lockfile making the single-writer contracts
     self-enforcing (Bm25Index.append / EmbeddingNearDupIndex.append /
     BucketedDocStore commits): a second concurrent writer FAILS FAST
     with :class:`ConcurrentWriterError` instead of silently losing a
-    ledger entry to a read-modify-write race.
+    ledger entry to a read-modify-write race. ``block=True`` WAITS for
+    the holder instead (kernel wait queue, no polling) — the mode for
+    callers that want to serialize appends rather than reject them.
 
     The exclusion is a kernel ``flock(LOCK_EX)``, not lockfile
     *existence*, so crash recovery is automatic: the kernel releases
@@ -62,10 +64,11 @@ def writer_lock(dir_path: str, name: str = "writer.lock"):
     os.makedirs(dir_path, exist_ok=True)
     lock = os.path.join(dir_path, name)
     fd = None
+    flags = fcntl.LOCK_EX | (0 if block else fcntl.LOCK_NB)
     while fd is None:
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            fcntl.flock(fd, flags)
         except BlockingIOError:
             try:
                 with open(lock) as fh:

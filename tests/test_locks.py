@@ -185,3 +185,35 @@ def test_bucketed_store_commit_fails_fast_under_held_lock(
     assert reloaded.meta["commit"] == store.meta["commit"]
     retried = reloaded.upsert(batch)
     assert retried.get_doc_by_id(3).collect()[0].text == "locked-3"
+
+
+def test_writer_lock_blocking_mode_serializes(tmp_path):
+    """block=True waits in the kernel instead of raising: N processes
+    doing read-modify-write increments with NO retry loop still end at
+    exactly N*K — the serialize-appends mode."""
+    d = str(tmp_path / "store")
+    counter = str(tmp_path / "counter")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    script = (
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from gamma_spark.io_util import writer_lock\n"
+        "for _ in range(15):\n"
+        "    with writer_lock(%r, block=True):\n"
+        "        n = int(open(%r).read())\n"
+        "        time.sleep(0.001)\n"
+        "        open(%r, 'w').write(str(n + 1))\n"
+        % (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            d,
+            counter,
+            counter,
+        )
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script]) for _ in range(4)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    assert int(open(counter).read()) == 4 * 15
