@@ -86,6 +86,12 @@ def writer_lock(dir_path: str, name: str = "writer.lock", block: bool = False):
             same_inode = os.fstat(fd).st_ino == os.stat(lock).st_ino
         except FileNotFoundError:
             same_inode = False
+        except OSError:
+            # EACCES/ENOTDIR etc: close BEFORE propagating, or the won
+            # flock leaks for the life of the process and every later
+            # writer sees a phantom live holder
+            os.close(fd)
+            raise
         if not same_inode:
             os.close(fd)
             fd = None  # locked a just-unlinked inode: retry on the path

@@ -127,12 +127,13 @@ def _route_to_scan(
 
 def calibrate_router(
     dim: int = 64,
-    n_scan: int = 8192,
-    n_graph: int = 1024,
+    n_scan: int | None = None,
+    n_graph: int | None = None,
     nq: int = 64,
     m: int = 16,
     ef: int = DEFAULT_EF_SEARCH,
     seed: int = 0,
+    metric: str = "L2",
 ) -> dict[str, float]:
     """Measure the two router constants on THIS host with a bounded
     micro-probe (~0.5 s: one small scan GEMM, one 1k-node graph build,
@@ -146,19 +147,28 @@ def calibrate_router(
     break-even shard size depends on their RATIO, which the probe
     preserves. Env overrides remain the escape hatch for hosts where
     that assumption fails."""
+    metric = metric.upper()
+    # probe sizes hold total work constant across dims (the probe is
+    # bounded ~0.5 s whether the index is 64- or 768-dimensional)
+    if n_scan is None:
+        n_scan = max(1024, (8192 * 64) // max(1, dim))
+    if n_graph is None:
+        n_graph = max(256, (1024 * 64) // max(1, dim))
+    n_graph = min(n_graph, n_scan)
     rng = np.random.default_rng(seed)
     mat = rng.standard_normal((n_scan, dim))
     q = rng.standard_normal((nq, dim))
-    g = NpHnsw(m=m, metric="L2")
+    g = NpHnsw(m=m, metric=metric)
     g.vecs = g._prep(mat)
-    g.sq = (g.vecs * g.vecs).sum(axis=1)
+    if metric == "L2":
+        g.sq = (g.vecs * g.vecs).sum(axis=1)
     g.scan(q[:8], 10)  # warmup (page-in, BLAS thread spin-up)
     t0 = time.perf_counter()
     g.scan(q, 10)
     scan_s = max(time.perf_counter() - t0, 1e-6)
     scan_macs = nq * n_scan * dim / scan_s
 
-    gb = NpHnsw(m=m, ef_construction=48, metric="L2").build(
+    gb = NpHnsw(m=m, ef_construction=48, metric=metric).build(
         mat[:n_graph], seed=seed
     )
     gb.search(q[:8], 10, ef=ef)  # warmup
@@ -422,18 +432,21 @@ class NpHnsw:
             if dist_lo != -np.inf or dist_hi != np.inf:
                 np.copyto(buf, np.inf, where=(buf < dist_lo) | (buf > dist_hi))
             if kk < n:
-                part = np.argpartition(buf, kk - 1, axis=1)[:, :kk]
                 # boundary-tie repair (ADVICE r7): argpartition keeps
                 # arbitrary tied members; rows whose kth distance ties
                 # past the boundary re-select the smallest positions
-                # among the tied set, exactly as knn_scan does.
-                thr = np.take_along_axis(buf, part, axis=1).max(axis=1)
-                tied = np.flatnonzero(
-                    np.isfinite(thr)
-                    & ((buf <= thr[:, None]).sum(axis=1) > kk)
-                )
+                # among the tied set, exactly as knn_scan does. The
+                # dual pivot puts the (kk+1)-th smallest at column kk,
+                # so tie detection is one column compare — no extra
+                # pass over the 32 MB buffer on this bandwidth-bound
+                # path; only the (rare) tied rows rescan their row.
+                pf = np.argpartition(buf, (kk - 1, kk), axis=1)
+                part = pf[:, :kk]
+                kth = np.take_along_axis(buf, pf[:, kk - 1 : kk], axis=1)[:, 0]
+                nxt = np.take_along_axis(buf, pf[:, kk : kk + 1], axis=1)[:, 0]
+                tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
                 for r in tied:
-                    cand = np.flatnonzero(buf[r] <= thr[r])
+                    cand = np.flatnonzero(buf[r] <= kth[r])
                     part[r] = cand[np.lexsort((cand, buf[r][cand]))[:kk]]
             else:
                 part = np.broadcast_to(np.arange(n), (len(qb), n)).copy()
@@ -595,8 +608,15 @@ class HnswIndex:
             from gamma_spark.io_util import atomic_write_json
 
             # measure the routing constants on this host once per build
-            # and persist them with the index (VERDICT r7 #2)
-            router = calibrate_router(m=m)
+            # and persist them with the index (VERDICT r7 #2) — probed
+            # at the index's OWN dim and metric (the ratio-preservation
+            # argument only holds when the probe matches the operating
+            # point); an empty relation skips calibration
+            first = docs.select(doc_vec).first()
+            if first is not None:
+                router = calibrate_router(
+                    dim=len(first[0]), m=m, metric=metric_u
+                )
             atomic_write_json(
                 os.path.join(path, "meta.json"),
                 {
@@ -719,11 +739,19 @@ class HnswIndex:
             )
         if mode not in ("auto", "graph", "scan"):
             raise ValueError(f"mode must be auto/graph/scan, got {mode!r}")
-        # calibrated constants from the index meta (env still wins
-        # inside _route_to_scan); in-memory indexes fall back to the
-        # frozen defaults
-        r_macs = self.router.get("scan_macs_per_sec")
-        r_spq = self.router.get("graph_sec_per_query")
+        # constant resolution happens ON THE DRIVER — env override
+        # first, then the index meta's calibration, then None (frozen
+        # defaults inside _route_to_scan). Resolving env here matters
+        # for the per-shard kernel below: executor Python workers
+        # inherit the EXECUTOR's environment, not the driver script's,
+        # so an os.environ set after session start (or any real-cluster
+        # deploy) would silently not reach the cogroup kernel.
+        r_macs = _env_float(ENV_SCAN_MACS) or self.router.get(
+            "scan_macs_per_sec"
+        )
+        r_spq = _env_float(ENV_GRAPH_SPQ) or self.router.get(
+            "graph_sec_per_query"
+        )
         if mode == "auto" and self.path:
             # parquet-backed: resolve the route driver-side (count is
             # metadata-only under aggregate pushdown, dim reads one row)

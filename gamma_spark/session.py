@@ -10,6 +10,7 @@ kernels (distance/codebook math) so Python crossings are batched.
 from __future__ import annotations
 
 import os
+import threading as _threading
 
 from pyspark.sql import SparkSession
 
@@ -64,10 +65,22 @@ def ensure_parallelism(df, min_partitions: int | None = None, fanout: float = 1.
     return df
 
 
-#: active stage_scope collectors (innermost last); stage() registers
-#: every persist into the innermost scope so repeated-call sites
-#: (streaming foreachBatch handlers) can release them per batch
-_STAGE_SCOPES: list[list] = []
+#: active stage_scope collectors (innermost last), PER THREAD: two
+#: concurrent streaming queries run their foreachBatch handlers on
+#: separate microbatch threads, and a shared stack would register one
+#: stream's persists into the other's scope (releasing them mid-batch
+#: and leaking its own). stage() registers every persist into the
+#: calling thread's innermost scope so repeated-call sites can release
+#: them per batch.
+
+_STAGE_TLS = _threading.local()
+
+
+def _stage_scopes() -> list[list]:
+    scopes = getattr(_STAGE_TLS, "scopes", None)
+    if scopes is None:
+        scopes = _STAGE_TLS.scopes = []
+    return scopes
 
 
 def stage(df):
@@ -110,8 +123,9 @@ def stage(df):
             f"pyspark.StorageLevel name; allowed: {', '.join(allowed)}"
         )
     df = df.persist(level)
-    if _STAGE_SCOPES:
-        _STAGE_SCOPES[-1].append(df)
+    scopes = _stage_scopes()
+    if scopes:
+        scopes[-1].append(df)
     return df
 
 
@@ -132,11 +146,12 @@ def stage_scope():
     @contextlib.contextmanager
     def _scope():
         staged: list = []
-        _STAGE_SCOPES.append(staged)
+        scopes = _stage_scopes()
+        scopes.append(staged)
         try:
             yield staged
         finally:
-            _STAGE_SCOPES.pop()
+            scopes.pop()
             for df in staged:
                 with contextlib.suppress(Exception):
                     df.unpersist()

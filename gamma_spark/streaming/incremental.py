@@ -365,38 +365,34 @@ def stream_neardup_dedup(
                 # verify stage drops ~54 s -> ~20 s per batch)
                 from gamma_spark.session import stage as _stage
 
+                # released by the enclosing stage_scope once the
+                # batch's writes are durable, like every other staged
+                # intermediate of this handler
                 cpairs = _stage(
                     cand.select(
                         F.col("corpus_id").alias("id_a"),
                         F.col("new_id").alias("id_b"),
                     )
                 )
-                # unpersist after the batch commits: a continuous
-                # stream calls this handler indefinitely, and leaked
-                # per-batch cached blocks (disk-resident under
-                # DISK_ONLY) would accumulate without bound
-                try:
-                    corpus = read_stream_corpus(spark, out_path).select(
-                        id_col, text_col
-                    )
-                    members = cpairs.select(
-                        F.col("id_a").alias(id_col)
-                    ).distinct()
-                    touched = corpus.join(
-                        members, id_col, "left_semi"
-                    ).unionByName(batch.select(id_col, text_col))
-                    sh = shingles(touched, id_col, text_col, idx.n)
-                    verified = jaccard_on_pairs(cpairs, sh, id_col, threshold)
-                    matched = verified.select(
-                        F.col("id_b").alias(id_col)
-                    ).distinct()
-                    survivors = batch.join(matched, id_col, "left_anti")
-                    survivors.write.mode("overwrite").parquet(
-                        f"{out_path}/batch-{batch_id}"
-                    )
-                    idx.append(survivors, text_col, batch_id=batch_id)
-                finally:
-                    cpairs.unpersist()
+                corpus = read_stream_corpus(spark, out_path).select(
+                    id_col, text_col
+                )
+                members = cpairs.select(
+                    F.col("id_a").alias(id_col)
+                ).distinct()
+                touched = corpus.join(
+                    members, id_col, "left_semi"
+                ).unionByName(batch.select(id_col, text_col))
+                sh = shingles(touched, id_col, text_col, idx.n)
+                verified = jaccard_on_pairs(cpairs, sh, id_col, threshold)
+                matched = verified.select(
+                    F.col("id_b").alias(id_col)
+                ).distinct()
+                survivors = batch.join(matched, id_col, "left_anti")
+                survivors.write.mode("overwrite").parquet(
+                    f"{out_path}/batch-{batch_id}"
+                )
+                idx.append(survivors, text_col, batch_id=batch_id)
                 return
             matched = cand.select(F.col("new_id").alias(id_col)).distinct()
             survivors = batch.join(matched, id_col, "left_anti")

@@ -170,9 +170,15 @@ def main():
         "(docs/SCALING.md rows).",
         "",
     ]
-    with open(os.path.join(REPO, "docs", "PLAN_AUDIT.md"), "w") as fh:
-        fh.write("\n".join(lines))
-    print(f"wrote docs/PLAN_AUDIT.md ({len(rows)} queries)")
+    if set(names) == set(AUDIT_SET):
+        with open(os.path.join(REPO, "docs", "PLAN_AUDIT.md"), "w") as fh:
+            fh.write("\n".join(lines))
+        print(f"wrote docs/PLAN_AUDIT.md ({len(rows)} queries)")
+    else:
+        # subset runs are for iteration only: overwriting the doc with
+        # a partial table would silently drop the other flagship rows
+        # (this bit r8 — a 4-row doc was committed by mistake)
+        print("subset run: docs/PLAN_AUDIT.md left untouched")
     spark.stop()
     if bad:
         print(f"FAIL: row-at-a-time Python eval in: {bad}", file=sys.stderr)
