@@ -460,3 +460,102 @@ def test_routed_scan_plan_prunes_adjacency_columns(docs, queries, tmp_path):
         dfg._jdf.queryExecution(), "formatted"
     )
     assert "_nbrs" in plang
+
+
+def _select_heuristic_reference(g, cands, m):
+    """The pre-r8 per-candidate form of getNeighborsByHeuristic2,
+    kept verbatim as the parity oracle for the vectorized rewrite."""
+    if len(cands) <= m:
+        return np.array([c for _, c in cands], dtype=np.int64)
+    kept = []
+    for d, c in cands:
+        if len(kept) >= m:
+            break
+        if not kept:
+            kept.append(c)
+            continue
+        kmat = g.vecs[np.asarray(kept, dtype=np.int64)]
+        cv = g.vecs[c]
+        if g.metric == "L2":
+            dk = ((kmat - cv) ** 2).sum(axis=1)
+        else:
+            dk = -(kmat @ cv)
+        if (dk > d).all():
+            kept.append(c)
+    return np.asarray(kept, dtype=np.int64)
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
+def test_select_heuristic_matches_reference(metric):
+    """r8: the vectorized neighbor-selection heuristic must make
+    IDENTICAL decisions to the per-candidate original, including on
+    internal-form (possibly negative) query distances.
+
+    L2 additionally uses corpus-row queries over duplicate-heavy data
+    (exact kept-vs-query FP ties) — its distance expressions are
+    bitwise-stable across both forms. The dot metrics use off-corpus
+    queries: AT an exact tie the dot-product keep test was already
+    decided by last-ulp BLAS kernel noise in the per-candidate form
+    itself (gemv over a 1-row vs a 36-row matrix picks different
+    kernels), so bitwise tie parity is not a property either form has;
+    away from ties (measure-1 of real inputs) decisions must agree."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(400, 16))
+    mat = np.vstack([base, base[:100]])  # planted exact duplicates
+    g = NpHnsw(m=8, metric=metric)
+    g.vecs = g._prep(mat)
+    if metric == "L2":
+        g.sq = (g.vecs * g.vecs).sum(axis=1)
+    for trial in range(200):
+        c = int(rng.integers(2, 40))
+        ids = rng.choice(len(mat), size=c, replace=False).astype(np.int64)
+        if metric == "L2":
+            q = g.vecs[int(rng.integers(0, len(mat)))]
+        else:
+            q = g._prep(rng.normal(size=(1, 16)))[0]
+        d = g._dists(q, ids)  # internal form, like the insert path
+        order = np.argsort(d, kind="stable")
+        d, ids = d[order], ids[order]
+        m = int(rng.integers(1, 12))
+        ref = _select_heuristic_reference(
+            g, [(float(x), int(i)) for x, i in zip(d, ids)], m
+        )
+        got = g._select_heuristic(d, ids, m)
+        assert (got == ref).all(), (trial, metric, got, ref)
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP"])
+def test_np_hnsw_build_identical_after_vectorization(metric):
+    """The r8 _select_heuristic/_search_layer rewrites must leave the
+    BUILT GRAPH identical (same adjacency, same entry), not merely
+    similar-recall. Oracle = a build driven by the reference heuristic,
+    monkey-patched in. L2 includes planted duplicates (its tie
+    expressions are bitwise-stable); IP uses distinct vectors — at an
+    exact duplicate-vs-inserted-query tie the dot keep test was BLAS
+    kernel-noise in the old form too (see the parity test)."""
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(500, 12))
+    if metric == "L2":
+        mat = np.vstack([base, base[:80]])  # duplicates stress ties
+    else:
+        mat = base
+    fast = NpHnsw(m=8, ef_construction=60, metric=metric).build(mat, seed=3)
+
+    slow = NpHnsw(m=8, ef_construction=60, metric=metric)
+    orig = NpHnsw._select_heuristic
+    try:
+        NpHnsw._select_heuristic = lambda g, dq, ids, m: (
+            _select_heuristic_reference(
+                g, [(float(x), int(i)) for x, i in zip(dq, ids)], m
+            )
+        )
+        slow.build(mat, seed=3)
+    finally:
+        NpHnsw._select_heuristic = orig
+
+    assert fast.entry == slow.entry and fast.max_level == slow.max_level
+    assert (fast.levels == slow.levels).all()
+    for i in range(len(mat)):
+        assert len(fast.adj[i]) == len(slow.adj[i])
+        for lvl in range(len(fast.adj[i])):
+            assert (fast.adj[i][lvl] == slow.adj[i][lvl]).all(), (i, lvl)
