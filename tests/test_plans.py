@@ -330,3 +330,27 @@ def test_stage_scope_releases_persists(spark, documents):
             assert int(jsc.getPersistentRDDs().size()) > mid
         assert int(jsc.getPersistentRDDs().size()) == mid
     assert int(jsc.getPersistentRDDs().size()) == base
+
+
+def test_canary_legs_are_frozen():
+    """The bench canary's cross-round normalization is only valid while
+    the r7 probe workloads stay byte-identical — editing them silently
+    breaks every future shared_prev_total_norm. Pin their source hashes
+    (if a change is ever truly intended, mint a NEW leg like r8's
+    canary2 instead of editing these)."""
+    import hashlib
+    import inspect
+
+    import bench
+
+    frozen = {
+        "_canary_jvm": "03c1b7956fcf61a7",
+        "_canary_arrow": "3e5a42de5a4ef2f2",
+    }
+    for name, want in frozen.items():
+        src = inspect.getsource(getattr(bench, name)).encode()
+        got = hashlib.sha256(src).hexdigest()[:16]
+        assert got == want, (
+            f"{name} changed (hash {got} != frozen {want}) — the r7 "
+            "canary legs must never be edited; add a new leg instead"
+        )
