@@ -146,7 +146,13 @@ def calibrate_router(
     the scan GEMM and the traversal's frontier evals alike — the
     break-even shard size depends on their RATIO, which the probe
     preserves. Env overrides remain the escape hatch for hosts where
-    that assumption fails."""
+    that assumption fails.
+
+    Each timed leg is best-of-3: single-shot probes measured a 2x
+    same-host swing between two r8 builds (1.52e9 vs 2.99e9 MACs/s —
+    a transient page/GC stall lands entirely in a one-shot number),
+    which is enough to flip the route near break-even; the min of
+    three is the steady-state rate."""
     metric = metric.upper()
     # probe sizes hold total work constant across dims (the probe is
     # bounded ~0.5 s whether the index is 64- or 768-dimensional)
@@ -163,18 +169,22 @@ def calibrate_router(
     if metric == "L2":
         g.sq = (g.vecs * g.vecs).sum(axis=1)
     g.scan(q[:8], 10)  # warmup (page-in, BLAS thread spin-up)
-    t0 = time.perf_counter()
-    g.scan(q, 10)
-    scan_s = max(time.perf_counter() - t0, 1e-6)
+    scan_s = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        g.scan(q, 10)
+        scan_s = min(scan_s, max(time.perf_counter() - t0, 1e-6))
     scan_macs = nq * n_scan * dim / scan_s
 
     gb = NpHnsw(m=m, ef_construction=48, metric=metric).build(
         mat[:n_graph], seed=seed
     )
     gb.search(q[:8], 10, ef=ef)  # warmup
-    t0 = time.perf_counter()
-    gb.search(q, 10, ef=ef)
-    graph_s = max(time.perf_counter() - t0, 1e-6)
+    graph_s = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        gb.search(q, 10, ef=ef)
+        graph_s = min(graph_s, max(time.perf_counter() - t0, 1e-6))
     # subtract the MAC share so the constant is the Python/heap
     # overhead FLOOR the cost model adds MACs back onto
     graph_spq = max(graph_s / nq - (ef * 2 * m * dim) / scan_macs, 1e-5)
