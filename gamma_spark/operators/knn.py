@@ -168,20 +168,35 @@ def knn_scan(
             # docids (the oracle's tie order) — argpartition alone keeps
             # arbitrary tied members, so rows with boundary ties (exact
             # duplicate vectors produce them even on float metrics) get
-            # a (score, docid) lexsort repair.
+            # a (score, docid) lexsort repair. Tie DETECTION uses the
+            # dual-pivot trick (the r8 hnsw.scan form): the (kk+1)-th
+            # smallest lands at column kk, so one column compare
+            # replaces a full (Q, k+B) bool matrix + extra pass per
+            # merge. A non-finite kth means fewer than kk in-band
+            # candidates — every finite one is kept and the inf-tied
+            # fillers are dropped at emission, so no repair is needed.
             cand_scores = np.concatenate([best_scores, s.T], axis=1)  # (Q, k+B)
             cand_ids = np.concatenate(
                 [best_ids, np.broadcast_to(ids, (len(qids), len(ids)))], axis=1
             )
             kk = min(k, cand_scores.shape[1])
             skey = cand_scores if asc else -cand_scores
-            part = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
-            thr = np.take_along_axis(skey, part, axis=1).max(axis=1)
-            tied = np.flatnonzero((skey <= thr[:, None]).sum(axis=1) > kk)
+            if kk < cand_scores.shape[1]:
+                pf = np.argpartition(skey, (kk - 1, kk), axis=1)
+                part = pf[:, :kk]
+                kth = np.take_along_axis(skey, pf[:, kk - 1 : kk], axis=1)[:, 0]
+                nxt = np.take_along_axis(skey, pf[:, kk : kk + 1], axis=1)[:, 0]
+                tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
+            else:
+                part = np.broadcast_to(
+                    np.arange(kk), cand_scores.shape
+                ).copy()
+                kth = np.array([])
+                tied = np.array([], dtype=np.int64)
             new_scores = np.take_along_axis(cand_scores, part, axis=1)
             new_ids = np.take_along_axis(cand_ids, part, axis=1)
             for r in tied:
-                cand = np.flatnonzero(skey[r] <= thr[r])
+                cand = np.flatnonzero(skey[r] <= kth[r])
                 sel = cand[np.lexsort((cand_ids[r][cand], skey[r][cand]))[:kk]]
                 new_scores[r] = cand_scores[r][sel]
                 new_ids[r] = cand_ids[r][sel]
