@@ -524,15 +524,32 @@ class IvfFlatIndex:
                     )
                     kk = min(k, cand_s.shape[1])
                     skey = cand_s if asc else -cand_s
-                    part = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
                     # boundary ties keep the smallest docids (same
-                    # repair as the scan/cogroup kernels)
-                    thr = np.take_along_axis(skey, part, axis=1).max(axis=1)
-                    tied = np.flatnonzero((skey <= thr[:, None]).sum(axis=1) > kk)
+                    # repair as the scan/cogroup kernels); dual-pivot
+                    # detection (r8): the (kk+1)-th smallest lands at
+                    # column kk, so one column compare replaces the
+                    # (Q, k+B) bool matrix — non-finite kth rows keep
+                    # arbitrary inf pads, dropped at emission anyway
+                    if kk < cand_s.shape[1]:
+                        pf = np.argpartition(skey, (kk - 1, kk), axis=1)
+                        part = pf[:, :kk]
+                        kth = np.take_along_axis(
+                            skey, pf[:, kk - 1 : kk], axis=1
+                        )[:, 0]
+                        nxt = np.take_along_axis(
+                            skey, pf[:, kk : kk + 1], axis=1
+                        )[:, 0]
+                        tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
+                    else:
+                        part = np.broadcast_to(
+                            np.arange(kk), cand_s.shape
+                        ).copy()
+                        kth = np.array([])
+                        tied = np.array([], dtype=np.int64)
                     new_s = np.take_along_axis(cand_s, part, axis=1)
                     new_i = np.take_along_axis(cand_i, part, axis=1)
                     for r in tied:
-                        cand = np.flatnonzero(skey[r] <= thr[r])
+                        cand = np.flatnonzero(skey[r] <= kth[r])
                         sel = cand[np.lexsort((cand_i[r][cand], skey[r][cand]))[:kk]]
                         new_s[r] = cand_s[r][sel]
                         new_i[r] = cand_i[r][sel]
