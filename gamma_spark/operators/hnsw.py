@@ -194,6 +194,20 @@ def calibrate_router(
     }
 
 
+#: lazily-measured host calibration for indexes WITHOUT a persisted
+#: meta (in-memory builds): keyed by metric, measured once per driver
+#: process at the default probe shape. Resolution order stays
+#: env > index meta > this memo > frozen defaults.
+_HOST_CALIBRATION: dict[str, dict[str, float]] = {}
+
+
+def _host_calibration(metric: str) -> dict[str, float]:
+    metric = metric.upper()
+    if metric not in _HOST_CALIBRATION:
+        _HOST_CALIBRATION[metric] = calibrate_router(metric=metric)
+    return _HOST_CALIBRATION[metric]
+
+
 class NpHnsw:
     """In-memory HNSW over a fixed vector matrix — the per-shard build
     and traversal kernel, also reusable driver-side as the coarse
@@ -781,18 +795,24 @@ class HnswIndex:
         if mode not in ("auto", "graph", "scan"):
             raise ValueError(f"mode must be auto/graph/scan, got {mode!r}")
         # constant resolution happens ON THE DRIVER — env override
-        # first, then the index meta's calibration, then None (frozen
-        # defaults inside _route_to_scan). Resolving env here matters
-        # for the per-shard kernel below: executor Python workers
-        # inherit the EXECUTOR's environment, not the driver script's,
-        # so an os.environ set after session start (or any real-cluster
-        # deploy) would silently not reach the cogroup kernel.
+        # first, then the index meta's calibration, then (for auto mode
+        # on an in-memory index, which has no meta) a once-per-process
+        # host calibration, then None (frozen defaults inside
+        # _route_to_scan). Resolving env here matters for the per-shard
+        # kernel below: executor Python workers inherit the EXECUTOR's
+        # environment, not the driver script's, so an os.environ set
+        # after session start (or any real-cluster deploy) would
+        # silently not reach the cogroup kernel.
         r_macs = _env_float(ENV_SCAN_MACS) or self.router.get(
             "scan_macs_per_sec"
         )
         r_spq = _env_float(ENV_GRAPH_SPQ) or self.router.get(
             "graph_sec_per_query"
         )
+        if mode == "auto" and (r_macs is None or r_spq is None):
+            host = _host_calibration(self.metric)
+            r_macs = r_macs or host["scan_macs_per_sec"]
+            r_spq = r_spq or host["graph_sec_per_query"]
         if mode == "auto" and self.path:
             # parquet-backed: resolve the route driver-side (count is
             # metadata-only under aggregate pushdown, dim reads one row)

@@ -559,3 +559,26 @@ def test_np_hnsw_build_identical_after_vectorization(metric):
         assert len(fast.adj[i]) == len(slow.adj[i])
         for lvl in range(len(fast.adj[i])):
             assert (fast.adj[i][lvl] == slow.adj[i][lvl]).all(), (i, lvl)
+
+
+def test_in_memory_auto_uses_host_calibration(docs, queries, monkeypatch):
+    """r8: in-memory indexes (no persisted meta) resolve auto-routing
+    constants from a once-per-process host calibration, not the frozen
+    defaults — and env still wins over it."""
+    from gamma_spark.operators import hnsw as H
+
+    idx = HnswIndex.build(docs, nshards=2, m=16, metric="L2")
+    assert idx.router == {}
+    monkeypatch.delenv(H.ENV_SCAN_MACS, raising=False)
+    monkeypatch.delenv(H.ENV_GRAPH_SPQ, raising=False)
+    H._HOST_CALIBRATION.clear()
+    out = idx.search(None, queries, k=5, mode="auto")
+    out.count()
+    assert "L2" in H._HOST_CALIBRATION  # memoized by the auto search
+    cal = H._HOST_CALIBRATION["L2"]
+    assert cal["scan_macs_per_sec"] > 0 and cal["graph_sec_per_query"] > 0
+    # memo reused, not re-measured
+    sentinel = {"scan_macs_per_sec": 1.0, "graph_sec_per_query": 9.9}
+    H._HOST_CALIBRATION["L2"] = sentinel
+    assert H._host_calibration("L2") is sentinel
+    H._HOST_CALIBRATION.clear()
