@@ -33,6 +33,11 @@ def writer_lock(dir_path: str, name: str = "writer.lock", block: bool = False):
     ledger entry to a read-modify-write race. ``block=True`` WAITS for
     the holder instead (kernel wait queue, no polling) — the mode for
     callers that want to serialize appends rather than reject them.
+    NOT re-entrant: each entry opens a fresh fd, and flock exclusion is
+    per-open-file-description, so a nested ``block=True`` acquire in
+    the same process deadlocks against itself (a nested ``block=False``
+    acquire fails fast with :class:`ConcurrentWriterError`). Callers
+    hold at most one lock per store, never nested.
 
     The exclusion is a kernel ``flock(LOCK_EX)``, not lockfile
     *existence*, so crash recovery is automatic: the kernel releases
@@ -69,7 +74,13 @@ def writer_lock(dir_path: str, name: str = "writer.lock", block: bool = False):
         fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(fd, flags)
-        except BlockingIOError:
+        except OSError as exc:
+            if not isinstance(exc, BlockingIOError):
+                # ENOLCK/EINTR etc: close BEFORE propagating, or the fd
+                # (and any partially won lock state) leaks for the life
+                # of the process
+                os.close(fd)
+                raise
             try:
                 with open(lock) as fh:
                     holder = fh.read().strip() or "?"

@@ -81,15 +81,23 @@ DEFAULT_EF_SEARCH = 64
 # These module constants are the FROZEN FALLBACK (the r6 probe-session
 # measurements on the build host). On a different cluster the
 # break-even shard size moves several-fold, so the constants resolve
-# in priority order (VERDICT r7 #2):
+# in priority order (VERDICT r7 #2, r8 #4):
 #   1. env override (operators pin a known-good route fleet-wide),
-#   2. per-index calibration measured by :func:`calibrate_router` at
-#      build time and persisted in the index meta sidecar,
-#   3. these frozen defaults.
+#   2. SATURATED per-index calibration (concurrent-probe constants,
+#      :func:`calibrate_router_saturated`, persisted in the index meta
+#      when the build ran with ``saturate``) — preferred over the solo
+#      pair because it measures the ratio under the same memory-
+#      bandwidth contention the 32-way cogroup kernel sees,
+#   3. solo per-index calibration measured by :func:`calibrate_router`
+#      at build time and persisted in the index meta sidecar,
+#   4. these frozen defaults.
 SCAN_MACS_PER_SEC = 6e8     # measured under full concurrency, NOT peak BLAS
 GRAPH_SEC_PER_QUERY = 3.5e-3  # measured per-traversal Python overhead floor
 ENV_SCAN_MACS = "SPARK_GRAFT_HNSW_SCAN_MACS_PER_SEC"
 ENV_GRAPH_SPQ = "SPARK_GRAFT_HNSW_GRAPH_SEC_PER_QUERY"
+#: >1 enables the saturated concurrent probe at build time with that
+#: many forked probe processes (0/unset = solo probe only)
+ENV_CALIB_PROCS = "SPARK_GRAFT_HNSW_CALIB_PROCS"
 
 
 def _env_float(name: str) -> float | None:
@@ -194,18 +202,108 @@ def calibrate_router(
     }
 
 
-#: lazily-measured host calibration for indexes WITHOUT a persisted
-#: meta (in-memory builds): keyed by metric, measured once per driver
-#: process at the default probe shape. Resolution order stays
-#: env > index meta > this memo > frozen defaults.
-_HOST_CALIBRATION: dict[str, dict[str, float]] = {}
+def _calib_probe_worker(barrier, queue, kwargs):  # pragma: no cover - forked
+    """One saturated-probe leg: sync on the barrier so all probes
+    genuinely overlap, then run the standard solo probe under the
+    resulting contention. Module-level so fork/spawn can both resolve
+    it."""
+    try:
+        barrier.wait(timeout=30)
+        queue.put(calibrate_router(**kwargs))
+    except Exception as exc:
+        queue.put({"error": repr(exc)})
 
 
-def _host_calibration(metric: str) -> dict[str, float]:
-    metric = metric.upper()
-    if metric not in _HOST_CALIBRATION:
-        _HOST_CALIBRATION[metric] = calibrate_router(metric=metric)
-    return _HOST_CALIBRATION[metric]
+def calibrate_router_saturated(
+    dim: int = 64,
+    m: int = 16,
+    ef: int = DEFAULT_EF_SEARCH,
+    metric: str = "L2",
+    procs: int | None = None,
+    seed: int = 0,
+) -> dict[str, float]:
+    """Measure the router constants under N-way concurrency (VERDICT
+    r8 #4): N forked processes run :func:`calibrate_router` probes
+    simultaneously (barrier-synced start), so each probe's GEMM and
+    traversal legs contend for memory bandwidth the way the 32-way
+    cogroup kernel's Python workers do. Processes, not threads: the
+    traversal leg is Python-heavy and threads would measure GIL
+    serialization, not bandwidth derate. Each worker seeds its own
+    matrices post-fork, so no copy-on-write page sharing understates
+    the bandwidth pressure.
+
+    Returns the per-worker MEDIAN of each constant (a straggler that
+    hits a page/GC stall lands in the tails). Falls back to the solo
+    probe when fork is unavailable or any worker dies — routing must
+    never fail a build."""
+    if procs is None:
+        procs = int(os.environ.get(ENV_CALIB_PROCS, "0") or 0) or min(
+            os.cpu_count() or 1, 32
+        )
+    procs = int(procs)
+    if procs <= 1:
+        return calibrate_router(dim=dim, m=m, ef=ef, metric=metric, seed=seed)
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+        barrier = ctx.Barrier(procs)
+        queue = ctx.SimpleQueue()
+        workers = [
+            ctx.Process(
+                target=_calib_probe_worker,
+                args=(
+                    barrier,
+                    queue,
+                    dict(dim=dim, m=m, ef=ef, metric=metric, seed=seed + i),
+                ),
+                daemon=True,
+            )
+            for i in range(procs)
+        ]
+        for w in workers:
+            w.start()
+        results = []
+        for _ in workers:
+            results.append(queue.get())
+        for w in workers:
+            w.join(timeout=10)
+            if w.is_alive():
+                w.terminate()
+        good = [r for r in results if "error" not in r]
+        if not good:
+            raise RuntimeError(f"all probe workers failed: {results[:2]}")
+        return {
+            "scan_macs_per_sec": float(
+                np.median([r["scan_macs_per_sec"] for r in good])
+            ),
+            "graph_sec_per_query": float(
+                np.median([r["graph_sec_per_query"] for r in good])
+            ),
+        }
+    except Exception:
+        return calibrate_router(dim=dim, m=m, ef=ef, metric=metric, seed=seed)
+
+
+#: lazily-measured host calibration for indexes WITHOUT persisted
+#: router constants (in-memory builds): keyed by (metric, dim, m) —
+#: the ratio argument only holds when the probe matches the operating
+#: point (ADVICE r8), so a 768-dim index must not route on a 64-dim
+#: probe. Measured once per driver process per operating point.
+#: Resolution order stays env > index meta > this memo > frozen
+#: defaults.
+_HOST_CALIBRATION: dict[tuple[str, int, int], dict[str, float]] = {}
+
+
+def _host_calibration(
+    metric: str, dim: int | None = None, m: int | None = None
+) -> dict[str, float]:
+    key = (metric.upper(), int(dim or 64), int(m or 16))
+    if key not in _HOST_CALIBRATION:
+        _HOST_CALIBRATION[key] = calibrate_router(
+            metric=key[0], dim=key[1], m=key[2]
+        )
+    return _HOST_CALIBRATION[key]
 
 
 class NpHnsw:
@@ -593,6 +691,7 @@ class HnswIndex:
         m: int = DEFAULT_M,
         path: str | None = None,
         router: dict[str, float] | None = None,
+        dim: int | None = None,
     ):
         self.index_df = index_df
         self.nshards = int(nshards)
@@ -600,9 +699,14 @@ class HnswIndex:
         self.doc_vec = doc_vec
         self.m = m
         self.path = path
-        # calibrated routing constants (persisted indexes only); env
-        # vars override inside _route_to_scan
+        # calibrated routing constants; env vars override inside
+        # _route_to_scan, saturated keys (when present) win over solo
         self.router = router or {}
+        # vector dimensionality, recorded at build so host calibration
+        # probes at the index's own operating point (ADVICE r8); None
+        # on legacy loads — resolved lazily from the graph at query
+        # time where needed
+        self.dim = dim
 
     # -- build -----------------------------------------------------------
     @classmethod
@@ -616,6 +720,7 @@ class HnswIndex:
         metric: str = "L2",
         seed: int = 42,
         path: str | None = None,
+        saturate: int | None = None,
     ) -> "HnswIndex":
         metric_u = metric.upper()
         if metric_u not in ("IP", "L2", "COSINE"):
@@ -656,6 +761,7 @@ class HnswIndex:
         )
         graph = sharded.groupBy("_shard").applyInPandas(build_shard, schema=schema)
         router = None
+        dim = None
         if path:
             graph.repartition("_shard").write.mode("overwrite").partitionBy(
                 "_shard"
@@ -666,12 +772,30 @@ class HnswIndex:
             # and persist them with the index (VERDICT r7 #2) — probed
             # at the index's OWN dim and metric (the ratio-preservation
             # argument only holds when the probe matches the operating
-            # point); an empty relation skips calibration
+            # point); an empty relation skips calibration. ``saturate``
+            # (or SPARK_GRAFT_HNSW_CALIB_PROCS) > 1 additionally runs
+            # the concurrent probe and persists the saturated pair,
+            # which query-time routing prefers (VERDICT r8 #4).
             first = docs.select(doc_vec).first()
             if first is not None:
-                router = calibrate_router(
-                    dim=len(first[0]), m=m, metric=metric_u
+                dim = len(first[0])
+                router = calibrate_router(dim=dim, m=m, metric=metric_u)
+                procs = (
+                    saturate
+                    if saturate is not None
+                    else int(os.environ.get(ENV_CALIB_PROCS, "0") or 0)
                 )
+                if procs > 1:
+                    sat = calibrate_router_saturated(
+                        dim=dim, m=m, metric=metric_u, procs=procs
+                    )
+                    router["saturated_scan_macs_per_sec"] = sat[
+                        "scan_macs_per_sec"
+                    ]
+                    router["saturated_graph_sec_per_query"] = sat[
+                        "graph_sec_per_query"
+                    ]
+                    router["saturated_procs"] = int(procs)
             atomic_write_json(
                 os.path.join(path, "meta.json"),
                 {
@@ -681,12 +805,18 @@ class HnswIndex:
                     "doc_vec": doc_vec,
                     "m": m,
                     "router": router,
+                    "dim": dim,
                 },
             )
             graph = docs.sparkSession.read.parquet(os.path.join(path, "graph"))
-        return cls(
-            graph, nshards, metric_u, doc_vec, m=m, path=path, router=router
+        idx = cls(
+            graph, nshards, metric_u, doc_vec, m=m, path=path, router=router,
+            dim=dim,
         )
+        # the source relation makes the operating-point dim resolvable
+        # for in-memory indexes without re-running the graph build
+        idx._src_docs = docs
+        return idx
 
     def append(
         self,
@@ -734,6 +864,7 @@ class HnswIndex:
                     "doc_vec": self.doc_vec,
                     "m": self.m,
                     "router": self.router or None,
+                    "dim": self.dim or fresh.dim,
                 },
             )
             merged = self.index_df.sparkSession.read.parquet(
@@ -741,7 +872,7 @@ class HnswIndex:
             )
         return HnswIndex(
             merged, base + nshards, self.metric, self.doc_vec, m=self.m,
-            path=self.path, router=self.router,
+            path=self.path, router=self.router, dim=self.dim or fresh.dim,
         )
 
     @classmethod
@@ -756,7 +887,45 @@ class HnswIndex:
             m=meta.get("m", DEFAULT_M),
             path=path,
             router=meta.get("router") or None,
+            dim=meta.get("dim"),
         )
+
+    def _probe_dim(self) -> int | None:
+        """Operating-point dim for host calibration, resolved WITHOUT
+        touching index_df (a first() there would execute the whole
+        per-shard graph build for an in-memory index): the recorded
+        build dim, else one narrow row off the build-time source
+        relation, else None (caller probes at the default shape)."""
+        if self.dim:
+            return self.dim
+        src = getattr(self, "_src_docs", None)
+        if src is not None:
+            row = src.select(self.doc_vec).first()
+            if row is not None:
+                self.dim = len(row[0])
+        return self.dim
+
+    def _backfill_router_meta(self) -> None:
+        """Best-effort persist of lazily-probed router constants for a
+        legacy index (meta predates calibration). Re-reads meta fresh
+        and rewrites ONLY the router/dim keys, so a concurrent
+        append's nshards bump is never clobbered by a stale copy
+        (appends themselves stay under the store's single-writer
+        contract); any IO failure just means the probe re-runs on the
+        next process."""
+        if not self.path:
+            return
+        from gamma_spark.io_util import atomic_write_json
+
+        try:
+            with open(os.path.join(self.path, "meta.json")) as fh:
+                meta = json.load(fh)
+            meta["router"] = self.router or None
+            if self.dim:
+                meta.setdefault("dim", self.dim)
+            atomic_write_json(os.path.join(self.path, "meta.json"), meta)
+        except OSError:
+            pass
 
     # -- search ----------------------------------------------------------
     def knn_join_distributed(
@@ -795,22 +964,40 @@ class HnswIndex:
         if mode not in ("auto", "graph", "scan"):
             raise ValueError(f"mode must be auto/graph/scan, got {mode!r}")
         # constant resolution happens ON THE DRIVER — env override
-        # first, then the index meta's calibration, then (for auto mode
-        # on an in-memory index, which has no meta) a once-per-process
-        # host calibration, then None (frozen defaults inside
-        # _route_to_scan). Resolving env here matters for the per-shard
-        # kernel below: executor Python workers inherit the EXECUTOR's
-        # environment, not the driver script's, so an os.environ set
-        # after session start (or any real-cluster deploy) would
-        # silently not reach the cogroup kernel.
-        r_macs = _env_float(ENV_SCAN_MACS) or self.router.get(
-            "scan_macs_per_sec"
+        # first, then the index meta's SATURATED calibration (probed
+        # under N-way contention, VERDICT r8 #4), then the solo
+        # calibration, then (auto mode with no persisted constants) a
+        # host probe: once-per-process for in-memory indexes, once-per-
+        # INDEX with a meta backfill for legacy persisted indexes built
+        # before router calibration existed (ADVICE r8). Resolving env
+        # here matters for the per-shard kernel below: executor Python
+        # workers inherit the EXECUTOR's environment, not the driver
+        # script's, so an os.environ set after session start (or any
+        # real-cluster deploy) would silently not reach the cogroup
+        # kernel.
+        r_macs = (
+            _env_float(ENV_SCAN_MACS)
+            or self.router.get("saturated_scan_macs_per_sec")
+            or self.router.get("scan_macs_per_sec")
         )
-        r_spq = _env_float(ENV_GRAPH_SPQ) or self.router.get(
-            "graph_sec_per_query"
+        r_spq = (
+            _env_float(ENV_GRAPH_SPQ)
+            or self.router.get("saturated_graph_sec_per_query")
+            or self.router.get("graph_sec_per_query")
         )
-        if mode == "auto" and (r_macs is None or r_spq is None):
-            host = _host_calibration(self.metric)
+        if (
+            mode == "auto"
+            and not self.path
+            and (r_macs is None or r_spq is None)
+        ):
+            # in-memory index without persisted constants: probe at
+            # this index's operating point when the build-time source
+            # relation (or a recorded dim) makes it cheap to resolve —
+            # a first() on index_df itself would re-run the graph
+            # build, so a direct-constructed index without dim falls
+            # back to the default probe shape (documented
+            # approximation; the memo is keyed on the resolved shape)
+            host = _host_calibration(self.metric, self._probe_dim(), self.m)
             r_macs = r_macs or host["scan_macs_per_sec"]
             r_spq = r_spq or host["graph_sec_per_query"]
         if mode == "auto" and self.path:
@@ -831,6 +1018,20 @@ class HnswIndex:
                 # the cheaper no-op (no graph deserialization)
                 mode = "scan"
             else:
+                if r_macs is None or r_spq is None:
+                    # legacy persisted index whose meta predates router
+                    # calibration: probe once at the index's OWN
+                    # dim/m/metric, then backfill the meta so the
+                    # ~0.5 s probe runs once per INDEX, not once per
+                    # driver process (ADVICE r8)
+                    cal = calibrate_router(
+                        dim=len(first[0]), m=self.m, metric=self.metric
+                    )
+                    self.router = {**self.router, **cal}
+                    self.dim = self.dim or len(first[0])
+                    r_macs = r_macs or cal["scan_macs_per_sec"]
+                    r_spq = r_spq or cal["graph_sec_per_query"]
+                    self._backfill_router_meta()
                 mode = (
                     "scan"
                     if _route_to_scan(

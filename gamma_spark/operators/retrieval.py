@@ -527,12 +527,12 @@ class Bm25Index:
         ``batches`` list and the later meta replace drops the other's
         committed id, re-opening the double-append window. The contract
         is SELF-ENFORCING for path-backed indexes: the whole append
-        runs under an ``O_EXCL`` lockfile (io_util.writer_lock), so a
-        second concurrent appender fails fast with
+        runs under a kernel ``flock`` lockfile (io_util.writer_lock),
+        so a second concurrent appender fails fast with
         ``ConcurrentWriterError`` instead of losing a ledger entry.
         Retries of the SAME batch_id (Spark micro-batch replay) are
-        safe; a lock left by a crashed appender is stolen when its pid
-        is dead.
+        safe; a crashed appender's lock releases automatically when the
+        kernel closes its fds — nothing is stolen.
 
         Crash contract (with batch_id): postings commit via Spark's
         file commit protocol, the meta (stats + ledger) rewrites last.

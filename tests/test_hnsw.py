@@ -574,11 +574,122 @@ def test_in_memory_auto_uses_host_calibration(docs, queries, monkeypatch):
     H._HOST_CALIBRATION.clear()
     out = idx.search(None, queries, k=5, mode="auto")
     out.count()
-    assert "L2" in H._HOST_CALIBRATION  # memoized by the auto search
-    cal = H._HOST_CALIBRATION["L2"]
+    # r9 (ADVICE r8): the memo is keyed on the index's OWN operating
+    # point (metric, dim, m) — resolved from the build-time source
+    # relation, never the default 64-dim probe shape blindly
+    assert idx.dim is not None and idx.dim > 0
+    key = ("L2", idx.dim, 16)
+    assert key in H._HOST_CALIBRATION  # memoized by the auto search
+    cal = H._HOST_CALIBRATION[key]
     assert cal["scan_macs_per_sec"] > 0 and cal["graph_sec_per_query"] > 0
     # memo reused, not re-measured
     sentinel = {"scan_macs_per_sec": 1.0, "graph_sec_per_query": 9.9}
-    H._HOST_CALIBRATION["L2"] = sentinel
-    assert H._host_calibration("L2") is sentinel
+    H._HOST_CALIBRATION[key] = sentinel
+    assert H._host_calibration("L2", idx.dim, 16) is sentinel
     H._HOST_CALIBRATION.clear()
+
+
+def test_saturated_constants_win_over_solo(tmp_path, docs, queries, monkeypatch):
+    """VERDICT r8 #4: when the index meta carries BOTH the solo and the
+    saturated (concurrent-probe) router constants, auto routing must
+    resolve on the saturated pair — it measures the scan/traversal
+    ratio under the same memory-bandwidth contention the 32-way
+    cogroup kernel sees. Env overrides still win over both."""
+    from gamma_spark.operators import hnsw as H
+
+    monkeypatch.delenv(H.ENV_SCAN_MACS, raising=False)
+    monkeypatch.delenv(H.ENV_GRAPH_SPQ, raising=False)
+    path = str(tmp_path / "satidx")
+    idx = HnswIndex.build(docs, nshards=2, m=16, metric="L2", path=path)
+    idx.router = {
+        "scan_macs_per_sec": 111.0,
+        "graph_sec_per_query": 0.9,
+        "saturated_scan_macs_per_sec": 222.0,
+        "saturated_graph_sec_per_query": 0.8,
+    }
+    captured = {}
+
+    def fake_route(n_shard, dim, ef=64, m=32, scan_macs=None, graph_spq=None):
+        captured["scan_macs"] = scan_macs
+        captured["graph_spq"] = graph_spq
+        return True
+
+    monkeypatch.setattr(H, "_route_to_scan", fake_route)
+    idx.search(None, queries, k=5, mode="auto")
+    assert captured == {"scan_macs": 222.0, "graph_spq": 0.8}
+    # env beats saturated
+    monkeypatch.setenv(H.ENV_SCAN_MACS, "333.0")
+    idx.search(None, queries, k=5, mode="auto")
+    assert captured["scan_macs"] == 333.0 and captured["graph_spq"] == 0.8
+
+
+def test_saturated_calibration_persisted_and_loaded(tmp_path, docs, monkeypatch):
+    """build(saturate=N) runs the N-process concurrent probe and
+    persists the saturated pair next to the solo pair; load restores
+    both plus the recorded dim. The probe itself returns sane
+    positives and never raises (it falls back to solo on failure)."""
+    import json as _json
+
+    from gamma_spark.operators.hnsw import calibrate_router_saturated
+
+    monkeypatch.delenv("SPARK_GRAFT_HNSW_CALIB_PROCS", raising=False)
+    sat = calibrate_router_saturated(dim=32, m=16, procs=2)
+    assert sat["scan_macs_per_sec"] > 0 and sat["graph_sec_per_query"] > 0
+    # procs<=1 degenerates to the solo probe
+    solo = calibrate_router_saturated(dim=32, m=16, procs=1)
+    assert set(solo) == {"scan_macs_per_sec", "graph_sec_per_query"}
+
+    path = str(tmp_path / "satbuild")
+    idx = HnswIndex.build(
+        docs, nshards=2, m=16, metric="L2", path=path, saturate=2
+    )
+    assert idx.router["scan_macs_per_sec"] > 0
+    assert idx.router["saturated_scan_macs_per_sec"] > 0
+    assert idx.router["saturated_graph_sec_per_query"] > 0
+    assert idx.router["saturated_procs"] == 2
+    assert idx.dim and idx.dim > 0
+    meta = _json.load(open(f"{path}/meta.json"))
+    assert meta["router"] == idx.router and meta["dim"] == idx.dim
+    loaded = HnswIndex.load(docs.sparkSession, path)
+    assert loaded.router == idx.router and loaded.dim == idx.dim
+
+
+def test_legacy_meta_router_backfill(tmp_path, docs, queries, monkeypatch):
+    """ADVICE r8: a persisted index whose meta predates router
+    calibration (router=None, no dim) triggers ONE probe at the
+    index's own dim/m on the first auto query, and the result is
+    backfilled into meta.json — once per index, not once per process.
+    Untouched meta keys (nshards) survive the backfill rewrite."""
+    import json as _json
+
+    from gamma_spark.operators import hnsw as H
+
+    monkeypatch.delenv(H.ENV_SCAN_MACS, raising=False)
+    monkeypatch.delenv(H.ENV_GRAPH_SPQ, raising=False)
+    path = str(tmp_path / "legacyidx")
+    HnswIndex.build(docs, nshards=2, m=16, metric="L2", path=path)
+    mpath = f"{path}/meta.json"
+    meta = _json.load(open(mpath))
+    meta["router"] = None
+    meta.pop("dim", None)
+    with open(mpath, "w") as fh:
+        _json.dump(meta, fh)
+
+    loaded = HnswIndex.load(docs.sparkSession, path)
+    assert loaded.router == {} and loaded.dim is None
+    loaded.search(None, queries, k=5, mode="auto")
+    assert loaded.router["scan_macs_per_sec"] > 0
+    assert loaded.dim and loaded.dim > 0
+    meta2 = _json.load(open(mpath))
+    assert meta2["router"] == loaded.router
+    assert meta2["dim"] == loaded.dim
+    assert meta2["nshards"] == 2  # read-fresh rewrite keeps other keys
+
+    # second query: constants now persisted, no re-probe (pin by
+    # making a re-probe blow up)
+    monkeypatch.setattr(
+        H, "calibrate_router",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-probed")),
+    )
+    reloaded = HnswIndex.load(docs.sparkSession, path)
+    reloaded.search(None, queries, k=5, mode="auto")
