@@ -1254,14 +1254,19 @@ FROM documents
 
 def q_multimodal_resize(spark, sf_dir):
     """resize -> feature-extract pipeline composed through the codec
-    registry (VERDICT r3 #7 — these kernels were pytest-only): PPM
-    payloads (two doc_id-derived bands, as in multimodal_features) are
-    nearest-neighbor resized 16x12 -> 8x6 by ``resize_images`` (raw-rgb
-    re-encode + metadata rewrite), then pooled by
-    ``extract_image_features`` via the registered "raw-rgb" codec. Band
-    rows survive nearest-neighbor resampling exactly (rows 0-2 top,
-    3-5 bottom after linspace row picks), so pooled pixel values are
-    integer-recoverable — a real hash-match, not rows-only."""
+    registry (VERDICT r3 #7 — these kernels were pytest-only): per-doc
+    band images (two doc_id-derived bands, as in multimodal_features)
+    arrive in a MIXED-FORMAT corpus — doc_id%3 picks palette PNG
+    (ctype 3, band values resolved through PLTE), RGBA PNG (ctype 6,
+    doc_id-derived alpha the decoder must drop), or binary PPM — and
+    the per-row "auto" codec dispatches each through the registry by
+    its metadata format (VERDICT r8 #3: the PNG palette/alpha decode
+    paths were pytest-only; now a third of the driver rows round-trip
+    them). All three containers decode to the identical band image, so
+    after nearest-neighbor resize 16x12 -> 8x6 (raw-rgb re-encode +
+    metadata rewrite) and pooling via the registered "raw-rgb" codec,
+    pooled pixel values stay integer-recoverable — one hash-matched
+    oracle covers every decode path."""
     from pyspark.sql.types import BinaryType
 
     from gamma_spark.operators import multimodal as M
@@ -1269,27 +1274,43 @@ def q_multimodal_resize(spark, sf_dir):
     W, H, DIM = 16, 12, 16
 
     @F.pandas_udf(BinaryType())
-    def make_ppm(doc_id: pd.Series) -> pd.Series:
+    def make_payload(doc_id: pd.Series) -> pd.Series:
         import numpy as np
 
         out = []
         for d in doc_id:
             top, bottom = int(d) % 256, (int(d) * 7) % 256
-            px = np.empty((H, W, 3), np.uint8)
-            px[: H // 2] = top
-            px[H // 2:] = bottom
-            out.append(M.encode_ppm(px))
+            kind = int(d) % 3
+            if kind == 0:  # palette PNG: band values live in the PLTE
+                idx = np.zeros((H, W), np.uint8)
+                idx[H // 2:] = 1
+                plte = np.array(
+                    [[top] * 3, [bottom] * 3], dtype=np.uint8
+                )
+                out.append(M.encode_png_indexed(idx, plte))
+            elif kind == 1:  # RGBA PNG: alpha must be dropped on decode
+                px = np.empty((H, W, 4), np.uint8)
+                px[: H // 2, :, :3] = top
+                px[H // 2:, :, :3] = bottom
+                px[:, :, 3] = (int(d) * 13) % 256
+                out.append(M.encode_png_rgba(px))
+            else:  # binary PPM (P6)
+                px = np.empty((H, W, 3), np.uint8)
+                px[: H // 2] = top
+                px[H // 2:] = bottom
+                out.append(M.encode_ppm(px))
         return pd.Series(out)
 
+    fmt = F.when(F.col("doc_id") % 3 == 2, F.lit("ppm")).otherwise(F.lit("png"))
     imgs = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        make_ppm("doc_id").alias("image"),
+        make_payload("doc_id").alias("image"),
         F.struct(
             F.lit(W).alias("width"), F.lit(H).alias("height"),
-            F.lit("ppm").alias("format"),
+            fmt.alias("format"),
         ).alias("image_meta"),
     )
-    resized = M.resize_images(imgs, width=8, height=6, codec="ppm")
+    resized = M.resize_images(imgs, width=8, height=6, codec="auto")
     out = M.extract_image_features(resized, dim=DIM, codec="raw-rgb")
     return out.select(
         "doc_id",

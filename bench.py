@@ -32,6 +32,27 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+#: build/search split of the most recent index-building entry run
+#: (VERDICT r8 #6): those entries are the suite's noisiest rows because
+#: the build dominates and is cache/GC-sensitive. Each builder stamps
+#: its latest split here; the run harness keeps the split belonging to
+#: the best-of-N repeat and the artifact reports it under "splits".
+#: The headline per-entry number stays the SUM (round-over-round
+#: continuity); the split only adds visibility. Boundary caveat: the
+#: split is build-API-return (plus any explicit materialization the
+#: entry already does) vs search — entries whose code relations stay
+#: lazy (vearch/sq8) book the executor-side encode into the search leg.
+LAST_SPLIT: dict[str, float] | None = None
+
+
+def _mark_split(t0: float, t_build_done: float) -> None:
+    global LAST_SPLIT
+    LAST_SPLIT = {
+        "build_s": round(t_build_done - t0, 3),
+        "search_s": round(time.time() - t_build_done, 3),
+    }
+
+
 def bench_knn_scan(spark, sf_dir):
     """All-pairs style load: every embedding queries the full table
     through the partition-local-heap scan kernel."""
@@ -49,12 +70,15 @@ def bench_ivf(spark, sf_dir):
     from gamma_spark.operators.ivf import IvfFlatIndex
 
     docs = entry_mod._docs(spark, sf_dir)
+    t0 = time.time()
     idx = IvfFlatIndex.build(docs, ncentroids=32, seed=42)
     idx.index_df.cache().count()
+    tb = time.time()
     queries = docs.select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
     ).limit(512)
     n = idx.search(None, queries, k=10, metric="L2", nprobe=4).count()
+    _mark_split(t0, tb)
     idx.index_df.unpersist()
     return n
 
@@ -97,8 +121,10 @@ def bench_hnsw(spark, sf_dir):
     from gamma_spark.operators.hnsw import HnswIndex
 
     docs = entry_mod._docs(spark, sf_dir)
+    t0 = time.time()
     idx = HnswIndex.build(docs, nshards=8, m=16, ef_construction=80, metric="L2")
     idx.index_df.cache().count()
+    tb = time.time()
     queries = docs.select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
     ).limit(512)
@@ -107,6 +133,7 @@ def bench_hnsw(spark, sf_dir):
     # to the exact scan and silently redefine the benched workload
     # (the r5 fusion-rename lesson)
     n = idx.search(None, queries, k=10, ef_search=64, mode="graph").count()
+    _mark_split(t0, tb)
     idx.index_df.unpersist()
     return n
 
@@ -129,11 +156,15 @@ def bench_vearch(spark, sf_dir):
     from gamma_spark.operators.pq import VearchIndex
 
     docs = entry_mod._docs(spark, sf_dir)
+    t0 = time.time()
     idx = VearchIndex.build(docs, ncentroids=32, nsubvector=8, seed=42)
+    tb = time.time()
     queries = docs.select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
     ).limit(512)
-    return idx.search(None, queries, k=10, metric="IP", nprobe=8).count()
+    n = idx.search(None, queries, k=10, metric="IP", nprobe=8).count()
+    _mark_split(t0, tb)
+    return n
 
 
 def bench_sq8(spark, sf_dir):
@@ -142,11 +173,15 @@ def bench_sq8(spark, sf_dir):
     from gamma_spark.operators.sq import IvfSq8Index
 
     docs = entry_mod._docs(spark, sf_dir)
+    t0 = time.time()
     idx = IvfSq8Index.build(docs, ncentroids=32, seed=42)
+    tb = time.time()
     queries = docs.select(
         F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
     ).limit(512)
-    return idx.search(None, queries, k=10, metric="L2", nprobe=8).count()
+    n = idx.search(None, queries, k=10, metric="L2", nprobe=8).count()
+    _mark_split(t0, tb)
+    return n
 
 
 def bench_neardup_banded(spark, sf_dir):
@@ -287,6 +322,7 @@ def main():
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    splits: dict[str, dict[str, float]] = {}
 
     def _reset():
         # drop cross-query JVM state: cached/localCheckpoint blocks and
@@ -305,13 +341,19 @@ def main():
         # Per-query isolation: one broken query must not zero out the
         # whole artifact (round-2 post-mortem) — record the error type
         # and keep going; the final JSON line always prints.
+        global LAST_SPLIT
         best = float("inf")
+        best_split = None
         try:
             for _ in range(repeats):
                 try:
+                    LAST_SPLIT = None
                     t0 = time.time()
                     fn()
-                    best = min(best, time.time() - t0)
+                    dt = time.time() - t0
+                    if dt < best:
+                        best = dt
+                        best_split = LAST_SPLIT  # split of the best repeat
                 except Exception as exc:  # noqa: BLE001 — isolate per query
                     errors[name] = f"error:{type(exc).__name__}"
                     print(f"[bench] {name} failed: {exc}", file=sys.stderr)
@@ -322,6 +364,8 @@ def main():
             # intermediates legitimately reuse them on the second pass)
             _reset()
         timings[name] = round(best, 3)
+        if best_split is not None:
+            splits[name] = best_split
 
     # registry callables + round-over-round-stable names whose registry
     # rows were consolidated in r4 (the functions themselves remain)
@@ -403,6 +447,11 @@ def main():
         "canary2": {"membw": membw_s},
         "canary2_s": membw_s,
     }
+    if splits:
+        # VERDICT r8 #6: per-entry {build_s, search_s} for the index-
+        # building rows; the headline entry stays the sum, so round
+        # comparisons can exclude build noise without losing continuity
+        out["splits"] = splits
     # round-over-round comparability as the suite grows (VERDICT r4 #9):
     # this run's total restricted to the query names present in the
     # newest BENCH_r*.json, so the judge's diff compares a fixed set.
@@ -440,6 +489,16 @@ def main():
             if isinstance(prev_canary, (int, float)) and canary_s > 0:
                 out["shared_prev_total_norm"] = round(
                     sum(shared.values()) * prev_canary / canary_s, 3
+                )
+            # r9: the membw-canary normalization (VERDICT r8 #1) — the
+            # frozen jvm+arrow pair provably under-measures bandwidth-
+            # bound drift (r8: 40/43 entries moved +34% on untouched
+            # code while canary_s stayed flat); canary2 baselines from
+            # BENCH_r08 on, so this is the first round it can fire
+            prev_c2 = prev.get("canary2_s")
+            if isinstance(prev_c2, (int, float)) and membw_s:
+                out["shared_prev_total_norm2"] = round(
+                    sum(shared.values()) * prev_c2 / membw_s, 3
                 )
     except Exception as exc:  # noqa: BLE001 — never break the artifact
         print(f"[bench] shared_prev_total failed: {exc}", file=sys.stderr)

@@ -297,6 +297,70 @@ def encode_png(px: np.ndarray, filter_type: int | str = 0) -> bytes:
     )
 
 
+def _png_container(
+    ctype: int, w: int, h: int, samples: np.ndarray, plte: np.ndarray | None = None
+) -> bytes:
+    """Assemble a filter-0 PNG for any supported color type:
+    ``samples`` is (h, w*channels) uint8 sample bytes per scanline.
+    Shared by the palette/RGBA encoders — the write-side twins of the
+    color types :func:`decode_png` accepts (RFC 2083 §4.1.3)."""
+    import zlib
+
+    samples = np.ascontiguousarray(samples, dtype=np.uint8)
+    raw = bytearray()
+    for row in samples:
+        raw.append(0)  # filter type 0: encoded bytes = sample bytes
+        raw.extend(row.tobytes())
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(
+            b"PLTE", np.ascontiguousarray(plte, dtype=np.uint8).tobytes()
+        )
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def encode_png_indexed(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode (H, W) uint8 palette indices + (N, 3) uint8 PLTE as an
+    8-bit color-type-3 PNG — the indexed-color container crawls are
+    full of; :func:`decode_png` resolves it back to (H, W, 3)."""
+    indices = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if indices.ndim != 2:
+        raise ValueError(f"expected (H, W) indices, got {indices.shape}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError(f"palette must be (N, 3), got {palette.shape}")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError(
+            f"index {int(indices.max())} out of range for "
+            f"{len(palette)}-entry palette"
+        )
+    h, w = indices.shape
+    return _png_container(3, w, h, indices.reshape(h, w), plte=palette)
+
+
+def encode_png_rgba(px: np.ndarray) -> bytes:
+    """Encode (H, W, 4) uint8 as an 8-bit color-type-6 (RGBA) PNG;
+    :func:`decode_png` drops the alpha channel on read."""
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 4:
+        raise ValueError(f"expected (H, W, 4), got {px.shape}")
+    h, w = px.shape[:2]
+    return _png_container(6, w, h, px.reshape(h, w * 4))
+
+
 # ---------------------------------------------------------------------------
 # codec registry — the injectable seam between Spark plumbing and codecs
 # ---------------------------------------------------------------------------
@@ -330,6 +394,26 @@ def decode_raw_rgb(payload: bytes, meta: dict) -> np.ndarray:
 
 
 register_codec("raw-rgb", decode_raw_rgb)
+
+
+def decode_auto(payload: bytes, meta: dict) -> np.ndarray:
+    """Per-row format dispatch through the metadata struct — the
+    mixed-format corpus case (a crawl-scale table carries PNG and PPM
+    and pre-decoded raw tiles side by side, and one mapInPandas pass
+    must decode them all without per-format splits/unions). The row's
+    ``meta["format"]`` resolves through the same registry, so
+    user-registered codecs participate automatically."""
+    fmt = (meta or {}).get("format")
+    fn = _CODECS.get(fmt)
+    if fn is None or fn is decode_auto:
+        raise ValueError(
+            f"auto codec: row format {fmt!r} not registered "
+            f"(known: {sorted(n for n in _CODECS if n != 'auto')})"
+        )
+    return fn(payload, meta)
+
+
+register_codec("auto", decode_auto)
 
 
 def resolve_codec(name: str | None):

@@ -352,3 +352,73 @@ def test_png_codec_through_spark_plumbing(spark):
     assert r.image_meta.format == "raw-rgb"
     out = np.frombuffer(bytes(r.image), np.uint8).reshape(4, 4, 3)
     assert set(np.unique(out)) == {40, 200}
+
+
+def test_png_palette_rgba_encoders_roundtrip():
+    """r9 (VERDICT r8 #3): the write-side twins of the palette/RGBA
+    decode paths — encode_png_indexed/encode_png_rgba are what the
+    driver fixture uses, so decode_png resolving them back pins the
+    full round trip."""
+    import numpy as np
+
+    plte = np.array([[255, 0, 0], [0, 255, 0], [7, 8, 9]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    got = M.decode_png(M.encode_png_indexed(idx, plte))
+    assert (got == plte[idx]).all()
+
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, size=(4, 3, 4), dtype=np.uint8)
+    got = M.decode_png(M.encode_png_rgba(rgba))
+    assert (got == rgba[:, :, :3]).all()  # alpha dropped
+
+    with pytest.raises(ValueError, match="out of range"):
+        M.encode_png_indexed(np.full((2, 2), 3, np.uint8), plte)
+    with pytest.raises(ValueError, match=r"\(H, W, 4\)"):
+        M.encode_png_rgba(rgba[:, :, :3])
+    with pytest.raises(ValueError, match=r"\(H, W\) indices"):
+        M.encode_png_indexed(idx[None], plte)
+
+
+def test_auto_codec_dispatches_mixed_formats(spark):
+    """The "auto" codec routes each row through the registry by its
+    metadata format — one mapInPandas pass over a mixed PNG/PPM/raw
+    corpus, no per-format splits. Unknown formats fail loudly."""
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[:2], px[2:] = 10, 200
+    rows = [
+        (1, M.encode_png(px), {"width": 4, "height": 4, "format": "png"}),
+        (2, M.encode_ppm(px), {"width": 4, "height": 4, "format": "ppm"}),
+        (3, px.tobytes(), {"width": 4, "height": 4, "format": "raw-rgb"}),
+    ]
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("image", BinaryType()),
+        StructField("image_meta", M.IMAGE_META),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = M.extract_image_features(df, dim=16, codec="auto").collect()
+    feats = {r.doc_id: r.feat for r in sorted(out, key=lambda r: r.doc_id)}
+    # identical pixels in every container -> identical features
+    assert feats[1] == feats[2] == feats[3]
+    assert abs(feats[1][0] * 255 - 10) < 0.5  # top band recovered
+
+    bad = spark.createDataFrame(
+        [(9, px.tobytes(), {"width": 4, "height": 4, "format": "tiff"})],
+        schema,
+    )
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises(PythonException, match="not registered"):
+        M.extract_image_features(bad, dim=16, codec="auto").collect()
+    # "auto" never recurses into itself
+    with pytest.raises(ValueError, match="not registered"):
+        M.decode_auto(b"", {"format": "auto"})
