@@ -56,11 +56,18 @@ def main():
     results["exact_scan_s"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    # saturate: persist BOTH the solo and the concurrent-probe router
+    # constants (VERDICT r8 #4) so the route report below can compare
+    # what each set decides near break-even
+    procs = int(os.environ.get("SPARK_GRAFT_HNSW_CALIB_PROCS", "0") or 0) or min(
+        os.cpu_count() or 1, 32
+    )
     hnsw = HnswIndex.build(
         docs, nshards=nshards, m=16, ef_construction=80, metric="L2",
-        path=os.path.join(out, "hnsw"),
+        path=os.path.join(out, "hnsw"), saturate=procs,
     )
     results["hnsw_build_s"] = round(time.time() - t0, 2)
+    results["calib_saturate_procs"] = procs
 
     for ef in (64, 128):
         t0 = time.time()
@@ -85,6 +92,47 @@ def main():
     results["ivf_np32_s"] = round(time.time() - t0, 2)
     results["ivf_np32_recall"] = round(len(got & exact) / len(exact), 4)
 
+    from gamma_spark.operators.hnsw import _route_to_scan
+
+    dim = len(qrows[0].embedding)
+    # report the calibrated constants the route actually used (r8):
+    # build persisted them in the index meta via calibrate_router()
+    results["router_calibrated"] = dict(hnsw.router)
+    results["router_fires"] = bool(
+        _route_to_scan(
+            n // nshards, dim, ef=64, m=16,
+            scan_macs=hnsw.router.get("scan_macs_per_sec"),
+            graph_spq=hnsw.router.get("graph_sec_per_query"),
+        )
+    )
+    # r9 (VERDICT r8 #4): the route each constant set picks at the
+    # saturated break-even shard size and +-2x around it — exactly the
+    # shapes where a concurrency-derated ratio could flip the route.
+    # break-even: n*d/macs = spq + ef*2*m*d/macs -> n = spq*macs/d + ef*2*m
+    solo_macs = hnsw.router.get("scan_macs_per_sec")
+    solo_spq = hnsw.router.get("graph_sec_per_query")
+    sat_macs = hnsw.router.get("saturated_scan_macs_per_sec")
+    sat_spq = hnsw.router.get("saturated_graph_sec_per_query")
+    if sat_macs and sat_spq:
+        be = int(sat_spq * sat_macs / dim + 64 * 2 * 16)
+        results["break_even_shard_saturated"] = be
+        results["break_even_shard_solo"] = int(
+            solo_spq * solo_macs / dim + 64 * 2 * 16
+        )
+        for label, nsh in (("half_be", be // 2), ("at_be", be),
+                           ("double_be", 2 * be)):
+            results[f"route_{label}"] = {
+                "n_shard": nsh,
+                "solo": "scan" if _route_to_scan(
+                    nsh, dim, ef=64, m=16,
+                    scan_macs=solo_macs, graph_spq=solo_spq,
+                ) else "graph",
+                "saturated": "scan" if _route_to_scan(
+                    nsh, dim, ef=64, m=16,
+                    scan_macs=sat_macs, graph_spq=sat_spq,
+                ) else "graph",
+            }
+
     # corpus x corpus shape: a 50k-query RELATION through the fan-out
     # join (never collected), query-split so no task holds them all
     # (skip with SKIP_JOIN=1 for build/search-focused runs)
@@ -99,19 +147,6 @@ def main():
     # the graph-traversal kernel vs the auto router (which takes the
     # exact GEMM scan below the break-even shard size). Recall is
     # sampled on the NQ queries whose exact top-k we already hold.
-    from gamma_spark.operators.hnsw import _route_to_scan
-
-    dim = len(qrows[0].embedding)
-    # report the calibrated constants the route actually used (r8):
-    # build persisted them in the index meta via calibrate_router()
-    results["router_calibrated"] = dict(hnsw.router)
-    results["router_fires"] = bool(
-        _route_to_scan(
-            n // nshards, dim, ef=64, m=16,
-            scan_macs=hnsw.router.get("scan_macs_per_sec"),
-            graph_spq=hnsw.router.get("graph_sec_per_query"),
-        )
-    )
     for mode in ("graph", "auto"):
         t0 = time.time()
         res = hnsw.knn_join_distributed(
