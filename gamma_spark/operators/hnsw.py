@@ -870,10 +870,16 @@ class HnswIndex:
             merged = self.index_df.sparkSession.read.parquet(
                 os.path.join(self.path, "graph")
             )
-        return HnswIndex(
+        out = HnswIndex(
             merged, base + nshards, self.metric, self.doc_vec, m=self.m,
             path=self.path, router=self.router, dim=self.dim or fresh.dim,
         )
+        # keep the operating-point dim resolvable for in-memory chains:
+        # any source relation works, every segment shares the dim
+        out._src_docs = getattr(self, "_src_docs", None)
+        if out._src_docs is None:
+            out._src_docs = new_docs
+        return out
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "HnswIndex":

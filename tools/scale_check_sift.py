@@ -121,6 +121,10 @@ def main():
     spark = get_spark("sift-anchor")
     results: dict = {"n": n, "nq": nq, "dim": DIM}
 
+    def mark(msg):
+        print(f"[sift] {msg}", file=sys.stderr, flush=True)
+
+    mark("corpus")
     t0 = time.time()
     docs = make_sift_like(spark, n, os.path.join(out, "docs"))
     docs.count()
@@ -128,6 +132,7 @@ def main():
     results["corpus_s"] = round(time.time() - t0, 1)
 
     # exact ground truth (the reference benchs' methodology)
+    mark("ground truth")
     t0 = time.time()
     truth = {
         r.qid: r._docid
@@ -142,11 +147,13 @@ def main():
         ("vearch_rerank", VearchIndex, True),
         ("ivfpq_no_rerank", IvfPqIndex, False),
     ):
+        mark(f"build {label}")
         t0 = time.time()
         idx = cls_.build(
             docs, ncentroids=1024, nsubvector=64, nbits=8, seed=42,
         )
         results[f"{label}_build_s"] = round(time.time() - t0, 1)
+        mark(f"search {label}")
         t0 = time.time()
         got = idx.search(
             None, queries, k=K, metric="L2", nprobe=40,
@@ -155,16 +162,19 @@ def main():
         ).collect()
         results[f"{label}_search_s"] = round(time.time() - t0, 1)
         results[label] = recall_at(got, truth)
+        mark(f"{label}: {results[label]}")
 
     # --- anchor row 2: HNSW at the reference's test defaults ----------
     # nlinks 32, efConstruction 160, efSearch 64 (tests/test.h:51-148);
     # k=100 lifts the effective ef to 100 (ef >= k by construction)
+    mark("build hnsw")
     t0 = time.time()
     hidx = HnswIndex.build(
         docs, nshards=32, m=32, ef_construction=160, metric="L2",
         path=os.path.join(out, "hnsw"),
     )
     results["hnsw_build_s"] = round(time.time() - t0, 1)
+    mark("search hnsw")
     t0 = time.time()
     got = hidx.search(None, queries, k=K, ef_search=64, mode="graph").collect()
     results["hnsw_search_s"] = round(time.time() - t0, 1)
