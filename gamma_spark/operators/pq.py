@@ -170,6 +170,18 @@ def _encode_codes(
     )
 
 
+#: request-path ADC memory bounds (r9, found by the SIFT1M anchor
+#: rehearsal — see IvfPqIndex.search): above LUT_PARTITION_BYTES of
+#: total residual-LUT working set the pruned codes are repartitioned
+#: by cluster so tasks build disjoint table subsets; LUT_CACHE_BYTES
+#: hard-bounds the per-task cache for any input layout. Small
+#: request-path shapes (the reference's topn 10 / req_num 1 defaults,
+#: `tests/test.h:594-597`) stay far below both and keep their
+#: shuffle-free plan.
+LUT_PARTITION_BYTES = 256 << 20
+LUT_CACHE_BYTES = 512 << 20
+
+
 class IvfPqIndex:
     """IVF + residual PQ codes (+ optional OPQ) + exact rerank."""
 
@@ -387,16 +399,42 @@ class IvfPqIndex:
         m_, ksub_, dsub_ = self.m, self.ksub, self.dsub
         worst = np.inf if asc else -np.inf
 
+        # r9 OOM fix (found by the SIFT1M anchor rehearsal): the
+        # kernel's real memory load is the residual LUTs — one
+        # (m, ksub) float64 table per (query, probed cluster) pair,
+        # probe_mask.sum() of them = ~5.4 GB at the anchor shape
+        # (1024 q x nprobe 40, 64x256). Over UNPARTITIONED codes every
+        # task sees nearly every cluster and pages in the full set
+        # (32 workers x 5.4 GB OOM'd the host). Above a budget,
+        # cluster-partition + sort the codes so each task builds only
+        # its own clusters' tables exactly once; the in-kernel cache
+        # eviction below is the belt-and-braces bound for any layout.
+        lut_total = int(probe_mask.sum()) * self.m * self.ksub * 8
+        if lut_total > LUT_PARTITION_BYTES:
+            pruned = pruned.repartition(F.col("cluster_id")).sortWithinPartitions(
+                "cluster_id"
+            )
+        # resolved DRIVER-side into the closure (executor workers
+        # import their own module copy, so a module global would not
+        # be overridable per-session/test)
+        lut_cache_cap = LUT_CACHE_BYTES
+
         def adc_scan(batches):
             best_s = np.full((len(qids_l), rn), worst)
             best_i = np.full((len(qids_l), rn), -1, dtype=np.int64)
             # per-(query, cluster) residual LUTs built lazily in the
             # kernel: memory scales with clusters seen per partition,
-            # not with |queries| x nprobe on the driver
+            # not with |queries| x nprobe on the driver. The cache is
+            # BOUNDED: when it would exceed LUT_CACHE_BYTES it is
+            # dropped wholesale (cluster-sorted input makes re-entry
+            # of an evicted cluster rare; correctness is unaffected,
+            # tables are pure functions of (query, cluster)).
             lut_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+            lut_bytes = 0
             seen = 0
 
             def luts_for(c: int):
+                nonlocal lut_bytes
                 hit = lut_cache.get(c)
                 if hit is not None:
                     return hit
@@ -421,7 +459,11 @@ class IvfPqIndex:
                             - 2.0 * (qsub @ cbi.T)
                             + (cbi * cbi).sum(axis=1)[None, :]
                         )
+                if lut_bytes + luts.nbytes > lut_cache_cap and lut_cache:
+                    lut_cache.clear()
+                    lut_bytes = 0
                 lut_cache[c] = (qsel, luts, base)
+                lut_bytes += luts.nbytes
                 return lut_cache[c]
 
             for pdf in batches:

@@ -78,3 +78,29 @@ def test_fastscan_shape_4bit_codes(docs, queries):
     g = {(r.qid, r.rank): r._docid for r in got.collect()}
     w = {(r.qid, r.rank): r._docid for r in want.collect()}
     assert g == w
+
+
+def test_adc_lut_bounds_preserve_results(docs, queries, monkeypatch):
+    """r9 OOM fix (SIFT1M anchor rehearsal): above the LUT budget the
+    pruned codes are cluster-partitioned and the per-task LUT cache is
+    evicted wholesale — both are pure layout/memory moves, so forcing
+    them at toy scale must reproduce the unbounded-path results
+    bit-for-bit (LUTs are pure functions of (query, cluster); the
+    running merge is tie-repaired, so partitioning cannot reorder)."""
+    import gamma_spark.operators.pq as PQ
+
+    idx = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=3)
+    kw = dict(k=5, metric="L2", nprobe=4, recall_num=32)
+    want = {
+        (r.qid, r.rank): (r._docid, round(r.score, 9))
+        for r in idx.search(None, queries, **kw).collect()
+    }
+    # force BOTH bounds at toy scale: repartition always, cache holds
+    # at most one table (every second luts_for call evicts)
+    monkeypatch.setattr(PQ, "LUT_PARTITION_BYTES", 0)
+    monkeypatch.setattr(PQ, "LUT_CACHE_BYTES", 1)
+    got = {
+        (r.qid, r.rank): (r._docid, round(r.score, 9))
+        for r in idx.search(None, queries, **kw).collect()
+    }
+    assert got == want
