@@ -43,10 +43,11 @@ from gamma_spark.session import get_spark  # noqa: E402
 
 DIM = 128
 N_CLUSTERS = 1000
+NOISE = 0.35  # cluster std; overridable via argv[4] for harder variants
 K = 100  # single k=100 search serves recall@{1,10,100}
 
 
-def make_sift_like(spark, n: int, path: str):
+def make_sift_like(spark, n: int, path: str, noise: float = NOISE):
     """1M x 128-dim clustered corpus, generated executor-side (seeded
     per docid, no driver materialization). SIFT is clustered and
     non-negative-ish; the mixture reproduces the clustering, which is
@@ -66,7 +67,7 @@ def make_sift_like(spark, n: int, path: str):
                 rng = np.random.default_rng(42 + int(i))
                 c = int(rng.integers(0, N_CLUSTERS))
                 vecs.append(
-                    (centers[c] + 0.35 * rng.normal(0.0, 1.0, DIM)).astype(
+                    (centers[c] + noise * rng.normal(0.0, 1.0, DIM)).astype(
                         np.float32
                     )
                 )
@@ -79,7 +80,7 @@ def make_sift_like(spark, n: int, path: str):
     return spark.read.parquet(path)
 
 
-def make_queries(spark, nq: int):
+def make_queries(spark, nq: int, noise: float = NOISE):
     """Held-out query set: same mixture, disjoint seeds (negative id
     space), so no query vector exists in the corpus."""
     centers = np.stack(
@@ -92,7 +93,7 @@ def make_queries(spark, nq: int):
     for i in range(nq):
         rng = np.random.default_rng(10_000_000 + i)
         c = int(rng.integers(0, N_CLUSTERS))
-        v = centers[c] + 0.35 * rng.normal(0.0, 1.0, DIM)
+        v = centers[c] + noise * rng.normal(0.0, 1.0, DIM)
         rows.append((i, [float(x) for x in v]))
     return spark.createDataFrame(rows, "qid long, qvec array<float>")
 
@@ -117,18 +118,19 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/gamma_scale_sift"
+    noise = float(sys.argv[4]) if len(sys.argv) > 4 else NOISE
     shutil.rmtree(out, ignore_errors=True)
     spark = get_spark("sift-anchor")
-    results: dict = {"n": n, "nq": nq, "dim": DIM}
+    results: dict = {"n": n, "nq": nq, "dim": DIM, "noise": noise}
 
     def mark(msg):
         print(f"[sift] {msg}", file=sys.stderr, flush=True)
 
     mark("corpus")
     t0 = time.time()
-    docs = make_sift_like(spark, n, os.path.join(out, "docs"))
+    docs = make_sift_like(spark, n, os.path.join(out, "docs"), noise)
     docs.count()
-    queries = make_queries(spark, nq)
+    queries = make_queries(spark, nq, noise)
     results["corpus_s"] = round(time.time() - t0, 1)
 
     # exact ground truth (the reference benchs' methodology)
