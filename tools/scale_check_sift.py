@@ -19,8 +19,13 @@ anchor shape so a number sits next to the published one:
   result — the faiss definition the reference tables use, which is
   why rerank makes @10 and @100 equal (once the true NN survives the
   ADC candidate cut, exact rerank pins it to rank 1).
+* n >= 5M switches to the published SIFT10M knobs (ncentroids 2048,
+  nprobe 80 — `benchs/README.md` "recalls of SIFT10M", published
+  Vearch row 0.977/0.9774/0.9774) and skips the HNSW leg (a 10M
+  graph build is hours of single-host compute for no extra anchor —
+  the published 10M tables are IVF-family rows).
 
-Usage: python tools/scale_check_sift.py [n_docs] [nq] [out_dir]
+Usage: python tools/scale_check_sift.py [n_docs] [nq] [out_dir] [noise]
 """
 
 from __future__ import annotations
@@ -144,7 +149,11 @@ def main():
     assert len(truth) == nq
 
     # --- anchor row 1: Vearch = anisotropic IVFPQ + exact rerank -------
-    # ncentroids 1024, nprobe 40, 64 PQ bytes (nsubvector=64 x 8 bits)
+    # SIFT1M knobs: ncentroids 1024, nprobe 40; SIFT10M knobs: 2048/80
+    # (both 64 PQ bytes = nsubvector 64 x 8 bits, per BASELINE.md)
+    big = n >= 5_000_000
+    nc, nprobe = (2048, 80) if big else (1024, 40)
+    results["ncentroids"], results["nprobe"] = nc, nprobe
     for label, cls_, rerank in (
         ("vearch_rerank", VearchIndex, True),
         ("ivfpq_no_rerank", IvfPqIndex, False),
@@ -152,13 +161,13 @@ def main():
         mark(f"build {label}")
         t0 = time.time()
         idx = cls_.build(
-            docs, ncentroids=1024, nsubvector=64, nbits=8, seed=42,
+            docs, ncentroids=nc, nsubvector=64, nbits=8, seed=42,
         )
         results[f"{label}_build_s"] = round(time.time() - t0, 1)
         mark(f"search {label}")
         t0 = time.time()
         got = idx.search(
-            None, queries, k=K, metric="L2", nprobe=40,
+            None, queries, k=K, metric="L2", nprobe=nprobe,
             recall_num=(200 if rerank else K),
             has_rank=rerank,  # has_rank=False truncates the ADC order at k
         ).collect()
@@ -167,6 +176,13 @@ def main():
         mark(f"{label}: {results[label]}")
 
     # --- anchor row 2: HNSW at the reference's test defaults ----------
+    if big:
+        results["published_sift10m"] = {
+            "vearch_rerank": {"recall@1": 0.977, "recall@10": 0.9774,
+                              "recall@100": 0.9774},
+        }
+        print(json.dumps(results))
+        return
     # nlinks 32, efConstruction 160, efSearch 64 (tests/test.h:51-148);
     # k=100 lifts the effective ef to 100 (ef >= k by construction)
     mark("build hnsw")
