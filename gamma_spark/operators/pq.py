@@ -92,26 +92,64 @@ def anisotropic_kmeans_np(
     cents = data[rng.choice(n, size=k, replace=False)].copy()
     prev_assign = None
     eye = np.eye(dim)
+    # assignment is memory-bandwidth-bound at training shapes (32k x
+    # 256 per subspace): ONE matmul (u @ c^T == (data @ c^T)/||x||, so
+    # the parallel component reuses G) and two preallocated (n, k)
+    # buffers mutated in place, instead of ~8 fresh temporaries per
+    # iteration. The per-row ||x||^2 term is constant under argmin and
+    # dropped. (r9 — this phase was the real cost of the SIFT-anchor
+    # VEARCH build, not the centroid update.)
+    safe_norms = np.where(nz, norms, 1.0)[:, None]
+    G = np.empty((n, k))
+    T = np.empty((n, k))
     for _ in range(iters):
-        d2 = (
-            (data * data).sum(axis=1)[:, None]
-            - 2.0 * (data @ cents.T)
-            + (cents * cents).sum(axis=1)[None, :]
-        )
-        par = norms[:, None] - (u @ cents.T)  # (x-c)^T u_x
-        loss = d2 + delta * par * par
-        assign = loss.argmin(axis=1)
+        np.matmul(data, cents.T, out=G)
+        # T := delta * (||x|| - (x^T c)/||x||)^2   [the parallel term]
+        np.divide(G, safe_norms, out=T)
+        np.subtract(norms[:, None], T, out=T)
+        np.multiply(T, T, out=T)
+        T *= delta
+        if not nz.all():
+            T[~nz] = 0.0  # zero vectors have no direction: par = 0
+        # T += d2 (minus the argmin-invariant ||x||^2 row constant)
+        T -= G
+        T -= G
+        T += (cents * cents).sum(axis=1)[None, :]
+        assign = T.argmin(axis=1)
         if prev_assign is not None and np.array_equal(assign, prev_assign):
             break
         prev_assign = assign
-        for j in range(k):
-            mask = assign == j
-            nc = int(mask.sum())
-            if nc == 0:
-                continue
-            uu = u[mask].T @ u[mask]
-            b = eta * data[mask].sum(axis=0)
-            cents[j] = np.linalg.solve(nc * eye + delta * uu, b)
+        # closed-form update, VECTORIZED across clusters (r9): the
+        # per-cluster python loop was 25 iters x 256 clusters x 64
+        # subspaces of GIL-bound mask scans — 85% of the 1M-anchor
+        # VEARCH build (SCALING.md). Per-cluster sums become dim (Sx)
+        # + dim(dim+1)/2 (symmetric UU) bincounts plus ONE batched
+        # LAPACK solve of (k, dim, dim). Same closed form, same empty-
+        # cluster semantics (keep the centroid); only the accumulation
+        # order differs from the loop (float drift ~1e-12, parity-
+        # tested against the loop reference).
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sx = np.stack(
+            [
+                np.bincount(assign, weights=data[:, d], minlength=k)
+                for d in range(dim)
+            ],
+            axis=1,
+        )
+        uu = np.empty((k, dim, dim))
+        for a in range(dim):
+            for b_ in range(a, dim):
+                col = np.bincount(
+                    assign, weights=u[:, a] * u[:, b_], minlength=k
+                )
+                uu[:, a, b_] = col
+                uu[:, b_, a] = col
+        mats = counts[:, None, None] * eye[None, :, :] + delta * uu
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = np.linalg.solve(
+            mats[nonempty], eta * sx[nonempty]
+        )
     return cents
 
 

@@ -127,3 +127,73 @@ def test_vearch_composes_with_opq(docs, queries):
         ).collect()
     }
     assert got == exact
+
+
+def _aniso_update_reference(data, u, norms, assign, cents, eta, eye):
+    """The pre-r9 per-cluster closed-form update, kept verbatim as the
+    parity oracle for the vectorized bincount+batched-solve rewrite."""
+    import numpy as np
+
+    delta = float(eta) - 1.0
+    out = cents.copy()
+    for j in range(len(cents)):
+        mask = assign == j
+        nc = int(mask.sum())
+        if nc == 0:
+            continue
+        uu = u[mask].T @ u[mask]
+        b = eta * data[mask].sum(axis=0)
+        out[j] = np.linalg.solve(nc * eye + delta * uu, b)
+    return out
+
+
+def test_vectorized_aniso_update_matches_loop_reference():
+    """r9: the vectorized update must agree with the per-cluster loop
+    to float accumulation noise (bincount sums sequentially where the
+    loop summed pairwise — same closed form, different rounding)."""
+    import numpy as np
+
+    from gamma_spark.operators.pq import anisotropic_kmeans_np
+
+    rng = np.random.default_rng(17)
+    k, dim, eta = 8, 4, 4.0
+    centers = rng.normal(0, 5, size=(k, dim))  # well-separated
+    data = np.repeat(centers, 40, axis=0) + 0.1 * rng.normal(
+        size=(k * 40, dim)
+    )
+    # one full trained run stays deterministic and sane
+    cents = anisotropic_kmeans_np(data, k, eta, seed=3)
+    cents2 = anisotropic_kmeans_np(data, k, eta, seed=3)
+    assert np.array_equal(cents, cents2)
+
+    # single-step parity vs the loop reference at a fixed assignment
+    norms = np.linalg.norm(data, axis=1)
+    u = data / norms[:, None]
+    start = data[rng.choice(len(data), size=k, replace=False)]
+    d2 = (
+        (data * data).sum(axis=1)[:, None]
+        - 2.0 * (data @ start.T)
+        + (start * start).sum(axis=1)[None, :]
+    )
+    par = norms[:, None] - (u @ start.T)
+    assign = (d2 + (eta - 1.0) * par * par).argmin(axis=1)
+    want = _aniso_update_reference(
+        data, u, norms, assign, start, eta, np.eye(dim)
+    )
+    delta = eta - 1.0
+    counts = np.bincount(assign, minlength=k).astype(np.float64)
+    sx = np.stack(
+        [np.bincount(assign, weights=data[:, d], minlength=k) for d in range(dim)],
+        axis=1,
+    )
+    uu = np.empty((k, dim, dim))
+    for a in range(dim):
+        for b_ in range(a, dim):
+            col = np.bincount(assign, weights=u[:, a] * u[:, b_], minlength=k)
+            uu[:, a, b_] = col
+            uu[:, b_, a] = col
+    mats = counts[:, None, None] * np.eye(dim)[None] + delta * uu
+    got = start.copy()
+    ne = counts > 0
+    got[ne] = np.linalg.solve(mats[ne], eta * sx[ne])
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
