@@ -462,7 +462,18 @@ class NpHnsw:
         scanning forward over non-dominated candidates makes decisions
         IDENTICAL to the per-candidate form (r8 rewrite; parity pinned
         by test_select_heuristic_matches_reference). This was 54% of
-        build wall time at 8k nodes (1.5M small gather+sum calls)."""
+        build wall time at 8k nodes (1.5M small gather+sum calls).
+
+        r9: each kept neighbor's dominance row is computed only over
+        the FORWARD TAIL ``j+1:`` — the scan moves strictly forward and
+        ``dominated`` flags for already-visited positions are never
+        read again, so truncating the row changes no decision; the
+        tail slice is a contiguous view and numpy's per-row reduction
+        is unchanged, so the surviving comparisons are bitwise the
+        same as the full-row form (same parity tests pin it). Halves
+        the dominance work and memory traffic on average — the shard
+        build is bandwidth-bound under executor saturation (see the
+        router-calibration findings in docs/SCALING.md)."""
         c = len(ids)
         if c <= m:
             return np.asarray(ids, dtype=np.int64).copy()
@@ -475,16 +486,16 @@ class NpHnsw:
                 j += 1
                 continue
             kept.append(j)
-            if len(kept) >= m:
+            if len(kept) >= m or j + 1 >= c:
                 break
-            kv = sub[j]
+            tail = sub[j + 1 :]
             if self.metric == "L2":
-                dk = ((sub - kv) ** 2).sum(axis=1)
+                dk = ((tail - sub[j]) ** 2).sum(axis=1)
             else:
-                dk = -(sub @ kv)
+                dk = -(tail @ sub[j])
             # (dk > dq) is the original keep test against this kept
             # neighbor; accumulate its negation
-            dominated |= dk <= dq
+            dominated[j + 1 :] |= dk <= dq[j + 1 :]
             j += 1
         return np.asarray(ids, dtype=np.int64)[kept]
 

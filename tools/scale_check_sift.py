@@ -160,8 +160,15 @@ def main():
     ):
         mark(f"build {label}")
         t0 = time.time()
+        # path-backed: codes materialize partitioned by cluster_id at
+        # build time, so search reads only probed clusters (partition
+        # pruning) instead of lazily re-encoding the corpus per search
+        # — build_s includes the one-time codes write, search_s is
+        # genuinely search (r9 fix; earlier anchor search_s carried a
+        # full corpus re-encode per search call)
         idx = cls_.build(
             docs, ncentroids=nc, nsubvector=64, nbits=8, seed=42,
+            path=os.path.join(out, f"idx_{label}"),
         )
         results[f"{label}_build_s"] = round(time.time() - t0, 1)
         mark(f"search {label}")

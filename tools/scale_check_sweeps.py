@@ -1,0 +1,187 @@
+"""Reproduce the reference's published parameter-sweep SHAPES (r9).
+
+BASELINE.md's "Parameter sweeps" rows are qualitative figure claims
+from `benchs/README.md` (`doc/img/benchs/{nprobe,ncentroids,nbytes}.png`):
+
+* nprobe sweep   (ncentroids 256, nbytes 32): recall@1 plateaus for
+  nprobe >= ~25; QPS falls with nprobe only at the 10M scale (at 1M
+  fixed per-request overhead hides the probe cost at low nprobe).
+* ncentroids sweep (nprobe 50, nbytes 32): recall flat, QPS rises
+  with ncentroids (fewer rows scanned per probe).
+* nbytes sweep   (ncentroids 256, nprobe 50): recall rises and QPS
+  falls with nbytes (finer quantization costs more LUT work).
+
+This rehearsal re-measures those shapes with our IVFPQ at the SIFT1M
+shape (1M x 128-dim; the published ncentroids/nbytes figures are
+VGG10M — a 10M x 9-build sweep is hours of single-host compute for a
+shape claim, so both run at 1M with that noted). Corpus/queries/ground
+truth reuse scale_check_sift's generators at the harder-overlap noise
+(0.6). Rerank use follows what each published claim measures:
+
+* nprobe + ncentroids sweeps run WITH exact rerank (recall_num 200,
+  the anchor methodology) — their claims are about CANDIDATE recall
+  (more probes/finer cells change which clusters are scanned), and
+  without rerank the ADC-resolution ceiling flattens the recall@1
+  climb into invisibility (measured in the 60k smoke: 0.48 → 0.52
+  across the whole nprobe range).
+* the nbytes sweep runs in ADC order (no rerank) — its claim is about
+  QUANTIZATION resolution, and with rerank every nbytes point
+  saturates at 1.0 and the shape vanishes (same resolution-instrument
+  reasoning as the anchor rehearsal's no-rerank row, docs/SCALING.md).
+
+QPS = nq / wall like the reference's perf loop
+(`tools/perf.cc:195-240`: qps = n/secs).
+
+Each sweep's JSON carries a computed `shape_ok` verdict so the claim
+is checked, not eyeballed.
+
+Usage: python tools/scale_check_sweeps.py [n_docs] [nq] [out_dir] [noise]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gamma_spark.operators import knn  # noqa: E402
+from gamma_spark.operators.pq import IvfPqIndex  # noqa: E402
+from gamma_spark.session import get_spark  # noqa: E402
+
+from scale_check_sift import (  # noqa: E402
+    make_queries,
+    make_sift_like,
+    recall_at,
+)
+
+K = 100
+NPROBES = (1, 5, 10, 25, 50, 100, 200)
+NCENTROIDS = (64, 256, 1024, 4096)
+NBYTES = (4, 8, 16, 32, 64)
+
+
+def mark(msg):
+    print(f"[sweeps] {msg}", file=sys.stderr, flush=True)
+
+
+def run_point(idx, queries, truth, nq, *, nprobe, rerank):
+    """One search point; returns recall + timing + qps."""
+    t0 = time.time()
+    got = idx.search(
+        None, queries, k=K, metric="L2", nprobe=nprobe,
+        recall_num=(200 if rerank else K), has_rank=rerank,
+    ).collect()
+    wall = time.time() - t0
+    point = recall_at(got, truth)
+    point["search_s"] = round(wall, 1)
+    point["qps"] = round(nq / wall, 1)
+    return point
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/gamma_scale_sweeps"
+    noise = float(sys.argv[4]) if len(sys.argv) > 4 else 0.6
+    shutil.rmtree(out, ignore_errors=True)
+    spark = get_spark("param-sweeps")
+    results: dict = {"n": n, "nq": nq, "noise": noise, "k": K}
+
+    mark("corpus")
+    docs = make_sift_like(spark, n, os.path.join(out, "docs"), noise)
+    docs.count()
+    queries = make_queries(spark, nq, noise)
+
+    mark("ground truth")
+    t0 = time.time()
+    truth = {
+        r.qid: r._docid
+        for r in knn.knn_scan(docs, queries, k=1, metric="L2").collect()
+    }
+    results["ground_truth_s"] = round(time.time() - t0, 1)
+    assert len(truth) == nq
+
+    def build(nc, nsub):
+        """Path-backed build: codes are MATERIALIZED partitioned by
+        cluster_id, so each search point reads only its probed
+        clusters (partition pruning) instead of re-encoding the whole
+        corpus lazily — without this, `search_s` measures encoding and
+        the QPS shapes are garbage (the 60k smoke's nc=1024 point
+        spent 70 s re-encoding per search)."""
+        t0 = time.time()
+        idx = IvfPqIndex.build(
+            docs, ncentroids=nc, nsubvector=nsub, nbits=8, seed=42,
+            path=os.path.join(out, f"idx_nc{nc}_nb{nsub}"),
+        )
+        return idx, round(time.time() - t0, 1)
+
+    # --- nprobe sweep: ncentroids 256, nbytes 32, ONE build -----------
+    mark("nprobe sweep: build nc=256 nsub=32")
+    idx, build_s = build(256, 32)
+    rows = []
+    for nprobe in NPROBES:
+        mark(f"nprobe={nprobe}")
+        rows.append({
+            "nprobe": nprobe,
+            **run_point(idx, queries, truth, nq, nprobe=nprobe, rerank=True),
+        })
+    r25 = next(p["recall@1"] for p in rows if p["nprobe"] == 25)
+    rmax = rows[-1]["recall@1"]
+    results["nprobe_sweep"] = {
+        "build_s": build_s,
+        "points": rows,
+        # published: plateau for nprobe >= ~25 — past 25 recall@1 gains
+        # almost nothing, while it climbed measurably up to 25
+        "shape_ok": bool(
+            rmax - r25 <= 0.02 and r25 - rows[0]["recall@1"] >= 0.05
+        ),
+    }
+    mark(f"nprobe shape_ok={results['nprobe_sweep']['shape_ok']}")
+
+    # --- ncentroids sweep: nprobe 50, nbytes 32, one build per point --
+    rows = []
+    for nc in NCENTROIDS:
+        mark(f"ncentroids={nc}: build")
+        idx, build_s = build(nc, 32)
+        point = run_point(idx, queries, truth, nq, nprobe=50, rerank=True)
+        rows.append({"ncentroids": nc, "build_s": build_s, **point})
+    recs = [p["recall@1"] for p in rows]
+    results["ncentroids_sweep"] = {
+        "points": rows,
+        # published: recall flat, QPS rises with ncentroids
+        "shape_ok": bool(
+            max(recs) - min(recs) <= 0.08
+            and rows[-1]["qps"] > rows[0]["qps"]
+        ),
+    }
+    mark(f"ncentroids shape_ok={results['ncentroids_sweep']['shape_ok']}")
+
+    # --- nbytes sweep: ncentroids 256, nprobe 50 ----------------------
+    rows = []
+    for nb in NBYTES:
+        mark(f"nbytes={nb}: build")
+        idx, build_s = build(256, nb)
+        point = run_point(idx, queries, truth, nq, nprobe=50, rerank=False)
+        rows.append({"nbytes": nb, "build_s": build_s, **point})
+    recs = [p["recall@1"] for p in rows]
+    results["nbytes_sweep"] = {
+        "points": rows,
+        # published: recall rises, QPS falls with nbytes. Monotone
+        # within a small per-step tolerance (finite-nq sampling noise)
+        "shape_ok": bool(
+            recs[-1] > recs[0] + 0.1
+            and all(b >= a - 0.05 for a, b in zip(recs, recs[1:]))
+            and rows[-1]["qps"] < rows[0]["qps"]
+        ),
+    }
+    mark(f"nbytes shape_ok={results['nbytes_sweep']['shape_ok']}")
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
