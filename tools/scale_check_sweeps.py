@@ -42,8 +42,16 @@ nprobe=1!), leaving no climb to measure — the published SIFT1M climb
 exists because real SIFT's neighbors straddle cell boundaries. noise
 >= 1.2 restores the straddling and the climb-then-plateau shape.
 
+The `filtered` sweep adapts the fourth published figure (cluster.png:
+"filtered-search vs unfiltered compared") to single-node scale: the
+reference composes scalar predicates PRE-search, so a selective filter
+must not collapse recall (the candidate generator sees only allowed
+docs) — measured as filtered-vs-unfiltered recall and QPS at 1/2 and
+1/10 selectivity, each against its own filtered exact ground truth.
+
 Usage: python tools/scale_check_sweeps.py [n_docs] [nq] [out_dir] [noise] [sweeps]
-  sweeps: comma list from {nprobe,ncentroids,nbytes}; default all
+  sweeps: comma list from {nprobe,ncentroids,nbytes,filtered}; default
+  {nprobe,ncentroids,nbytes}
 """
 
 from __future__ import annotations
@@ -202,6 +210,50 @@ def main():
             ),
         }
         mark(f"nbytes shape_ok={results['nbytes_sweep']['shape_ok']}")
+
+    # --- filtered vs unfiltered: nc 256, nbytes 32, nprobe 40 ---------
+    if "filtered" in sweeps:
+        from pyspark.sql import functions as F
+
+        idx, build_s = build(256, 32)
+        rows = []
+        for label, mod in (("unfiltered", None), ("half", 2), ("decile", 10)):
+            pred = None if mod is None else (F.col("_docid") % mod == 0)
+            allowed = docs if pred is None else docs.filter(pred)
+            # each selectivity gets its OWN exact ground truth: the
+            # true NN among allowed docs only
+            ftruth = {
+                r.qid: r._docid
+                for r in knn.knn_scan(
+                    allowed, queries, k=1, metric="L2"
+                ).collect()
+            }
+            t0 = time.time()
+            got = idx.search(
+                None, queries, k=K, metric="L2", nprobe=40,
+                recall_num=200, has_rank=True, predicate=pred,
+            ).collect()
+            wall = time.time() - t0
+            point = recall_at(got, ftruth)
+            point.update(
+                {"search_s": round(wall, 1), "qps": round(nq / wall, 1)}
+            )
+            mark(f"filtered[{label}]: {point}")
+            rows.append({"selectivity": label, **point})
+        r_unf = rows[0]["recall@10"]
+        results["filtered_sweep"] = {
+            "build_s": build_s,
+            "points": rows,
+            # the pre-search filter must not collapse recall: the
+            # candidate generator scans only allowed docs, so each
+            # selectivity's recall vs ITS OWN truth stays at the
+            # unfiltered level (reference composes filters pre-search,
+            # SURVEY F1-F9; this checks it at 1M, not just sf-scale)
+            "shape_ok": bool(
+                all(p["recall@10"] >= r_unf - 0.05 for p in rows)
+            ),
+        }
+        mark(f"filtered shape_ok={results['filtered_sweep']['shape_ok']}")
 
     print(json.dumps(results))
 
