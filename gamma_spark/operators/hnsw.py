@@ -248,7 +248,7 @@ def calibrate_router_saturated(
     try:
         ctx = mp.get_context("fork")
         barrier = ctx.Barrier(procs)
-        queue = ctx.SimpleQueue()
+        queue = ctx.Queue()
         workers = [
             ctx.Process(
                 target=_calib_probe_worker,
@@ -265,7 +265,15 @@ def calibrate_router_saturated(
             w.start()
         results = []
         for _ in workers:
-            results.append(queue.get())
+            # bounded get: a worker that dies WITHOUT putting (OOM
+            # kill, segfault in forked BLAS state) must not hang the
+            # build — the probe itself is sub-second, so 120 s means
+            # the worker is gone, and partial results are still a
+            # valid median (the per-worker constants are i.i.d.)
+            try:
+                results.append(queue.get(timeout=120))
+            except Exception:
+                break
         for w in workers:
             w.join(timeout=10)
             if w.is_alive():
@@ -858,32 +866,45 @@ class HnswIndex:
             "_shard", (F.col("_shard") + F.lit(base)).cast("int")
         )
         merged = self.index_df.unionByName(shifted)
+        # resolve the operating-point dim from the appended batch when
+        # this index predates dim recording: fresh was built path-less
+        # so fresh.dim is None, but its source relation is new_docs —
+        # one narrow first() row, not a graph build
+        dim = self.dim or fresh._probe_dim()
         if self.path:
-            shifted.repartition("_shard").write.mode("append").partitionBy(
-                "_shard"
-            ).parquet(os.path.join(self.path, "graph"))
-            from gamma_spark.io_util import atomic_write_json
+            from gamma_spark.io_util import atomic_write_json, writer_lock
 
-            # in-place meta rewrite on a standing index — atomic, same
-            # rationale as BucketedDocStore._commit_meta
-            atomic_write_json(
-                os.path.join(self.path, "meta.json"),
-                {
-                    "model": self.name,
-                    "nshards": base + nshards,
-                    "metric": self.metric,
-                    "doc_vec": self.doc_vec,
-                    "m": self.m,
-                    "router": self.router or None,
-                    "dim": self.dim or fresh.dim,
-                },
-            )
+            # whole commit under the store's writer lock (same contract
+            # as Bm25Index/dedup appends): a second concurrent appender
+            # fails fast with ConcurrentWriterError instead of both
+            # reading nshards=N and the later meta rewrite dropping the
+            # other's committed segment; _backfill_router_meta takes
+            # the same lock, so a lazy router backfill can never land
+            # a stale nshards over a mid-flight append either
+            with writer_lock(self.path):
+                shifted.repartition("_shard").write.mode("append").partitionBy(
+                    "_shard"
+                ).parquet(os.path.join(self.path, "graph"))
+                # in-place meta rewrite on a standing index — atomic,
+                # same rationale as BucketedDocStore._commit_meta
+                atomic_write_json(
+                    os.path.join(self.path, "meta.json"),
+                    {
+                        "model": self.name,
+                        "nshards": base + nshards,
+                        "metric": self.metric,
+                        "doc_vec": self.doc_vec,
+                        "m": self.m,
+                        "router": self.router or None,
+                        "dim": dim,
+                    },
+                )
             merged = self.index_df.sparkSession.read.parquet(
                 os.path.join(self.path, "graph")
             )
         out = HnswIndex(
             merged, base + nshards, self.metric, self.doc_vec, m=self.m,
-            path=self.path, router=self.router, dim=self.dim or fresh.dim,
+            path=self.path, router=self.router, dim=dim,
         )
         # keep the operating-point dim resolvable for in-memory chains:
         # any source relation works, every segment shares the dim
@@ -924,24 +945,31 @@ class HnswIndex:
 
     def _backfill_router_meta(self) -> None:
         """Best-effort persist of lazily-probed router constants for a
-        legacy index (meta predates calibration). Re-reads meta fresh
-        and rewrites ONLY the router/dim keys, so a concurrent
-        append's nshards bump is never clobbered by a stale copy
-        (appends themselves stay under the store's single-writer
-        contract); any IO failure just means the probe re-runs on the
-        next process."""
+        legacy index (meta predates calibration). The read-modify-write
+        runs under the store's writer lock so it cannot interleave with
+        an append's nshards bump (reading fresh alone leaves a window:
+        read nshards=8 → append commits nshards=9 → stale rewrite would
+        hide the new segment from every future load). If a writer holds
+        the lock, or the meta is unreadable/corrupt, the backfill is
+        skipped — the probe just re-runs on the next process."""
         if not self.path:
             return
-        from gamma_spark.io_util import atomic_write_json
+        from gamma_spark.io_util import (
+            ConcurrentWriterError,
+            atomic_write_json,
+            writer_lock,
+        )
 
         try:
-            with open(os.path.join(self.path, "meta.json")) as fh:
-                meta = json.load(fh)
-            meta["router"] = self.router or None
-            if self.dim:
-                meta.setdefault("dim", self.dim)
-            atomic_write_json(os.path.join(self.path, "meta.json"), meta)
-        except OSError:
+            with writer_lock(self.path):
+                with open(os.path.join(self.path, "meta.json")) as fh:
+                    meta = json.load(fh)
+                meta["router"] = self.router or None
+                if self.dim:
+                    meta.setdefault("dim", self.dim)
+                atomic_write_json(os.path.join(self.path, "meta.json"), meta)
+        except (OSError, ValueError, ConcurrentWriterError):
+            # ValueError covers JSONDecodeError on a truncated meta
             pass
 
     # -- search ----------------------------------------------------------

@@ -147,9 +147,14 @@ def anisotropic_kmeans_np(
         mats = counts[:, None, None] * eye[None, :, :] + delta * uu
         nonempty = counts > 0
         cents = cents.copy()
+        # b carries an explicit trailing vector axis: a 2-D b is a
+        # "stack of vectors" under NumPy 1.x gufunc rules but a matrix
+        # stack under NumPy >= 2.0 (shape error, or a silently
+        # different solve when k == dim) — (k, dim, 1) is unambiguous
+        # under both
         cents[nonempty] = np.linalg.solve(
-            mats[nonempty], eta * sx[nonempty]
-        )
+            mats[nonempty], (eta * sx[nonempty])[:, :, None]
+        )[:, :, 0]
     return cents
 
 
