@@ -236,6 +236,35 @@ def test_hnsw_append_segments(docs, queries, tmp_path):
     # reload sees the appended segments
     reloaded = HnswIndex.load(docs.sparkSession, path)
     assert reloaded.nshards == 3 and reloaded.index_df.count() == docs.count()
+    # append resolved the operating-point dim from the batch and
+    # persisted it (legacy indexes built before dim recording repair
+    # themselves on the first append)
+    assert reloaded.dim == len(target.embedding)
+
+
+def test_hnsw_append_single_writer(docs, tmp_path):
+    """Path-backed appends commit under the store's writer lock (r9):
+    with the lock held — a mid-flight appender or router backfill — a
+    second appender fails fast with ConcurrentWriterError BEFORE any
+    graph write, instead of both reading nshards=N and the later meta
+    rewrite dropping the other's committed segment."""
+    from gamma_spark.io_util import ConcurrentWriterError, writer_lock
+
+    old = docs.filter(F.col("_docid") < 400)
+    new = docs.filter(F.col("_docid") >= 400)
+    path = str(tmp_path / "locked")
+    idx = HnswIndex.build(old, nshards=2, m=16, metric="L2", path=path)
+    graph_rows = idx.index_df.count()
+    with writer_lock(path):
+        with pytest.raises(ConcurrentWriterError):
+            idx.append(new, nshards=1)
+    # nothing committed: graph row count and meta nshards unchanged
+    reloaded = HnswIndex.load(docs.sparkSession, path)
+    assert reloaded.nshards == 2
+    assert reloaded.index_df.count() == graph_rows
+    # lock released -> the append succeeds
+    grown = idx.append(new, nshards=1)
+    assert grown.nshards == 3
 
 
 # ---------------------------------------------------------------------------

@@ -24,8 +24,23 @@ anchor shape so a number sits next to the published one:
   Vearch row 0.977/0.9774/0.9774) and skips the HNSW leg (a 10M
   graph build is hours of single-host compute for no extra anchor —
   the published 10M tables are IVF-family rows).
+* dim=512 (argv[5]) is the VGG-shaped anchor: the published VGG1M
+  table (Vearch 0.9651/0.9702/0.9703 at the same ncentroids 1024 /
+  nprobe 40 / 64 PQ-byte knobs) is 512-dim VGG features. The HNSW
+  leg is skipped off the SIFT shape (BASELINE.md carries no VGG HNSW
+  row); 64 PQ bytes means dsub 8 instead of 2.
+* intrinsic=d (argv[6], 0 = off) plants the mixture inside a seeded
+  d-dimensional subspace of the ambient space. A fully isotropic
+  512-dim mixture is the WORST case for 64-byte PQ — every dimension
+  carries independent noise, so residuals are incompressible and the
+  measured recall legitimately undershoots the published VGG row
+  (0.88-0.94 vs 0.9651 across the noise sweep). Real VGG activations
+  concentrate near a low-dimensional manifold — the reason the
+  reference's VGG recall matches its SIFT recall despite 4x the
+  ambient dims — so the faithful VGG-shaped anchor is intrinsic<<512;
+  the isotropic rows stay as the ambient-dim stress case.
 
-Usage: python tools/scale_check_sift.py [n_docs] [nq] [out_dir] [noise]
+Usage: python tools/scale_check_sift.py [n_docs] [nq] [out_dir] [noise] [dim] [intrinsic]
 """
 
 from __future__ import annotations
@@ -52,30 +67,57 @@ NOISE = 0.35  # cluster std; overridable via argv[4] for harder variants
 K = 100  # single k=100 search serves recall@{1,10,100}
 
 
-def make_sift_like(spark, n: int, path: str, noise: float = NOISE):
-    """1M x 128-dim clustered corpus, generated executor-side (seeded
-    per docid, no driver materialization). SIFT is clustered and
-    non-negative-ish; the mixture reproduces the clustering, which is
-    what IVF/HNSW recall actually depends on."""
+def _basis(dim: int, intrinsic: int) -> np.ndarray | None:
+    """Seeded orthonormal (intrinsic, dim) embedding of the latent
+    subspace into the ambient space; None when intrinsic is off."""
+    if not intrinsic or intrinsic >= dim:
+        return None
+    g = np.random.default_rng(99).normal(0.0, 1.0, (dim, intrinsic))
+    q, _ = np.linalg.qr(g)
+    return q.T  # (intrinsic, dim), rows orthonormal
+
+
+def _centers(dim: int, intrinsic: int) -> np.ndarray:
+    """Cluster centers, drawn in the latent space when intrinsic is on
+    (then embedded), else in the ambient space."""
+    d = intrinsic if intrinsic else dim
+    c = np.stack(
+        [
+            np.random.default_rng(7000 + i).normal(0.0, 1.0, d)
+            for i in range(N_CLUSTERS)
+        ]
+    )
+    b = _basis(dim, intrinsic)
+    return c if b is None else c @ b
+
+
+def make_sift_like(
+    spark, n: int, path: str, noise: float = NOISE, dim: int = DIM,
+    intrinsic: int = 0,
+):
+    """Clustered corpus at the anchor shape (128-dim SIFT-like by
+    default, 512-dim VGG-like via ``dim``), generated executor-side
+    (seeded per docid, no driver materialization). Both source feature
+    sets are clustered; the mixture reproduces the clustering, which
+    is what IVF/HNSW recall actually depends on. ``intrinsic`` plants
+    the whole mixture (centers AND noise) inside a seeded
+    low-dimensional subspace — the VGG-manifold model (see module
+    docstring)."""
 
     def gen(batches):
-        centers = np.stack(
-            [
-                np.random.default_rng(7000 + c).normal(0.0, 1.0, DIM)
-                for c in range(N_CLUSTERS)
-            ]
-        )
+        centers = _centers(dim, intrinsic)
+        basis = _basis(dim, intrinsic)
+        nd = intrinsic if basis is not None else dim
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             vecs = []
             for i in ids:
                 rng = np.random.default_rng(42 + int(i))
                 c = int(rng.integers(0, N_CLUSTERS))
-                vecs.append(
-                    (centers[c] + noise * rng.normal(0.0, 1.0, DIM)).astype(
-                        np.float32
-                    )
-                )
+                eps = noise * rng.normal(0.0, 1.0, nd)
+                if basis is not None:
+                    eps = eps @ basis
+                vecs.append((centers[c] + eps).astype(np.float32))
             yield pd.DataFrame({"_docid": ids, "embedding": vecs})
 
     df = spark.range(n).repartition(32).mapInPandas(
@@ -85,20 +127,22 @@ def make_sift_like(spark, n: int, path: str, noise: float = NOISE):
     return spark.read.parquet(path)
 
 
-def make_queries(spark, nq: int, noise: float = NOISE):
+def make_queries(
+    spark, nq: int, noise: float = NOISE, dim: int = DIM, intrinsic: int = 0
+):
     """Held-out query set: same mixture, disjoint seeds (negative id
     space), so no query vector exists in the corpus."""
-    centers = np.stack(
-        [
-            np.random.default_rng(7000 + c).normal(0.0, 1.0, DIM)
-            for c in range(N_CLUSTERS)
-        ]
-    )
+    centers = _centers(dim, intrinsic)
+    basis = _basis(dim, intrinsic)
+    nd = intrinsic if basis is not None else dim
     rows = []
     for i in range(nq):
         rng = np.random.default_rng(10_000_000 + i)
         c = int(rng.integers(0, N_CLUSTERS))
-        v = centers[c] + noise * rng.normal(0.0, 1.0, DIM)
+        eps = noise * rng.normal(0.0, 1.0, nd)
+        if basis is not None:
+            eps = eps @ basis
+        v = centers[c] + eps
         rows.append((i, [float(x) for x in v]))
     return spark.createDataFrame(rows, "qid long, qvec array<float>")
 
@@ -124,18 +168,24 @@ def main():
     nq = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/gamma_scale_sift"
     noise = float(sys.argv[4]) if len(sys.argv) > 4 else NOISE
+    dim = int(sys.argv[5]) if len(sys.argv) > 5 else DIM
+    intrinsic = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     shutil.rmtree(out, ignore_errors=True)
     spark = get_spark("sift-anchor")
-    results: dict = {"n": n, "nq": nq, "dim": DIM, "noise": noise}
+    results: dict = {
+        "n": n, "nq": nq, "dim": dim, "noise": noise, "intrinsic": intrinsic,
+    }
 
     def mark(msg):
         print(f"[sift] {msg}", file=sys.stderr, flush=True)
 
     mark("corpus")
     t0 = time.time()
-    docs = make_sift_like(spark, n, os.path.join(out, "docs"), noise)
+    docs = make_sift_like(
+        spark, n, os.path.join(out, "docs"), noise, dim, intrinsic
+    )
     docs.count()
-    queries = make_queries(spark, nq, noise)
+    queries = make_queries(spark, nq, noise, dim, intrinsic)
     results["corpus_s"] = round(time.time() - t0, 1)
 
     # exact ground truth (the reference benchs' methodology)
@@ -183,6 +233,22 @@ def main():
         mark(f"{label}: {results[label]}")
 
     # --- anchor row 2: HNSW at the reference's test defaults ----------
+    if dim == 512:
+        # VGG-shaped anchor: IVF-family rows only (BASELINE.md has no
+        # VGG HNSW row; same knobs as SIFT at the matching scale)
+        results["published_vgg1m" if not big else "published_vgg10m"] = (
+            {
+                "vearch_rerank": {"recall@1": 0.9651, "recall@10": 0.9702,
+                                  "recall@100": 0.9703},
+            }
+            if not big
+            else {
+                "vearch_rerank": {"recall@1": 0.9649, "recall@10": 0.9829,
+                                  "recall@100": 0.9832},
+            }
+        )
+        print(json.dumps(results))
+        return
     if big:
         results["published_sift10m"] = {
             "vearch_rerank": {"recall@1": 0.977, "recall@10": 0.9774,
