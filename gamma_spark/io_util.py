@@ -142,6 +142,22 @@ def atomic_write_json(path: str, obj) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, path)
+    # fsync the PARENT DIRECTORY so the rename itself is durable before
+    # anything that follows it: the swap protocol journals swap.json and
+    # then renames bucket dirs — on power loss a persisted bucket rename
+    # with an unpersisted journal rename would make recovery classify a
+    # torn swap as "crashed before any rename" and discard the trash
+    # holding the only copies of the old buckets
+    try:
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        # directory fsync is best-effort on filesystems/platforms that
+        # refuse it; rename-atomicity still holds
+        pass
 
 
 def read_json_or_none(path: str):

@@ -1018,9 +1018,19 @@ class MinHashIndex:
         nb = self._bands_of(new_df, text_col)
         if self.path is not None:
             if batch_id is not None:
+                # per-batch private subdir: idempotent AND naturally
+                # isolated from concurrent appenders, no lock needed
                 nb.write.mode("overwrite").parquet(f"{self.path}/batch-{batch_id}")
             else:
-                nb.write.mode("append").parquet(self.path)
+                from gamma_spark.io_util import writer_lock
+
+                # bare append-mode shares Spark's non-transactional
+                # _temporary dirs across writers — same single-writer
+                # guard as EmbeddingNearDupIndex.append. Dot-prefixed
+                # lock name: root-level files here ARE the relation,
+                # and Spark's lister only skips `.`/`_` prefixes
+                with writer_lock(self.path, name=".writer.lock"):
+                    nb.write.mode("append").parquet(self.path)
             banded = _read_tree(new_df.sparkSession, self.path)
         else:
             banded = self.banded.unionByName(nb)

@@ -34,7 +34,8 @@ from gamma_spark.operators.topk import topk
 from gamma_spark.session import stage_scope
 
 
-def index_append_batch(index, batch_df: DataFrame, path: str):
+def index_append_batch(index, batch_df: DataFrame, path: str,
+                       batch_id: int | None = None):
     """T2: assign the micro-batch to inverted lists with the trained
     quantizer and append — the Spark analogue of AddRTVecsToIndex's
     <=1000-vector chunked appends. Map-only + partitioned append; no
@@ -43,7 +44,9 @@ def index_append_batch(index, batch_df: DataFrame, path: str):
     codebooks and appends to ``codes/``; HNSW grows by fresh graph
     segments. Returns the index to use for the NEXT batch (a new
     object for HNSW — segment ids advance with it; unchanged
-    otherwise)."""
+    otherwise). ``batch_id`` reaches the Bm25 idempotent per-batch
+    path; replay protection for the other kinds lives in
+    :func:`stream_index_appender`'s ledger."""
     from gamma_spark.operators.hnsw import HnswIndex
     from gamma_spark.operators.pq import IvfPqIndex
     from gamma_spark.operators.retrieval import Bm25Index
@@ -51,8 +54,10 @@ def index_append_batch(index, batch_df: DataFrame, path: str):
     if isinstance(index, Bm25Index):
         # lexical model: only the batch tokenizes; stats update as
         # running totals (Bm25Index.append). Returned index carries the
-        # new stats — REQUIRED for the next batch.
-        return index.append(batch_df)
+        # new stats — REQUIRED for the next batch. batch_id flows
+        # through to the per-batch-subdir idempotent path when the
+        # caller (stream_index_appender) has one.
+        return index.append(batch_df, batch_id=batch_id)
     if isinstance(index, IvfPqIndex):
         index.encode_df(batch_df).write.mode("append").partitionBy(
             "cluster_id"
@@ -82,8 +87,30 @@ def _index_vec_col(path: str) -> str:
 def stream_index_appender(stream_df: DataFrame, index, path: str):
     """Attach a foreachBatch writer that keeps the index table growing
     as micro-batches arrive. Returns the DataStreamWriter (caller picks
-    trigger/checkpoint and calls .start())."""
+    trigger/checkpoint and calls .start()).
 
+    Replay protection (r9): Spark replays a micro-batch when the batch
+    committed but the checkpoint didn't. Bm25 appends are idempotent
+    per batch_id on their own; the IVF/HNSW appends are bare parquet
+    appends / fresh segments, so a replay would duplicate rows (HNSW:
+    duplicate segments whose docids occupy top-k slots twice). A
+    ``stream_ledger.json`` sidecar records committed batch_ids —
+    updated AFTER the append is durable, read under the store's writer
+    lock — and a replayed id is skipped. Crash between append and
+    ledger narrows (not eliminates) the duplicate window for the
+    IVF-family kinds, the same crash contract Bm25Index.append
+    documents for its stats.
+
+    On RESTART from a checkpoint, attach a freshly loaded index (e.g.
+    ``HnswIndex.load(path)``): the evolving index object lives in this
+    closure, so a stale pre-crash object would resume with stale
+    stats/segment bases — the ledger protects against double-writes,
+    not against stale in-memory state."""
+    import json as _json
+
+    from gamma_spark.io_util import atomic_write_json, writer_lock
+
+    ledger_path = os.path.join(path, "stream_ledger.json")
     state = {"index": index}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -92,24 +119,46 @@ def stream_index_appender(stream_df: DataFrame, index, path: str):
         # per-batch staged intermediates released once the append is
         # durable — an unbounded stream must not pin storage (r8 soak)
         with stage_scope():
-            state["index"] = index_append_batch(state["index"], batch_df, path)
+            with writer_lock(path, name=".stream.lock", block=True):
+                try:
+                    with open(ledger_path) as fh:
+                        done = set(_json.load(fh).get("batches", []))
+                except (OSError, ValueError):
+                    done = set()
+                if int(batch_id) in done:
+                    return  # replayed micro-batch: already committed
+                state["index"] = index_append_batch(
+                    state["index"], batch_df, path, batch_id=int(batch_id)
+                )
+                done.add(int(batch_id))
+                atomic_write_json(ledger_path, {"batches": sorted(done)})
 
     return stream_df.writeStream.foreachBatch(handle)
 
 
 def compact_index(spark, path: str) -> None:
     """T3: rewrite the index table (drops tombstoned rows if a
-    ``_deleted`` column exists, coalesces small append files)."""
+    ``_deleted`` column exists, coalesces small append files).
+
+    Rename-aside swap, not rmtree-then-rename (r9 — the same window
+    dedup._compact_parquet closed in r4): the live dir is parked
+    aside, the compacted dir renamed in, THEN the old content removed.
+    A crash between the two renames leaves ``<index>.old`` intact for
+    manual repair instead of no index at all."""
     idx_path = os.path.join(path, "index")
     df = spark.read.parquet(idx_path)
     if "_deleted" in df.columns:
         df = df.filter(~F.col("_deleted"))
     tmp = idx_path + ".compact"
+    old = idx_path + ".old"
     df.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
     import shutil
 
-    shutil.rmtree(idx_path)
+    shutil.rmtree(old, ignore_errors=True)  # prior interrupted compact
+    os.rename(idx_path, old)
     os.rename(tmp, idx_path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(idx_path)
 
 
 class HybridSearcher:

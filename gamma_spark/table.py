@@ -118,6 +118,21 @@ def _merge_batch(
         .filter(F.col("_rn") == 1)
         .drop(*drop_cols)
     )
+    # upserts replace WHOLE documents (the reference's AddOrUpdateDoc
+    # takes full docs): a batch missing a stored column would silently
+    # narrow the output schema and erase that column for EVERY row in
+    # the rewritten scope (the whole table here; every touched bucket
+    # on the BucketedDocStore path) — fail loudly instead
+    missing = [
+        c
+        for c in cur.columns
+        if c not in (idc, DOCID, DELETED) and c not in deduped.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"upsert batch is missing stored column(s) {missing}; "
+            "upserts replace whole documents — include every data column"
+        )
     data_cols = [c for c in deduped.columns if c != idc]
     joined = cur.alias("t").join(
         deduped.alias("b"), on=F.col(f"t.{idc}") == F.col(f"b.{idc}"), how="left"
@@ -327,7 +342,14 @@ class GammaTable:
         """Dump (`search/gamma_engine.cc:1101-1146`): timestamped snapshot
         dir; the done-marker write is last, so readers only ever load
         complete snapshots."""
-        ts = time.strftime("%Y%m%d%H%M%S") + f"_{int(time.time()*1000)%1000:03d}"
+        # ONE clock reading for both parts: two reads straddling a
+        # second boundary can yield '..00_999' -> '..01_000'-style
+        # inversions where the newer snapshot sorts lexically OLDER and
+        # load() silently returns stale data
+        now = time.time()
+        ts = time.strftime(
+            "%Y%m%d%H%M%S", time.localtime(now)
+        ) + f"_{int(now * 1000) % 1000:03d}"
         snap = os.path.join(root, ts)
         self._df.write.mode("overwrite").parquet(os.path.join(snap, "docs"))
         meta = {"id_col": self.id_col, "created": ts, "columns": self._df.columns}
@@ -445,10 +467,27 @@ class BucketedDocStore:
         self.spark = spark
         self.root = root
         # a crash mid-swap leaves a .trash-<n> dir with a swap journal;
-        # heal BEFORE trusting the docs dir (VERDICT r4 #8)
-        if self._recover_torn_swap(root):
-            # the healed dirs must not be read through a stale listing
-            spark.catalog.refreshByPath(os.path.join(root, "docs"))
+        # heal BEFORE trusting the docs dir (VERDICT r4 #8). Recovery
+        # is DESTRUCTIVE (renames + rmtree), so it must not race a
+        # LIVE commit: the same leftover signature exists while a
+        # healthy writer is mid-swap. Fast path: no leftovers, no lock.
+        # Leftovers: take the writer lock (blocking — a live committer
+        # finishes in seconds and cleans its own trash) and re-scan
+        # under it; after a genuine crash the lock is free and the
+        # re-scan still sees the torn state.
+        import glob as _glob
+
+        from gamma_spark.io_util import writer_lock
+
+        leftovers = _glob.glob(os.path.join(root, ".trash-*")) or _glob.glob(
+            os.path.join(root, ".staging-*")
+        )
+        if leftovers:
+            with writer_lock(root, block=True):
+                recovered = self._recover_torn_swap(root)
+            if recovered:
+                # healed dirs must not be read through a stale listing
+                spark.catalog.refreshByPath(os.path.join(root, "docs"))
         with open(os.path.join(root, "meta.json")) as fh:
             self.meta = json.load(fh)
         if not os.path.exists(os.path.join(root, DONE_MARKER)):
@@ -615,9 +654,11 @@ class BucketedDocStore:
         ]
         if not hit:
             return self
-        docs_path = os.path.join(self.root, "docs")
-        # partition-pruned read: only affected bucket directories
-        cur = self.spark.read.parquet(docs_path).filter(F.col(BUCKET).isin(hit))
+        # partition-pruned read (only affected bucket directories)
+        # through raw(): the schema-sidecar path keeps a fully
+        # compacted-away store (zero bucket dirs) readable — a bare
+        # read.parquet on the empty docs dir fails schema inference
+        cur = self.raw().filter(F.col(BUCKET).isin(hit))
         merged = _merge_batch(
             cur.drop(BUCKET),
             batch,
@@ -683,6 +724,24 @@ class BucketedDocStore:
         # the ledger — the second one now fails fast with
         # ConcurrentWriterError instead
         with writer_lock(self.root):
+            # stale-handle guard: SEQUENTIAL writers from separately
+            # opened handles never contend on the lock, but a handle
+            # opened at commit N would still mint commit N+1 and docids
+            # from N's max_docid after another handle already committed
+            # N+1 — duplicate docids, colliding trash/journal
+            # generations. The merge upstream already baked the stale
+            # max in, so recomputing here is not safe; fail fast.
+            from gamma_spark.io_util import ConcurrentWriterError, read_json_or_none
+
+            disk_meta = read_json_or_none(os.path.join(self.root, "meta.json"))
+            if disk_meta is not None and int(disk_meta["commit"]) != int(
+                self.meta["commit"]
+            ):
+                raise ConcurrentWriterError(
+                    f"store {self.root} is at commit {disk_meta['commit']} "
+                    f"but this handle was opened at commit "
+                    f"{self.meta['commit']}; re-open the store and retry"
+                )
             docs_path = os.path.join(self.root, "docs")
             commit = int(self.meta["commit"]) + 1
             staging = os.path.join(self.root, f".staging-{commit}")
