@@ -106,34 +106,43 @@ def stream_index_appender(stream_df: DataFrame, index, path: str):
     closure, so a stale pre-crash object would resume with stale
     stats/segment bases — the ledger protects against double-writes,
     not against stale in-memory state."""
+    state = {"index": index}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index_append_batch_once(state, batch_df, batch_id, path)
+
+    return stream_df.writeStream.foreachBatch(handle)
+
+
+def index_append_batch_once(state: dict, batch_df: DataFrame,
+                            batch_id: int, path: str) -> None:
+    """One exactly-once-per-batch_id append step (the foreachBatch body
+    of :func:`stream_index_appender`, factored out so the ledger
+    semantics are directly testable). ``state['index']`` is replaced
+    with the index to use for the next batch."""
     import json as _json
 
     from gamma_spark.io_util import atomic_write_json, writer_lock
 
+    if batch_df.isEmpty():
+        return
     ledger_path = os.path.join(path, "stream_ledger.json")
-    state = {"index": index}
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # per-batch staged intermediates released once the append is
-        # durable — an unbounded stream must not pin storage (r8 soak)
-        with stage_scope():
-            with writer_lock(path, name=".stream.lock", block=True):
-                try:
-                    with open(ledger_path) as fh:
-                        done = set(_json.load(fh).get("batches", []))
-                except (OSError, ValueError):
-                    done = set()
-                if int(batch_id) in done:
-                    return  # replayed micro-batch: already committed
-                state["index"] = index_append_batch(
-                    state["index"], batch_df, path, batch_id=int(batch_id)
-                )
-                done.add(int(batch_id))
-                atomic_write_json(ledger_path, {"batches": sorted(done)})
-
-    return stream_df.writeStream.foreachBatch(handle)
+    # per-batch staged intermediates released once the append is
+    # durable — an unbounded stream must not pin storage (r8 soak)
+    with stage_scope():
+        with writer_lock(path, name=".stream.lock", block=True):
+            try:
+                with open(ledger_path) as fh:
+                    done = set(_json.load(fh).get("batches", []))
+            except (OSError, ValueError):
+                done = set()
+            if int(batch_id) in done:
+                return  # replayed micro-batch: already committed
+            state["index"] = index_append_batch(
+                state["index"], batch_df, path, batch_id=int(batch_id)
+            )
+            done.add(int(batch_id))
+            atomic_write_json(ledger_path, {"batches": sorted(done)})
 
 
 def compact_index(spark, path: str) -> None:

@@ -239,6 +239,40 @@ def test_hnsw_micro_batch_append(spark, embeddings, tmp_path):
     assert hits[0]._docid == target._docid
 
 
+def test_stream_append_replayed_batch_is_skipped(spark, embeddings, tmp_path):
+    """r9 replay ledger: Spark replays a micro-batch whose append
+    committed but whose checkpoint didn't. The ledger records committed
+    batch_ids, so the replay is a no-op — without it the HNSW path
+    appended a DUPLICATE segment whose docids occupy top-k slots
+    twice."""
+    from pyspark.sql import functions as F
+
+    from gamma_spark.operators.hnsw import HnswIndex
+    from gamma_spark.streaming.incremental import index_append_batch_once
+
+    docs = embeddings.withColumnRenamed("vec_id", "_docid")
+    first = docs.filter(F.col("_docid") < 300)
+    b1 = docs.filter(F.col("_docid") >= 300)
+    path = str(tmp_path / "hnsw_replay")
+    idx = HnswIndex.build(first, nshards=2, m=8, ef_construction=40,
+                          metric="L2", path=path)
+    state = {"index": idx}
+    index_append_batch_once(state, b1, 7, path)
+    after_first = state["index"]
+    assert after_first.nshards == 3
+    rows = after_first.index_df.count()
+    # the replay: same batch_id arrives again (checkpoint never
+    # committed) — must not append a second segment
+    index_append_batch_once(state, b1, 7, path)
+    assert state["index"] is after_first  # no new index object minted
+    assert state["index"].nshards == 3
+    assert state["index"].index_df.count() == rows
+    # a NEW batch_id with the same rows still appends (the ledger keys
+    # on batch identity, not content)
+    index_append_batch_once(state, b1, 8, path)
+    assert state["index"].nshards == 4
+
+
 def test_streaming_curation_gate_matches_batch(tmp_path, spark, documents):
     """r5 streaming curation: per-doc quality gating micro-batch by
     micro-batch equals the batch-mode gate over the full input (the

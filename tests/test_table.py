@@ -273,6 +273,41 @@ def test_bucketed_store_leaves_session_conf_untouched(tmp_path, spark, table):
     assert spark.conf.get(key, None) == before
 
 
+def test_bucketed_store_stale_handle_fails_fast(tmp_path, spark, table):
+    """r9: sequential writers from SEPARATELY OPENED handles never
+    contend on the writer lock, but a handle opened at commit N would
+    mint commit N+1 and docids from N's max again after another handle
+    already committed — duplicate docids. The commit now re-reads meta
+    under the lock and fails fast on a stale handle."""
+    from gamma_spark.io_util import ConcurrentWriterError
+    from gamma_spark.table import BucketedDocStore
+
+    root = str(tmp_path / "store")
+    BucketedDocStore.create(table, root, nbuckets=8)
+    a = BucketedDocStore(spark, root)
+    b = BucketedDocStore(spark, root)  # same commit, second handle
+    batch = spark.createDataFrame(
+        [(900, "h1", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a.upsert(batch)  # advances the store to commit N+1
+    with pytest.raises(ConcurrentWriterError):
+        b.upsert(batch.withColumn("text", F.lit("h2")))
+    # a freshly opened handle proceeds
+    BucketedDocStore(spark, root).upsert(batch.withColumn("text", F.lit("h3")))
+
+
+def test_upsert_batch_missing_stored_column_raises(spark, table):
+    """r9: upserts replace whole documents — a batch missing a stored
+    column used to silently erase it for every row in the rewritten
+    scope; now it is a loud ValueError."""
+    partial = spark.createDataFrame(
+        [(3, "narrow")], "doc_id long, text string"  # no lang/source/n_chars
+    )
+    with pytest.raises(ValueError, match="missing stored column"):
+        table.add_or_update(partial)
+
+
 def test_bucketed_store_aborted_commit_preserves_state(tmp_path, spark, table, monkeypatch):
     """Crash-during-staging (VERDICT r3 #6): if the commit dies before
     the bucket swap begins, a reload sees the pre-commit state exactly —
