@@ -114,12 +114,52 @@ def stream_index_appender(stream_df: DataFrame, index, path: str):
     return stream_df.writeStream.foreachBatch(handle)
 
 
+def _runs_add(runs: list[list[int]], x: int) -> list[list[int]]:
+    """Insert ``x`` into sorted, disjoint [start, end] runs (merging
+    neighbors). Contiguous monotone batch ids stay ONE run forever —
+    the ledger is O(#gaps), not O(#batches), so a years-long stream
+    never grows it."""
+    out: list[list[int]] = []
+    placed = False
+    for a, b in runs:
+        if placed or x > b + 1:
+            out.append([a, b])
+        elif x < a - 1:
+            out.append([x, x])
+            out.append([a, b])
+            placed = True
+        else:  # adjacent or inside: extend this run
+            out.append([min(a, x), max(b, x)])
+            placed = True
+    if not placed:
+        out.append([x, x])
+    # merge runs the insertion made adjacent
+    merged: list[list[int]] = []
+    for r in out:
+        if merged and r[0] <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], r[1])
+        else:
+            merged.append(r)
+    return merged
+
+
+def _runs_contain(runs: list[list[int]], x: int) -> bool:
+    return any(a <= x <= b for a, b in runs)
+
+
 def index_append_batch_once(state: dict, batch_df: DataFrame,
                             batch_id: int, path: str) -> None:
     """One exactly-once-per-batch_id append step (the foreachBatch body
     of :func:`stream_index_appender`, factored out so the ledger
     semantics are directly testable). ``state['index']`` is replaced
-    with the index to use for the next batch."""
+    with the index to use for the next batch.
+
+    The ledger stores committed ids as run-length ranges (structured
+    streaming ids are monotone and contiguous, so the common case is a
+    single range regardless of stream age); the legacy flat-list form
+    is read transparently. One ledger per CHECKPOINT lifetime: a
+    stream restarted with a fresh checkpoint restarts batch ids at 0,
+    so delete the ledger (and the index) together when re-seeding."""
     import json as _json
 
     from gamma_spark.io_util import atomic_write_json, writer_lock
@@ -133,16 +173,20 @@ def index_append_batch_once(state: dict, batch_df: DataFrame,
         with writer_lock(path, name=".stream.lock", block=True):
             try:
                 with open(ledger_path) as fh:
-                    done = set(_json.load(fh).get("batches", []))
+                    led = _json.load(fh)
+                runs = [list(map(int, r)) for r in led.get("runs", [])]
+                for x in led.get("batches", []):  # legacy flat form
+                    runs = _runs_add(runs, int(x))
             except (OSError, ValueError):
-                done = set()
-            if int(batch_id) in done:
+                runs = []
+            if _runs_contain(runs, int(batch_id)):
                 return  # replayed micro-batch: already committed
             state["index"] = index_append_batch(
                 state["index"], batch_df, path, batch_id=int(batch_id)
             )
-            done.add(int(batch_id))
-            atomic_write_json(ledger_path, {"batches": sorted(done)})
+            atomic_write_json(
+                ledger_path, {"runs": _runs_add(runs, int(batch_id))}
+            )
 
 
 def compact_index(spark, path: str) -> None:

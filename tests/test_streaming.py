@@ -273,6 +273,32 @@ def test_stream_append_replayed_batch_is_skipped(spark, embeddings, tmp_path):
     assert state["index"].nshards == 4
 
 
+def test_stream_ledger_runs_stay_compact():
+    """The ledger must be O(#gaps), not O(#batches): a years-long
+    monotone stream stays ONE range, and arbitrary insertion orders
+    match a set oracle (sorted, disjoint, fully merged runs)."""
+    import random
+
+    from gamma_spark.streaming.incremental import _runs_add, _runs_contain
+
+    runs = []
+    for i in range(5000):
+        runs = _runs_add(runs, i)
+    assert runs == [[0, 4999]]
+
+    rng = random.Random(7)
+    for _ in range(100):
+        runs, seen = [], set()
+        for _ in range(rng.randrange(1, 50)):
+            x = rng.randrange(0, 30)
+            if not _runs_contain(runs, x):
+                runs = _runs_add(runs, x)
+            seen.add(x)
+        for (a, b), (c, d) in zip(runs, runs[1:]):
+            assert b + 1 < c  # disjoint and fully merged
+        assert {v for a, b in runs for v in range(a, b + 1)} == seen
+
+
 def test_streaming_curation_gate_matches_batch(tmp_path, spark, documents):
     """r5 streaming curation: per-doc quality gating micro-batch by
     micro-batch equals the batch-mode gate over the full input (the
