@@ -314,15 +314,20 @@ class IvfFlatIndex:
         if hp is not None and nprobe < len(cents):
             g, ef = hp
             pos, _ = g.search(qmat, k=nprobe, ef=max(ef, nprobe))
-            # pad the (rare) under-filled rows with the brute answer
+            # pad the (rare) under-filled rows with the brute answer —
+            # via the brute helper directly, NOT by temporarily nulling
+            # self._hnsw_probe: that mutation raced concurrent searches
+            # on the same index (thread B would silently take the
+            # brute O(Q*C) path, or see the field restored mid-flight)
             if (pos < 0).any():
                 bad = np.flatnonzero((pos < 0).any(axis=1))
-                self._hnsw_probe = None
-                try:
-                    pos[bad] = self.probe_clusters(qmat[bad], nprobe)
-                finally:
-                    self._hnsw_probe = hp
+                pos[bad] = self._probe_brute(qmat[bad], nprobe)
             return pos
+        return self._probe_brute(qmat, nprobe)
+
+    def _probe_brute(self, qmat: np.ndarray, nprobe: int) -> np.ndarray:
+        """Exact chunked centroid assignment (the non-graph probe)."""
+        cents = self.centroids
         nprobe = min(nprobe, len(cents))
         chunk = max(1, self.PROBE_CHUNK_CELLS // max(1, len(cents)))
         cent_sq = (cents * cents).sum(axis=1)[None, :]
@@ -386,6 +391,16 @@ class IvfFlatIndex:
         picks by query count.
         """
         spark = self.index_df.sparkSession
+        if strategy == "scan" and metric.upper() not in ("IP", "L2", "COSINE"):
+            # an explicit 'scan' from user retrieval_params must fail
+            # cleanly: the BLAS kernel has no HAMMING branch and scores
+            # the float probe vectors, not the packed signatures — it
+            # would crash (or silently mis-score) deep in the executor
+            raise ValueError(
+                f"strategy='scan' supports IP/L2/COSINE, not "
+                f"{metric.upper()}; use strategy='join' (the 'auto' "
+                "default already routes non-float metrics there)"
+            )
         qrows = queries.select(query_id, query_vec, probe_vec or query_vec).collect()
         qids = [int(r[0]) for r in qrows]
         qmat = np.asarray([r[2] for r in qrows], dtype=np.float64)
@@ -464,7 +479,7 @@ class IvfFlatIndex:
         shuffle profile as the FLAT scan kernel: k rows per (query,
         partition), independent of corpus size."""
         from gamma_spark.functions import vector as V
-        from gamma_spark.operators.topk import topk
+        from gamma_spark.operators.topk import merge_running_topk, topk
 
         metric_u = metric.upper()
         asc = V.metric_ascending(metric_u)
@@ -517,44 +532,19 @@ class IvfFlatIndex:
                         s = np.where(s >= min_score, s, worst)
                     if max_score is not None:
                         s = np.where(s <= max_score, s, worst)
-                    cand_s = np.concatenate([best_s[qsel], s], axis=1)
-                    cand_i = np.concatenate(
-                        [best_i[qsel], np.broadcast_to(sub_ids, (len(qsel), len(sub_ids)))],
-                        axis=1,
+                    # merge into the running top-k — shared kernel
+                    # (operators/topk.merge_running_topk, r9): dual-pivot
+                    # tie detection + smallest-docid lexsort repair
+                    new_s, new_i = merge_running_topk(
+                        best_s[qsel],
+                        best_i[qsel],
+                        s,
+                        np.broadcast_to(sub_ids, (len(qsel), len(sub_ids))),
+                        k,
+                        asc,
                     )
-                    kk = min(k, cand_s.shape[1])
-                    skey = cand_s if asc else -cand_s
-                    # boundary ties keep the smallest docids (same
-                    # repair as the scan/cogroup kernels); dual-pivot
-                    # detection (r8): the (kk+1)-th smallest lands at
-                    # column kk, so one column compare replaces the
-                    # (Q, k+B) bool matrix — non-finite kth rows keep
-                    # arbitrary inf pads, dropped at emission anyway
-                    if kk < cand_s.shape[1]:
-                        pf = np.argpartition(skey, (kk - 1, kk), axis=1)
-                        part = pf[:, :kk]
-                        kth = np.take_along_axis(
-                            skey, pf[:, kk - 1 : kk], axis=1
-                        )[:, 0]
-                        nxt = np.take_along_axis(
-                            skey, pf[:, kk : kk + 1], axis=1
-                        )[:, 0]
-                        tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
-                    else:
-                        part = np.broadcast_to(
-                            np.arange(kk), cand_s.shape
-                        ).copy()
-                        kth = np.array([])
-                        tied = np.array([], dtype=np.int64)
-                    new_s = np.take_along_axis(cand_s, part, axis=1)
-                    new_i = np.take_along_axis(cand_i, part, axis=1)
-                    for r in tied:
-                        cand = np.flatnonzero(skey[r] <= kth[r])
-                        sel = cand[np.lexsort((cand_i[r][cand], skey[r][cand]))[:kk]]
-                        new_s[r] = cand_s[r][sel]
-                        new_i[r] = cand_i[r][sel]
-                    best_s[qsel, :kk] = new_s
-                    best_i[qsel, :kk] = new_i
+                    best_s[qsel] = new_s
+                    best_i[qsel] = new_i
             if not seen:
                 return
             valid = (best_i.ravel() >= 0) & np.isfinite(best_s.ravel())

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gamma_spark.functions import vector as V
-from gamma_spark.operators.topk import topk
+from gamma_spark.operators.topk import merge_running_topk, topk
 
 RESULT_COLS = ("qid", "_docid", "score", "rank")
 
@@ -114,11 +114,28 @@ def knn_scan(
     """
     asc = V.metric_ascending(metric)
     qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        # mirror knn_join: an empty query relation yields an empty
+        # result (the ndim check below would otherwise misreport it as
+        # ragged vectors)
+        empty = docs.sparkSession.createDataFrame(
+            [], "qid long, _docid long, score double"
+        )
+        return topk(empty, ["qid"], "score", k, ascending=asc,
+                    tiebreak_cols=["_docid"])
     qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
     qmat = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (Q, d)
     if qmat.ndim != 2:
         raise ValueError("query vectors must be fixed-dimension arrays")
     metric_u = metric.upper()
+    if metric_u == "COSINE":
+        # loop-invariant: hoisted out of the per-Arrow-batch kernel
+        # (the _search_scan form, ivf.py) — same values, same arithmetic
+        qmat_n = qmat / np.maximum(
+            np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30
+        )
+    else:
+        qmat_n = qmat
 
     from gamma_spark.session import ensure_parallelism
 
@@ -143,8 +160,7 @@ def knn_scan(
                 s = dmat @ qmat.T  # (B, Q)
             elif metric_u == "COSINE":
                 dn = dmat / np.maximum(np.linalg.norm(dmat, axis=1, keepdims=True), 1e-30)
-                qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
-                s = dn @ qn.T
+                s = dn @ qmat_n.T
             elif metric_u == "L2":
                 # in-place accumulation: the naive 3-allocation form
                 # serializes on mmap/page-zeroing under full worker
@@ -163,44 +179,18 @@ def knn_scan(
                 s = np.where(s >= min_score, s, np.inf if asc else -np.inf)
             if max_score is not None:
                 s = np.where(s <= max_score, s, np.inf if asc else -np.inf)
-            # merge batch into running top-k: concat + argpartition.
-            # Ties straddling the k boundary must keep the SMALLEST
-            # docids (the oracle's tie order) — argpartition alone keeps
-            # arbitrary tied members, so rows with boundary ties (exact
-            # duplicate vectors produce them even on float metrics) get
-            # a (score, docid) lexsort repair. Tie DETECTION uses the
-            # dual-pivot trick (the r8 hnsw.scan form): the (kk+1)-th
-            # smallest lands at column kk, so one column compare
-            # replaces a full (Q, k+B) bool matrix + extra pass per
-            # merge. A non-finite kth means fewer than kk in-band
-            # candidates — every finite one is kept and the inf-tied
-            # fillers are dropped at emission, so no repair is needed.
-            cand_scores = np.concatenate([best_scores, s.T], axis=1)  # (Q, k+B)
-            cand_ids = np.concatenate(
-                [best_ids, np.broadcast_to(ids, (len(qids), len(ids)))], axis=1
+            # merge batch into the running top-k — ONE shared kernel
+            # (operators/topk.merge_running_topk) holds the dual-pivot
+            # tie detection + smallest-docid lexsort repair for the
+            # knn/ivf/pq scan merges (r9 consolidation)
+            best_scores, best_ids = merge_running_topk(
+                best_scores,
+                best_ids,
+                s.T,
+                np.broadcast_to(ids, (len(qids), len(ids))),
+                k,
+                asc,
             )
-            kk = min(k, cand_scores.shape[1])
-            skey = cand_scores if asc else -cand_scores
-            if kk < cand_scores.shape[1]:
-                pf = np.argpartition(skey, (kk - 1, kk), axis=1)
-                part = pf[:, :kk]
-                kth = np.take_along_axis(skey, pf[:, kk - 1 : kk], axis=1)[:, 0]
-                nxt = np.take_along_axis(skey, pf[:, kk : kk + 1], axis=1)[:, 0]
-                tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
-            else:
-                part = np.broadcast_to(
-                    np.arange(kk), cand_scores.shape
-                ).copy()
-                kth = np.array([])
-                tied = np.array([], dtype=np.int64)
-            new_scores = np.take_along_axis(cand_scores, part, axis=1)
-            new_ids = np.take_along_axis(cand_ids, part, axis=1)
-            for r in tied:
-                cand = np.flatnonzero(skey[r] <= kth[r])
-                sel = cand[np.lexsort((cand_ids[r][cand], skey[r][cand]))[:kk]]
-                new_scores[r] = cand_scores[r][sel]
-                new_ids[r] = cand_ids[r][sel]
-            best_scores, best_ids = new_scores, new_ids
         if n_seen == 0:
             return
         valid = (best_ids.ravel() >= 0) & np.isfinite(best_scores.ravel())

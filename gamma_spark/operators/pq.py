@@ -47,7 +47,7 @@ from gamma_spark.operators.ivf import (
     assign_clusters,
     kmeans_lloyd_np,
 )
-from gamma_spark.operators.topk import topk
+from gamma_spark.operators.topk import merge_running_topk, topk
 
 
 def anisotropic_kmeans_np(
@@ -532,44 +532,19 @@ class IvfPqIndex:
                         s = np.where(s >= min_score, s, worst)
                     if max_score is not None:
                         s = np.where(s <= max_score, s, worst)
-                    cand_s = np.concatenate([best_s[qsel], s], axis=1)
-                    cand_i = np.concatenate(
-                        [best_i[qsel], np.broadcast_to(bids, (len(qsel), len(bids)))],
-                        axis=1,
+                    # merge into the running top-rn — shared kernel
+                    # (operators/topk.merge_running_topk, r9): dual-pivot
+                    # tie detection + smallest-docid lexsort repair
+                    new_s, new_i = merge_running_topk(
+                        best_s[qsel],
+                        best_i[qsel],
+                        s,
+                        np.broadcast_to(bids, (len(qsel), len(bids))),
+                        rn,
+                        asc_l,
                     )
-                    kk = min(rn, cand_s.shape[1])
-                    skey = cand_s if asc_l else -cand_s
-                    # boundary ties keep the smallest docids (same
-                    # repair as the scan/cogroup kernels); dual-pivot
-                    # detection (r8): the (kk+1)-th smallest lands at
-                    # column kk, so one column compare replaces the
-                    # (Q, k+B) bool matrix — non-finite kth rows keep
-                    # arbitrary inf pads, dropped at emission anyway
-                    if kk < cand_s.shape[1]:
-                        pf = np.argpartition(skey, (kk - 1, kk), axis=1)
-                        part = pf[:, :kk]
-                        kth = np.take_along_axis(
-                            skey, pf[:, kk - 1 : kk], axis=1
-                        )[:, 0]
-                        nxt = np.take_along_axis(
-                            skey, pf[:, kk : kk + 1], axis=1
-                        )[:, 0]
-                        tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
-                    else:
-                        part = np.broadcast_to(
-                            np.arange(kk), cand_s.shape
-                        ).copy()
-                        kth = np.array([])
-                        tied = np.array([], dtype=np.int64)
-                    new_s = np.take_along_axis(cand_s, part, axis=1)
-                    new_i = np.take_along_axis(cand_i, part, axis=1)
-                    for r in tied:
-                        cand = np.flatnonzero(skey[r] <= kth[r])
-                        sel = cand[np.lexsort((cand_i[r][cand], skey[r][cand]))[:kk]]
-                        new_s[r] = cand_s[r][sel]
-                        new_i[r] = cand_i[r][sel]
-                    best_s[qsel, :kk] = new_s
-                    best_i[qsel, :kk] = new_i
+                    best_s[qsel] = new_s
+                    best_i[qsel] = new_i
             if not seen:
                 return
             valid = (best_i.ravel() >= 0) & np.isfinite(best_s.ravel())

@@ -67,9 +67,18 @@ def sample_mixture(
     primitive ("keep 100% of lang A, 30% of B, drop the rest"). The
     per-row gate is a CASE over ``fractions``; groups not listed get
     ``default``."""
-    rate = F.lit(float(default))
-    for g, f in sorted(fractions.items()):
-        rate = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(rate)
+    # ONE flat CaseWhen with N branches, not N nested CaseWhen nodes:
+    # arms are mutually exclusive equality tests, and a realistic mix
+    # (hundreds of languages/sources) as a nested chain builds an
+    # expression tree hundreds of levels deep that Catalyst must
+    # analyze recursively (stack/codegen-depth risk)
+    items = sorted(fractions.items())
+    if not items:
+        return df.filter(_unit(key_col, salt) < F.lit(float(default)))
+    rate = F.when(F.col(group_col) == items[0][0], F.lit(float(items[0][1])))
+    for g, f in items[1:]:
+        rate = rate.when(F.col(group_col) == g, F.lit(float(f)))
+    rate = rate.otherwise(F.lit(float(default)))
     return df.filter(_unit(key_col, salt) < rate)
 
 
@@ -81,9 +90,14 @@ def sql_sample_mixture(
     salt: str = "",
 ) -> str:
     """WHERE-clause twin of :func:`sample_mixture` (CASE evaluation
-    order is irrelevant: arms are mutually exclusive equality tests)."""
+    order is irrelevant: arms are mutually exclusive equality tests).
+    Group keys are single-quote-escaped; an empty ``fractions`` emits
+    the bare default instead of a WHEN-less CASE (a parse error)."""
+    if not fractions:
+        return f"{sql_unit(key_col, salt)} < {float(default)!r}"
     arms = " ".join(
-        f"WHEN {group_col} = '{g}' THEN {float(f)!r}"
+        f"WHEN {group_col} = '{str(g).replace(chr(39), chr(39) * 2)}' "
+        f"THEN {float(f)!r}"
         for g, f in sorted(fractions.items())
     )
     return f"{sql_unit(key_col, salt)} < (CASE {arms} ELSE {float(default)!r} END)"
@@ -112,8 +126,12 @@ def stratified_quota(
 
 def sql_stratified_quota(
     table: str, group_col: str, quota: int, key_col: str, salt: str = "",
-    select: str = "*",
+    select: str = "* EXCLUDE (_sq_rn)",
 ) -> str:
+    """DuckDB twin of :func:`stratified_quota`. The default ``select``
+    drops the ``_sq_rn`` helper (DuckDB's EXCLUDE) to match the Spark
+    twin's schema — a bare ``*`` would leak the helper column and
+    false-fail any twin comparison."""
     u = sql_unit(key_col, salt)
     return f"""
 SELECT {select} FROM (
@@ -157,14 +175,23 @@ def plan_mixture(
     """
     rows = (
         df.groupBy(group_col)
-        .agg(F.sum(F.col(token_col)).alias("_tok"))
+        # coalesce: a group whose token_col is all-NULL sums to NULL,
+        # which is "has no tokens", not a crash
+        .agg(F.coalesce(F.sum(F.col(token_col)), F.lit(0)).alias("_tok"))
         .collect()
     )
     have = {r[0]: int(r[1]) for r in rows}
     out = {}
     for g, want in targets.items():
         tot = have.get(g, 0)
-        out[g] = 1.0 if tot == 0 else min(1.0, float(want) / tot)
+        if tot == 0:
+            # a zero-token group can't contribute tokens either way:
+            # keep its rows only if a positive budget asks for the
+            # group at all (the old unconditional 1.0 kept rows even
+            # when the target said drop the group)
+            out[g] = 1.0 if float(want) > 0 else 0.0
+        else:
+            out[g] = min(1.0, float(want) / tot)
     return out
 
 

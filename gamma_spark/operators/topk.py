@@ -16,8 +16,53 @@ cross product through here is correct but intentionally the slow path.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def merge_running_topk(
+    cur_s: np.ndarray,
+    cur_i: np.ndarray,
+    batch_s: np.ndarray,
+    batch_i: np.ndarray,
+    kk: int,
+    asc: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge a batch's candidate columns into per-row running top-``kk``
+    (the numpy analogue of the reference's per-chunk binary heaps,
+    `gamma_index_flat.cc:234-268`) — ONE shared kernel for the
+    knn_scan / IVF scan / ADC scan merges, which had drifted as three
+    hand-synced copies of the subtlest code in the repo (r9
+    consolidation; arithmetic and operation order are bit-identical to
+    the former copies, gated by the driver's hash-matched rows).
+
+    ``cur_s``/``cur_i`` are the (Q, kk) running best; ``batch_s``/
+    ``batch_i`` the batch's (Q, B) candidates with B >= 1 — the merged
+    width kk+B therefore always exceeds kk, so the (kk+1)-th column the
+    dual-pivot tie detection probes always exists (callers skip empty
+    batches). Boundary ties keep the SMALLEST ids (the SQL oracle's tie
+    order): the (kk+1)-th smallest landing at column kk makes one
+    column compare detect a straddling tie (r8 dual-pivot form), and
+    only tied rows pay the (score, id) lexsort repair. A non-finite kth
+    means fewer than kk in-band candidates — every finite one is kept
+    and inf pads are dropped at emission, so no repair is needed."""
+    cand_s = np.concatenate([cur_s, batch_s], axis=1)
+    cand_i = np.concatenate([cur_i, batch_i], axis=1)
+    skey = cand_s if asc else -cand_s
+    pf = np.argpartition(skey, (kk - 1, kk), axis=1)
+    part = pf[:, :kk]
+    kth = np.take_along_axis(skey, pf[:, kk - 1 : kk], axis=1)[:, 0]
+    nxt = np.take_along_axis(skey, pf[:, kk : kk + 1], axis=1)[:, 0]
+    tied = np.flatnonzero(np.isfinite(kth) & (nxt == kth))
+    out_s = np.take_along_axis(cand_s, part, axis=1)
+    out_i = np.take_along_axis(cand_i, part, axis=1)
+    for r in tied:
+        cand = np.flatnonzero(skey[r] <= kth[r])
+        sel = cand[np.lexsort((cand_i[r][cand], skey[r][cand]))[:kk]]
+        out_s[r] = cand_s[r][sel]
+        out_i[r] = cand_i[r][sel]
+    return out_s, out_i
 
 
 def topk(
