@@ -252,3 +252,12 @@ def test_tune_recall_num_restores_pq_recall(spark, embeddings):
     )
     assert recall == 1.0
     assert rn in (8, n)
+
+
+def test_scan_strategy_rejects_non_float_metric(docs, queries, ivf):
+    """r9 guard: an explicit strategy='scan' with a metric the BLAS
+    kernel can't score (HAMMING scores packed signatures, not float
+    probes) must fail fast on the driver, not crash or mis-score in
+    the executor; 'auto' keeps routing non-float metrics to 'join'."""
+    with pytest.raises(ValueError, match="strategy='scan'"):
+        ivf.search(docs, queries, k=5, metric="HAMMING", strategy="scan")

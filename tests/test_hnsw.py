@@ -722,3 +722,41 @@ def test_legacy_meta_router_backfill(tmp_path, docs, queries, monkeypatch):
     )
     reloaded = HnswIndex.load(docs.sparkSession, path)
     reloaded.search(None, queries, k=5, mode="auto")
+
+
+def test_hnsw_probe_underfill_pads_without_mutating_probe_state():
+    """r9 race fix: padding under-filled graph-probe rows must go
+    through the brute helper directly — NOT by temporarily nulling
+    ``_hnsw_probe``, which raced concurrent searches on the same index
+    (a sibling thread would silently take the brute O(Q·C) path or see
+    the field restored mid-flight)."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(128, 16))
+    idx = IvfFlatIndex(cents, index_df=None)
+    q = rng.normal(size=(12, 16))
+    brute = idx.probe_clusters(q, nprobe=6)
+    idx.enable_hnsw_probe(m=16, ef_construction=80, ef_search=64)
+    real_g, ef = idx._hnsw_probe
+
+    class Underfill:
+        """Delegates to the real graph, then forces two rows under-filled."""
+
+        def search(self, qmat, k, ef):
+            pos, dist = real_g.search(qmat, k=k, ef=ef)
+            pos = pos.copy()
+            pos[0, 1:] = -1
+            pos[5, :] = -1
+            return pos, dist
+
+    fake = (Underfill(), ef)
+    idx._hnsw_probe = fake
+    out = idx.probe_clusters(q, nprobe=6)
+    # the probe handle is untouched (identity, not equality)
+    assert idx._hnsw_probe is fake
+    # under-filled rows were replaced by the exact brute answer
+    assert (out[0] == brute[0]).all()
+    assert (out[5] == brute[5]).all()
+    # no -1 anywhere after padding
+    assert (out >= 0).all()
