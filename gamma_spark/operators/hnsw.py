@@ -133,6 +133,24 @@ def _route_to_scan(
     return scan_sec < graph_sec
 
 
+def route_break_even(
+    dim: int,
+    ef: int = DEFAULT_EF_SEARCH,
+    m: int = DEFAULT_M,
+    scan_macs: float | None = None,
+    graph_spq: float | None = None,
+) -> int:
+    """Shard size where :func:`_route_to_scan` flips scan->graph —
+    the closed-form inverse of the cost model above (n*d/macs =
+    spq + ef*2*m*d/macs), kept NEXT to the model so a model change
+    can't leave a stale copy in the rehearsal tools. Resolves the
+    constants exactly like the router (env > calibrated > frozen)."""
+    env_macs, env_spq = _env_float(ENV_SCAN_MACS), _env_float(ENV_GRAPH_SPQ)
+    scan_macs = env_macs or scan_macs or SCAN_MACS_PER_SEC
+    graph_spq = env_spq or graph_spq or GRAPH_SEC_PER_QUERY
+    return int(graph_spq * scan_macs / dim + ef * 2 * m)
+
+
 def calibrate_router(
     dim: int = 64,
     n_scan: int | None = None,
@@ -833,8 +851,13 @@ class HnswIndex:
             dim=dim,
         )
         # the source relation makes the operating-point dim resolvable
-        # for in-memory indexes without re-running the graph build
-        idx._src_docs = docs
+        # for in-memory indexes without re-running the graph build —
+        # pinned ONLY while dim is unresolved (a path-backed build
+        # records dim above): holding a DataFrame plan for the index's
+        # whole lifetime keeps dead lineage alive, and in streaming the
+        # source is a batch-scoped foreachBatch relation
+        if dim is None:
+            idx._src_docs = docs
         return idx
 
     def append(
@@ -882,6 +905,52 @@ class HnswIndex:
             # the same lock, so a lazy router backfill can never land
             # a stale nshards over a mid-flight append either
             with writer_lock(self.path):
+                # stale-handle guard (same contract as
+                # BucketedDocStore._swap_commit): SEQUENTIAL appenders
+                # from separately opened handles never contend on the
+                # lock, but a handle opened at nshards=N would mint
+                # segment ids from N after another handle already
+                # advanced the store — its parquet append would land in
+                # an EXISTING _shard partition, interleaving two
+                # unrelated graphs' adjacency rows. The shifted ids are
+                # already baked from the stale base; fail fast.
+                from gamma_spark.io_util import (
+                    ConcurrentWriterError,
+                    read_json_or_none,
+                )
+
+                disk_meta = read_json_or_none(
+                    os.path.join(self.path, "meta.json")
+                )
+                if disk_meta is not None and int(disk_meta["nshards"]) != base:
+                    raise ConcurrentWriterError(
+                        f"index {self.path} is at nshards="
+                        f"{disk_meta['nshards']} but this handle was "
+                        f"opened at nshards={base}; re-load the index "
+                        "and retry the append"
+                    )
+                # torn-append guard: a crash between a prior append's
+                # parquet write and its meta rewrite leaves an orphan
+                # _shard=<base> partition meta doesn't know about —
+                # appending into it would interleave two graphs' rows
+                graph_dir = os.path.join(self.path, "graph")
+                try:
+                    orphans = [
+                        int(d.split("=", 1)[1])
+                        for d in os.listdir(graph_dir)
+                        if d.startswith("_shard=")
+                    ]
+                except (OSError, ValueError):
+                    orphans = []
+                if orphans and max(orphans) >= base:
+                    raise ConcurrentWriterError(
+                        f"index {self.path} has segment dirs up to "
+                        f"_shard={max(orphans)} but meta records "
+                        f"nshards={base} — a prior append crashed "
+                        "between its parquet write and meta rewrite; "
+                        "remove the orphan _shard dirs (or bump "
+                        "meta nshards to adopt them) before appending"
+                    )
                 shifted.repartition("_shard").write.mode("append").partitionBy(
                     "_shard"
                 ).parquet(os.path.join(self.path, "graph"))
@@ -906,11 +975,14 @@ class HnswIndex:
             merged, base + nshards, self.metric, self.doc_vec, m=self.m,
             path=self.path, router=self.router, dim=dim,
         )
-        # keep the operating-point dim resolvable for in-memory chains:
-        # any source relation works, every segment shares the dim
-        out._src_docs = getattr(self, "_src_docs", None)
-        if out._src_docs is None:
-            out._src_docs = new_docs
+        # keep the operating-point dim resolvable for in-memory chains
+        # (any source relation works, every segment shares the dim) —
+        # but only while dim is still unresolved, so append chains
+        # don't carry an expired relation forever
+        if dim is None:
+            out._src_docs = getattr(self, "_src_docs", None)
+            if out._src_docs is None:
+                out._src_docs = new_docs
         return out
 
     @classmethod
@@ -941,6 +1013,8 @@ class HnswIndex:
             row = src.select(self.doc_vec).first()
             if row is not None:
                 self.dim = len(row[0])
+                # resolved: drop the pinned source plan (see build())
+                self._src_docs = None
         return self.dim
 
     def _backfill_router_meta(self) -> None:

@@ -277,6 +277,17 @@ def encode_png(px: np.ndarray, filter_type: int | str = 0) -> bytes:
         out.extend(enc.tobytes())
         prev = row
 
+    return _png_assemble(2, w, h, bytes(out))
+
+
+def _png_assemble(
+    ctype: int, w: int, h: int, raw: bytes, plte: np.ndarray | None = None
+) -> bytes:
+    """Signature + IHDR + optional PLTE + IDAT + IEND around an
+    already-filtered scanline stream — the ONE copy of the chunk/CRC
+    byte layout all three encoders share (RFC 2083 §3.2)."""
+    import zlib
+
     def chunk(cid: bytes, body: bytes) -> bytes:
         return (
             len(body).to_bytes(4, "big")
@@ -287,14 +298,14 @@ def encode_png(px: np.ndarray, filter_type: int | str = 0) -> bytes:
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, f0, no interlace
+        + bytes([8, ctype, 0, 0, 0])  # depth 8, deflate, f0, no interlace
     )
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(out)))
-        + chunk(b"IEND", b"")
-    )
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(
+            b"PLTE", np.ascontiguousarray(plte, dtype=np.uint8).tobytes()
+        )
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def _png_container(
@@ -304,42 +315,33 @@ def _png_container(
     ``samples`` is (h, w*channels) uint8 sample bytes per scanline.
     Shared by the palette/RGBA encoders — the write-side twins of the
     color types :func:`decode_png` accepts (RFC 2083 §4.1.3)."""
-    import zlib
-
     samples = np.ascontiguousarray(samples, dtype=np.uint8)
     raw = bytearray()
     for row in samples:
         raw.append(0)  # filter type 0: encoded bytes = sample bytes
         raw.extend(row.tobytes())
-
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + cid
-            + body
-            + zlib.crc32(cid + body).to_bytes(4, "big")
-        )
-
-    ihdr = (
-        w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
-    )
-    out = _PNG_SIG + chunk(b"IHDR", ihdr)
-    if plte is not None:
-        out += chunk(
-            b"PLTE", np.ascontiguousarray(plte, dtype=np.uint8).tobytes()
-        )
-    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return _png_assemble(ctype, w, h, bytes(raw), plte=plte)
 
 
 def encode_png_indexed(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Encode (H, W) uint8 palette indices + (N, 3) uint8 PLTE as an
     8-bit color-type-3 PNG — the indexed-color container crawls are
     full of; :func:`decode_png` resolves it back to (H, W, 3)."""
-    indices = np.asarray(indices, dtype=np.uint8)
-    palette = np.asarray(palette, dtype=np.uint8)
+    # validate BEFORE the uint8 cast: np.asarray(..., uint8) silently
+    # wraps 256 -> 0, so a post-cast range check would pass any
+    # out-of-range index that happens to wrap below len(palette) and
+    # encode a wrong image instead of raising
+    indices = np.asarray(indices)
     if indices.ndim != 2:
         raise ValueError(f"expected (H, W) indices, got {indices.shape}")
+    if indices.size and (
+        int(indices.max()) > 255 or int(indices.min()) < 0
+    ):
+        raise ValueError(
+            f"palette indices must be uint8 (0..255), got range "
+            f"[{int(indices.min())}, {int(indices.max())}]"
+        )
+    palette = np.asarray(palette, dtype=np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
         raise ValueError(f"palette must be (N, 3), got {palette.shape}")
     if int(indices.max(initial=0)) >= len(palette):
@@ -347,6 +349,7 @@ def encode_png_indexed(indices: np.ndarray, palette: np.ndarray) -> bytes:
             f"index {int(indices.max())} out of range for "
             f"{len(palette)}-entry palette"
         )
+    indices = indices.astype(np.uint8)
     h, w = indices.shape
     return _png_container(3, w, h, indices.reshape(h, w), plte=palette)
 

@@ -197,21 +197,34 @@ def compact_index(spark, path: str) -> None:
     dedup._compact_parquet closed in r4): the live dir is parked
     aside, the compacted dir renamed in, THEN the old content removed.
     A crash between the two renames leaves ``<index>.old`` intact for
-    manual repair instead of no index at all."""
+    manual repair instead of no index at all.
+
+    The WHOLE read->rewrite->swap runs under the stream appender's
+    ``.stream.lock`` (blocking): without it, a micro-batch append
+    landing between the compaction read and the swap — or mid-write
+    when the live dir is renamed aside — would be silently destroyed
+    while the appender's replay ledger records its batch_id as
+    committed, so the replayed batch is skipped too: permanent loss.
+    Consequence of the same-process non-reentrancy of ``writer_lock``
+    (io_util): never call this from inside a foreachBatch handler —
+    run it between batches or from a maintenance job."""
+    from gamma_spark.io_util import writer_lock
+
     idx_path = os.path.join(path, "index")
-    df = spark.read.parquet(idx_path)
-    if "_deleted" in df.columns:
-        df = df.filter(~F.col("_deleted"))
     tmp = idx_path + ".compact"
     old = idx_path + ".old"
-    df.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
     import shutil
 
-    shutil.rmtree(old, ignore_errors=True)  # prior interrupted compact
-    os.rename(idx_path, old)
-    os.rename(tmp, idx_path)
-    shutil.rmtree(old)
-    spark.catalog.refreshByPath(idx_path)
+    with writer_lock(path, name=".stream.lock", block=True):
+        df = spark.read.parquet(idx_path)
+        if "_deleted" in df.columns:
+            df = df.filter(~F.col("_deleted"))
+        df.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)  # prior interrupted compact
+        os.rename(idx_path, old)
+        os.rename(tmp, idx_path)
+        shutil.rmtree(old)
+        spark.catalog.refreshByPath(idx_path)
 
 
 class HybridSearcher:

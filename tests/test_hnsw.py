@@ -267,6 +267,54 @@ def test_hnsw_append_single_writer(docs, tmp_path):
     assert grown.nshards == 3
 
 
+def test_hnsw_append_stale_handle_fails_fast(docs, tmp_path):
+    """r9 review fix: SEQUENTIAL appenders from separately opened
+    handles never contend on the lock — a handle opened at nshards=N
+    appending after another handle advanced the store would land its
+    segment in an EXISTING _shard partition (two unrelated graphs
+    interleaved). The commit must re-check disk meta and fail fast,
+    the same contract as BucketedDocStore._swap_commit."""
+    from gamma_spark.io_util import ConcurrentWriterError
+
+    old = docs.filter(F.col("_docid") < 400)
+    new = docs.filter(F.col("_docid") >= 400)
+    path = str(tmp_path / "stale")
+    HnswIndex.build(old, nshards=2, m=16, metric="L2", path=path)
+    a = HnswIndex.load(docs.sparkSession, path)
+    b = HnswIndex.load(docs.sparkSession, path)
+    a.append(new, nshards=1)  # disk now at nshards=3
+    rows_after_a = HnswIndex.load(docs.sparkSession, path).index_df.count()
+    with pytest.raises(ConcurrentWriterError, match="nshards=3"):
+        b.append(new, nshards=1)
+    # nothing from b committed
+    reloaded = HnswIndex.load(docs.sparkSession, path)
+    assert reloaded.nshards == 3
+    assert reloaded.index_df.count() == rows_after_a
+    # a fresh handle appends fine
+    HnswIndex.load(docs.sparkSession, path).append(new, nshards=1)
+    assert HnswIndex.load(docs.sparkSession, path).nshards == 4
+
+
+def test_hnsw_append_torn_append_orphan_detected(docs, tmp_path):
+    """A crash between a prior append's parquet write and its meta
+    rewrite leaves an orphan _shard dir meta doesn't record; the next
+    append must refuse to interleave into it."""
+    import os
+    import shutil
+
+    from gamma_spark.io_util import ConcurrentWriterError
+
+    old = docs.filter(F.col("_docid") < 400)
+    new = docs.filter(F.col("_docid") >= 400)
+    path = str(tmp_path / "torn")
+    idx = HnswIndex.build(old, nshards=2, m=16, metric="L2", path=path)
+    # simulate the torn append: a _shard=2 dir exists, meta still says 2
+    src = os.path.join(path, "graph", "_shard=1")
+    shutil.copytree(src, os.path.join(path, "graph", "_shard=2"))
+    with pytest.raises(ConcurrentWriterError, match="orphan|crashed"):
+        idx.append(new, nshards=1)
+
+
 # ---------------------------------------------------------------------------
 # bulk router: exact GEMM scan for small/medium shards (VERDICT r6 #4)
 # ---------------------------------------------------------------------------
@@ -760,3 +808,25 @@ def test_hnsw_probe_underfill_pads_without_mutating_probe_state():
     assert (out[5] == brute[5]).all()
     # no -1 anywhere after padding
     assert (out >= 0).all()
+
+
+def test_route_break_even_inverts_cost_model():
+    """route_break_even is the closed-form inverse of _route_to_scan:
+    the route must be 'scan' just below the break-even and 'graph'
+    just above it, for a grid of calibrated constants."""
+    from gamma_spark.operators.hnsw import _route_to_scan, route_break_even
+
+    for macs in (6e8, 1.4e9, 6.5e8):
+        for spq in (2e-4, 1.1e-3, 5e-3):
+            for dim in (64, 128, 768):
+                be = route_break_even(
+                    dim, ef=64, m=16, scan_macs=macs, graph_spq=spq
+                )
+                assert _route_to_scan(
+                    max(1, be - 2), dim, ef=64, m=16,
+                    scan_macs=macs, graph_spq=spq,
+                )
+                assert not _route_to_scan(
+                    be + 2, dim, ef=64, m=16,
+                    scan_macs=macs, graph_spq=spq,
+                )

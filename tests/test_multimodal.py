@@ -422,3 +422,21 @@ def test_auto_codec_dispatches_mixed_formats(spark):
     # "auto" never recurses into itself
     with pytest.raises(ValueError, match="not registered"):
         M.decode_auto(b"", {"format": "auto"})
+
+
+def test_encode_png_indexed_rejects_wrapping_indices():
+    """r9 review fix: an int index >= 256 must raise, not silently
+    wrap through the uint8 cast into a valid-looking palette entry."""
+    import numpy as np
+    import pytest
+
+    from gamma_spark.operators.multimodal import encode_png_indexed
+
+    palette = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="0..255"):
+        encode_png_indexed(np.array([[256]]), palette)
+    with pytest.raises(ValueError, match="0..255"):
+        encode_png_indexed(np.array([[-1]]), palette)
+    # in-range but beyond the palette still raises the range error
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png_indexed(np.array([[2]], dtype=np.uint8), palette)

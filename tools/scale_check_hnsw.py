@@ -108,16 +108,22 @@ def main():
     # r9 (VERDICT r8 #4): the route each constant set picks at the
     # saturated break-even shard size and +-2x around it — exactly the
     # shapes where a concurrency-derated ratio could flip the route.
-    # break-even: n*d/macs = spq + ef*2*m*d/macs -> n = spq*macs/d + ef*2*m
+    # break-even comes from the router module itself (route_break_even
+    # sits next to the cost model), not a hand-inlined inversion that
+    # would drift when the model changes
+    from gamma_spark.operators.hnsw import route_break_even
+
     solo_macs = hnsw.router.get("scan_macs_per_sec")
     solo_spq = hnsw.router.get("graph_sec_per_query")
     sat_macs = hnsw.router.get("saturated_scan_macs_per_sec")
     sat_spq = hnsw.router.get("saturated_graph_sec_per_query")
     if sat_macs and sat_spq:
-        be = int(sat_spq * sat_macs / dim + 64 * 2 * 16)
+        be = route_break_even(
+            dim, ef=64, m=16, scan_macs=sat_macs, graph_spq=sat_spq
+        )
         results["break_even_shard_saturated"] = be
-        results["break_even_shard_solo"] = int(
-            solo_spq * solo_macs / dim + 64 * 2 * 16
+        results["break_even_shard_solo"] = route_break_even(
+            dim, ef=64, m=16, scan_macs=solo_macs, graph_spq=solo_spq
         )
         for label, nsh in (("half_be", be // 2), ("at_be", be),
                            ("double_be", 2 * be)):

@@ -98,7 +98,8 @@ def main():
                 "ef": ef,
                 "build_s": build_s,
                 "search_s": round(time.time() - t0, 1),
-                **recall_at(got, truth),
+                # searched with k=K=10: only @1/@10 are measurable
+                **recall_at(got, truth, ks=(1, 10)),
             }
             results["rows"].append(row)
             mark(f"  -> {row}")

@@ -147,13 +147,18 @@ def make_queries(
     return spark.createDataFrame(rows, "qid long, qvec array<float>")
 
 
-def recall_at(rows, truth: dict[int, int]) -> dict[str, float]:
-    """faiss recall@k: P(true 1-NN within the top-k), k in {1,10,100}."""
+def recall_at(
+    rows, truth: dict[int, int], ks: tuple[int, ...] = (1, 10, 100)
+) -> dict[str, float]:
+    """faiss recall@k: P(true 1-NN within the top-k). ``ks`` must not
+    exceed the k the rows were searched with — a caller that searched
+    k=10 would otherwise emit a recall@100 label computed over 10
+    ranks (an under-measured number under a wrong name)."""
     by_q: dict[int, list[tuple[int, int]]] = {}
     for r in rows:
         by_q.setdefault(r.qid, []).append((r.rank, r._docid))
     out = {}
-    for k in (1, 10, 100):
+    for k in ks:
         hit = sum(
             1
             for q, nn in truth.items()
