@@ -129,6 +129,7 @@ def filter_only_query(
     filters,
     topn: int,
     docid_col: str = "_docid",
+    extra_predicate: Column | None = None,
 ) -> DataFrame:
     """F9 (`search/gamma_engine.cc:405-457`): a Request with no query
     vector scans docids in order and returns the first ``topn`` rows
@@ -140,7 +141,13 @@ def filter_only_query(
     the topn scan uses a global sort-limit which Spark executes as
     TakeOrderedAndProject (per-partition heap + driver merge of topn).
     """
+    if "_deleted" in docs.columns:
+        # F7: deleted docs neither surface nor count toward `total`
+        # (same defensive mask as the vector kernels, knn.py)
+        docs = docs.filter(~F.col("_deleted"))
     pred = combine(filters, docs)
+    if extra_predicate is not None:
+        pred = extra_predicate if pred is None else (pred & extra_predicate)
     matches = docs.filter(pred) if pred is not None else docs
     head = matches.orderBy(F.col(docid_col).asc()).limit(topn)
     total = matches.select(F.count(F.lit(1)).alias("total"))

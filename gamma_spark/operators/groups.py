@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: propagation-round cap; dedup components converge in 2-3 rounds, and
 #: 50 rounds covers any component of diameter <= 50 (a pathological
@@ -83,7 +84,27 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence probe: sum(label) strictly decreases every round
+    # until the fixpoint (labels only ever drop) -> one scalar action
+    # per round, no extra join. Sound ONLY for numeric ids — sum over
+    # a string label casts to NULL (non-ANSI), and NULL == NULL would
+    # declare convergence after round one on a diameter-2 component.
+    # String ids (common for doc keys) instead sum a per-row label
+    # fingerprint: xxhash64 is not order-monotonic, but the label
+    # MULTISET changes whenever any label drops, and a multiset change
+    # altering the sum of 64-bit hashes fails only on a hash-sum
+    # collision (~2^-64 per round) — the diff-join alternative costs a
+    # join per round for no practical gain.
+    numeric_id = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    )
+    probe = (
+        F.sum("label") if numeric_id
+        else F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+    )
+    prev_sum = labels.agg(probe).collect()[0][0]
     for _ in range(max_rounds):
         neigh = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
@@ -94,10 +115,8 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(probe).collect()[0][0]
         labels = new_labels
-        # sum(label) strictly decreases every round until the fixpoint
-        # (labels only ever drop) -> equal sums == converged
         if new_sum == prev_sum:
             return labels.select("id", F.col("label").alias("group_id"))
         prev_sum = new_sum
@@ -128,10 +147,15 @@ def resolve_groups(
     order = keeper_order if keeper_order is not None else F.lit(0)
     groups = tagged.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("group_size"),
-        # keeper: max keeper_order, tie-break min id (unique ids make
-        # the struct ordering total -> deterministic, oracle-safe)
-        F.max_by(
-            F.col(id_col), F.struct(order.alias("o"), (-F.col(id_col)).alias("n"))
+        # keeper: max keeper_order (numeric ranking), tie-break min id
+        # (unique ids make the struct ordering total -> deterministic,
+        # oracle-safe). min_by over (-order, id) rather than max_by
+        # over (order, -id): negating the id to invert its direction
+        # breaks for STRING ids (cast -> NULL -> nondeterministic
+        # keeper, diverging from the SQL twin's ORDER BY id ASC).
+        F.min_by(
+            F.col(id_col),
+            F.struct((-order).alias("o"), F.col(id_col).alias("n")),
         ).alias("keeper_id"),
     )
     return tagged.join(groups, on="group_id").select(

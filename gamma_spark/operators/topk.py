@@ -46,7 +46,12 @@ def merge_running_topk(
     column compare detect a straddling tie (r8 dual-pivot form), and
     only tied rows pay the (score, id) lexsort repair. A non-finite kth
     means fewer than kk in-band candidates — every finite one is kept
-    and inf pads are dropped at emission, so no repair is needed."""
+    and inf pads are dropped at emission, so no repair is needed.
+    (Corollary: a doc whose TRUE score is non-finite — an inf/NaN
+    component in a stored vector — is indistinguishable from a band
+    pad and never emitted; all three callers filter
+    ``isfinite(score)`` at emission. Finite inputs are the kernels'
+    documented contract.)"""
     cand_s = np.concatenate([cur_s, batch_s], axis=1)
     cand_i = np.concatenate([cur_i, batch_i], axis=1)
     skey = cand_s if asc else -cand_s

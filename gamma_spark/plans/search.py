@@ -113,6 +113,21 @@ class SearchRequest:
     source_fields: list[str] | None = None
 
 
+def _project_fields(result: DataFrame, docs: DataFrame, request) -> DataFrame:
+    """P1/R8 projection tail shared by the vector/hybrid and
+    filter-only paths: named fields joined back from docs, plus the
+    ``_source`` JSON blob over ``source_fields``."""
+    if request.fields or request.source_fields:
+        cols = [F.col(c) for c in (request.fields or [])]
+        if request.source_fields:
+            cols.append(
+                F.to_json(F.struct(*request.source_fields)).alias("_source")
+            )
+        proj = docs.select("_docid", *cols)
+        result = result.join(proj, on="_docid", how="inner")
+    return result
+
+
 def search(
     docs: DataFrame,
     request: SearchRequest,
@@ -125,12 +140,29 @@ def search(
     gamma's brute_force_search fallback (`gamma_engine.cc:329-340`).
     Returns (qid, _docid, score, rank, *projected fields).
     """
+    # F7: every reader masks the tombstone column (table.py contract).
+    # GammaTable.search already feeds the masked live view; this guard
+    # covers direct planner calls on raw relations — without it the
+    # BM25 leg and the `total` count would see docs the vector kernels
+    # (which mask defensively, knn.py) exclude: one request returning
+    # internally inconsistent results.
+    if "_deleted" in docs.columns:
+        docs = docs.filter(~F.col("_deleted"))
+
     pred = GF.combine(request.filters, docs)
     if extra_predicate is not None:
         pred = extra_predicate if pred is None else (pred & extra_predicate)
 
     if not request.vector_queries and not request.text_queries:
-        return GF.filter_only_query(docs, request.filters, request.topn)
+        # F9 — but through the same request surface as every other
+        # path: extra_predicate applies (it is part of `pred`, not of
+        # request.filters) and the field projection applies. `total`
+        # stays unconditional on this path: it IS part of the F9
+        # contract (`search/gamma_engine.cc:448-449`).
+        result = GF.filter_only_query(
+            docs, request.filters, request.topn, extra_predicate=extra_predicate
+        )
+        return _project_fields(result, docs, request)
 
     # hybrid requests retrieve a per-system pool, then RRF down to topn
     pool = (
@@ -219,7 +251,24 @@ def search(
         from gamma_spark.operators.retrieval import bm25_search, rrf_fuse
 
         filtered = docs.filter(pred) if pred is not None else docs
-        systems = [result] if result is not None else []
+        systems = []
+        if result is not None:
+            if "rank" not in result.columns:
+                # multi_vector_rank=False (gamma's docid-order mode)
+                # yields no rank column, but RRF is defined over ranked
+                # lists — rank the fused pool by score here (metric
+                # direction, smallest-docid ties) purely as RRF input
+                from gamma_spark.functions.vector import metric_ascending
+                from gamma_spark.operators.topk import topk as _topk
+
+                result = _topk(
+                    result, ["qid"], "score", pool,
+                    ascending=metric_ascending(
+                        request.vector_queries[0].metric
+                    ),
+                    tiebreak_cols=["_docid"],
+                )
+            systems.append(result)
         for tq in request.text_queries:
             systems.append(
                 bm25_search(
@@ -240,14 +289,7 @@ def search(
             # lexical-only request: the pool IS the result set
             result = systems[0].filter(F.col("rank") <= request.topn)
 
-    if request.fields or request.source_fields:
-        cols = [F.col(c) for c in (request.fields or [])]
-        if request.source_fields:
-            cols.append(
-                F.to_json(F.struct(*request.source_fields)).alias("_source")
-            )
-        proj = docs.select("_docid", *cols)
-        result = result.join(proj, on="_docid", how="inner")
+    result = _project_fields(result, docs, request)
     if request.with_total:
         # one column-pruned, predicate-pushed aggregate over the
         # filtered scan, broadcast onto every row (filters.py:146 trick)

@@ -90,3 +90,46 @@ def test_sql_twin_parity(spark, documents, sf_dir):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_cc_string_ids_converge(spark):
+    """r9 review fix: sum(label) over STRING ids casts to NULL, so the
+    old convergence probe declared a fixpoint after one round; a
+    diameter-3 path of string ids must still fully converge."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    comp = {r["id"]: r["group_id"] for r in G.connected_components(pairs).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_resolve_groups_string_ids_deterministic_keeper(spark):
+    """r9 review fix: the keeper tie-break negated the id column, which
+    is NULL for strings — keeper must be the min-id member, stable
+    across runs, matching the SQL twin's ORDER BY id ASC."""
+    pairs = spark.createDataFrame(
+        [("doc_b", "doc_c"), ("doc_c", "doc_a")], "id_a string, id_b string"
+    )
+    nodes = spark.createDataFrame(
+        [("doc_a",), ("doc_b",), ("doc_c",), ("doc_z",)], "doc_id string"
+    )
+    for _ in range(3):
+        out = {r["doc_id"]: r for r in G.resolve_groups(pairs, nodes, "doc_id").collect()}
+        assert out["doc_a"]["is_keeper"]
+        assert all(out[d]["keeper_id"] == "doc_a" for d in ("doc_a", "doc_b", "doc_c"))
+        assert out["doc_z"]["is_keeper"] and out["doc_z"]["group_size"] == 1
+
+
+def test_resolve_groups_string_ids_keeper_order(spark):
+    """max keeper_order still wins over string ids; ties break to the
+    min id."""
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    nodes = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0), ("c", 9.0)], "doc_id string, q double"
+    )
+    out = {r["doc_id"]: r for r in G.resolve_groups(
+        pairs, nodes, "doc_id", keeper_order=F.col("q")
+    ).collect()}
+    assert out["b"]["is_keeper"]  # q ties at 9.0 for b,c -> min id b
+    assert all(out[d]["keeper_id"] == "b" for d in ("a", "b", "c"))

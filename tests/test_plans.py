@@ -354,3 +354,73 @@ def test_canary_legs_are_frozen():
             f"{name} changed (hash {got} != frozen {want}) — the r7 "
             "canary legs must never be edited; add a new leg instead"
         )
+
+
+# ---------------------------------------------------------------------------
+# r9 review fixes: request-surface consistency of the planner
+# ---------------------------------------------------------------------------
+
+def test_filter_only_honors_extra_predicate_and_fields(spark, docs):
+    """F9 through search(): extra_predicate must constrain the rows AND
+    the total, and the field projection must apply (the old early
+    return dropped both)."""
+    from gamma_spark.plans.search import SearchRequest, search
+
+    req = SearchRequest(filters=[], topn=5, fields=["label"])
+    out = search(docs, req, extra_predicate=F.col("label") == 1).collect()
+    assert out, "predicate admits rows"
+    assert all(r.label == 1 for r in out)
+    n_label1 = docs.filter(F.col("label") == 1).count()
+    assert all(r.total == n_label1 for r in out)
+
+
+def test_filter_only_masks_deleted(spark, docs):
+    """F7 on the filter-only path: tombstoned docs neither surface nor
+    count toward total when the raw relation carries _deleted."""
+    from gamma_spark.filters import filter_only_query
+
+    raw = docs.withColumn("_deleted", F.col("_docid") < 3)
+    out = filter_only_query(raw, [], topn=4)
+    rows = out.collect()
+    live = docs.count() - 3
+    assert [r._docid for r in rows] == [3, 4, 5, 6]
+    assert all(r.total == live for r in rows)
+
+
+def test_hybrid_with_docid_order_fusion(spark, docs):
+    """multi_vector_rank=False (gamma's docid-order mode) used to crash
+    hybrid requests: fuse() emits no rank column and rrf_fuse requires
+    one. The planner now ranks the fused pool as RRF input."""
+    from gamma_spark.plans.search import (
+        SearchRequest,
+        TextQuery,
+        VectorQuery,
+        search,
+    )
+
+    two_vec = docs.withColumn("embedding2", F.col("embedding")).withColumn(
+        "text",
+        F.when(F.col("_docid") % 2 == 0, F.lit("alpha doc common"))
+        .otherwise(F.lit("beta doc common")),
+    )
+    rows = two_vec.orderBy("_docid").limit(2).collect()
+    queries = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    terms = spark.createDataFrame(
+        [(int(rows[0]._docid), "alpha"), (int(rows[1]._docid), "beta")],
+        "qid long, term string",
+    )
+    req = SearchRequest(
+        vector_queries=[
+            VectorQuery(field="embedding", queries=queries, metric="L2"),
+            VectorQuery(field="embedding2", queries=queries, metric="L2"),
+        ],
+        text_queries=[TextQuery(query_terms=terms, text_field="text")],
+        topn=5,
+        multi_vector_rank=False,
+    )
+    out = search(two_vec, req).collect()
+    assert out, "hybrid docid-order request returns fused rows"
+    assert {c for c in ("qid", "_docid", "score", "rank")} <= set(out[0].asDict())
