@@ -145,11 +145,11 @@ WHERE len(t) >= {n}
 def minhash_signatures(
     sh: DataFrame, id_col: str, hashed: bool = False
 ) -> DataFrame:
-    """(id, h0..h15): minhash over the doc's shingle set.
+    """(id, h0..h{N_HASHES-1}): minhash over the doc's shingle set.
 
     The md5-derived shingle hash is projected ONCE before the aggregate
-    (16 min() aggs each referencing the raw expression would recompute
-    the md5 16x per row). ``hashed=True`` declares the ``shingle``
+    (N_HASHES min() aggs each referencing the raw expression would
+    recompute the md5 once per agg per row). ``hashed=True`` declares the ``shingle``
     column already carries :func:`~gamma_spark.functions.text.hash60`
     longs (see :func:`minhash_verified_pairs`'s early-hash staging), so
     only the pmod projection remains."""
@@ -965,11 +965,37 @@ class MinHashIndex:
         if path is not None:
             banded.write.mode("overwrite").parquet(path)
             banded = _read_tree(df.sparkSession, path)
+            # meta sidecar: the shingle width is BAKED into the stored
+            # signatures — a load() probing with a different n would
+            # band new batches against incompatible buckets and match()
+            # would silently return (almost) nothing. Underscore-
+            # prefixed: root-level files here ARE the relation, and
+            # Spark's lister skips `_`/`.` names (same rule as the
+            # dot-prefixed writer lock).
+            import os as _os
+
+            from gamma_spark.io_util import atomic_write_json
+
+            atomic_write_json(
+                _os.path.join(path, "_meta.json"),
+                {"id_col": id_col, "n": int(n)},
+            )
         return cls(banded, id_col, n, path)
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "doc_id",
              n: int = 3) -> "MinHashIndex":
+        """``id_col``/``n`` are legacy fallbacks for indexes persisted
+        before the meta sidecar; when ``_meta.json`` exists its values
+        win (they describe the on-disk signatures)."""
+        import os as _os
+
+        from gamma_spark.io_util import read_json_or_none
+
+        meta = read_json_or_none(_os.path.join(path, "_meta.json"))
+        if meta is not None:
+            id_col = meta.get("id_col", id_col)
+            n = int(meta.get("n", n))
         return cls(_read_tree(spark, path), id_col, n, path)
 
     # -- serving ------------------------------------------------------------

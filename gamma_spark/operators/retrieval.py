@@ -555,24 +555,51 @@ class Bm25Index:
         )
         with guard:
             committed: list = []
+            base_n, base_avg = self.n_docs, self.avgdl
             if self.path is not None and _os.path.exists(
                 _os.path.join(self.path, "meta.json")
             ):
                 with open(_os.path.join(self.path, "meta.json")) as fh:
-                    committed = _json.load(fh).get("batches", [])
+                    disk = _json.load(fh)
+                committed = disk.get("batches", [])
+                # stale-handle guard: the running stats MUST come from
+                # the same meta the ledger comes from — a handle loaded
+                # before another process's append would otherwise write
+                # base stats that silently erase that batch from
+                # n_docs/avgdl while its postings stay on disk
+                base_n = float(disk.get("n_docs", base_n))
+                base_avg = float(disk.get("avgdl", base_avg))
             if batch_id is not None and str(batch_id) in committed:
-                # already fully committed — idempotent skip
+                # already fully committed — idempotent skip; hand back
+                # DISK state (postings + stats), not the handle's
+                # possibly-stale view
+                post = (
+                    _read_postings(
+                        new_docs.sparkSession, f"{self.path}/postings"
+                    )
+                    if self.path is not None
+                    else self.postings
+                )
                 return Bm25Index(
-                    self.postings, self.n_docs, self.avgdl,
+                    post, base_n, base_avg,
                     k1=self.k1, b=self.b, path=self.path,
                 )
-            post_new = term_postings(new_docs, id_col, text_col)
-            stats = post_new.agg(
-                F.countDistinct("_docid").cast("double").alias("nd"),
-                F.sum("tf").cast("double").alias("s"),
+            from gamma_spark.session import stage
+
+            # staged: the stats agg and the parquet write below share
+            # ONE tokenize+explode+aggregate execution (inside a
+            # stream handler's stage_scope the persist releases at
+            # batch end)
+            post_new = stage(term_postings(new_docs, id_col, text_col))
+            # n_docs counts every batch row — NULL/empty-text docs
+            # carry zero postings but belong to N (bm25_search's stats
+            # shape); sum(tf) over an empty batch is NULL -> 0.0
+            nd = float(new_docs.count())
+            s_row = post_new.agg(
+                F.coalesce(F.sum("tf").cast("double"), F.lit(0.0)).alias("s")
             ).collect()[0]
-            n2 = self.n_docs + stats.nd
-            avg2 = (self.avgdl * self.n_docs + stats.s) / n2
+            n2 = base_n + nd
+            avg2 = (base_avg * base_n + s_row.s) / n2 if n2 > 0 else 0.0
             if self.path is not None:
                 if batch_id is not None:
                     post_new.write.mode("overwrite").parquet(
@@ -613,14 +640,17 @@ class Bm25Index:
             post = _read_postings(docs.sparkSession, f"{path}/postings")
         else:
             post = post.cache()
-        # exact corpus stats from the postings themselves (sum tf = dl)
-        row = post.agg(
-            F.countDistinct("_docid").cast("double").alias("n_docs"),
-            (
-                F.sum("tf").cast("double")
-                / F.countDistinct("_docid").cast("double")
-            ).alias("avgdl"),
+        # corpus stats with bm25_search's exact shape: N counts EVERY
+        # input doc (a NULL/empty-text doc has zero postings but still
+        # belongs to N — countDistinct over postings would exclude it
+        # and shift idf/avgdl for every query, breaking the documented
+        # bit-for-bit score parity); total tokens from the postings
+        # (sum tf = sum dl), NULL -> 0.0 for an empty corpus
+        n_docs = float(docs.count())
+        s_row = post.agg(
+            F.coalesce(F.sum("tf").cast("double"), F.lit(0.0)).alias("s")
         ).collect()[0]
+        avgdl = (s_row.s / n_docs) if n_docs > 0 else 0.0
         if path is not None:
             # meta sidecar makes the index loadable without a stats
             # re-scan (S5 dump/load parity for the lexical model; the
@@ -631,10 +661,10 @@ class Bm25Index:
 
             atomic_write_json(
                 _os.path.join(path, "meta.json"),
-                {"n_docs": row.n_docs, "avgdl": row.avgdl, "k1": k1,
+                {"n_docs": n_docs, "avgdl": avgdl, "k1": k1,
                  "b": b, "batches": []},
             )
-        return cls(post, row.n_docs, row.avgdl, k1=k1, b=b, path=path)
+        return cls(post, n_docs, avgdl, k1=k1, b=b, path=path)
 
     @classmethod
     def load(cls, spark, path: str) -> "Bm25Index":

@@ -125,8 +125,13 @@ def chunk_paragraphs(
     ``\\n\\n`` boundaries first; the fixed token window is the
     deterministic stand-in that also bounds paragraph length (CCNet
     hashes windows the same way for wall-of-text pages). Map-only:
-    ``slice`` over the token array, no explode-then-regroup."""
-    toks = F.split(F.col(text_col), " ")
+    ``slice`` over the token array, no explode-then-regroup.
+
+    NULL text coalesces to '' (one empty chunk): a NULL chunk would be
+    silently dropped by paragraph_dedup's null-unsafe chunk join — the
+    document would vanish from the output, violating its one-row-per-
+    input-document contract (and diverging from the SQL twin)."""
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     nchunks = F.greatest(
         F.lit(1), F.ceil(F.size(toks).cast("double") / F.lit(float(width))).cast("int")
     )
@@ -190,7 +195,7 @@ def sql_paragraph_dedup(
 ) -> str:
     w = width
     return f"""
-WITH t AS (SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}),
+WITH t AS (SELECT {id_col}, string_split(coalesce({text_col}, ''), ' ') AS toks FROM {table}),
 e AS (SELECT {id_col}, toks,
              unnest(range(1, greatest(1, ceil(len(toks)::DOUBLE / {w}))::BIGINT + 1)) AS i
       FROM t),

@@ -307,6 +307,13 @@ def load_from_faiss(
             mode = "overwrite" if writer is None else "append"
             df.write.mode(mode).parquet(target)
             writer = True
+        if writer is None:
+            # legal empty dump (ntotal=0, e.g. a freshly created faiss
+            # deployment): materialize an empty relation instead of
+            # crashing on a missing path
+            spark.createDataFrame([], schema_flat).write.mode(
+                "overwrite"
+            ).parquet(target)
         docs = spark.read.parquet(target)
         return {"docs": docs, "metric": parsed["metric"], "index": FlatIndex()}
 
@@ -350,6 +357,12 @@ def load_from_faiss(
         if buffered >= BATCH_ROWS:
             flush()
     flush()
+    if first:
+        # all inverted lists empty (a trained-but-unpopulated dump):
+        # write the empty relation so IvfFlatIndex.load round-trips
+        spark.createDataFrame(
+            [], "_docid long, embedding array<float>, cluster_id int"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(target)
     np.save(os.path.join(out_path, "centroids.npy"), cents)
     atomic_write_json(
         os.path.join(out_path, "meta.json"),
@@ -408,6 +421,11 @@ def _load_ivfpq(spark, parsed, out_path, raw_docs):
         if buffered >= BATCH_ROWS:
             flush()
     flush()
+    if first:
+        # all lists empty: still materialize the codes relation
+        spark.createDataFrame(
+            [], "_docid long, cluster_id int, codes array<int>"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(target)
     d = cents.shape[1]
     np.save(os.path.join(out_path, "centroids.npy"), cents)
     np.save(os.path.join(out_path, "codebooks.npy"), parsed["codebooks"])
@@ -508,7 +526,12 @@ def write_faiss_ivfflat(
         _write_header(w, d, len(ids), metric)
         w.u64(nlist)
         w.u64(nprobe)
-        _write_flat(w, centroids, "L2")  # faiss quantizers are L2
+        # quantizer metric follows the index metric (faiss's
+        # index_factory builds IndexFlat(d, metric) as the coarse
+        # quantizer): an IP index with an L2 quantizer would probe
+        # lists by the WRONG geometry after reload in faiss — vectors
+        # were assigned by max inner product, probes would use min L2
+        _write_flat(w, centroids, metric)
         # direct map: NoMap + empty array
         w.u8(0)
         w.u64(0)
@@ -555,7 +578,7 @@ def write_faiss_ivfpq(
         _write_header(w, d, len(ids), metric)
         w.u64(nlist)
         w.u64(nprobe)
-        _write_flat(w, centroids, "L2")
+        _write_flat(w, centroids, metric)  # quantizer metric = index metric
         w.u8(0)   # direct map: NoMap
         w.u64(0)  # + empty array
         w.u8(1)   # by_residual

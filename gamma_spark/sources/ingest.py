@@ -125,9 +125,23 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if not os.path.exists(p):
             continue
         if name == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(p)
-        if name == "events":
-            df = normalize_event_time(df, "ts")
+            # nanos-as-long only for THIS read: the schema is captured
+            # when the relation is created, so the conf can be restored
+            # immediately — leaving it set would silently turn every
+            # later TIMESTAMP(NANOS) parquet read in the session into
+            # BIGINT (the same must-not-mutate-session-state rule
+            # normalize_event_time documents above)
+            key = "spark.sql.legacy.parquet.nanosAsLong"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "true")
+            try:
+                df = normalize_event_time(spark.read.parquet(p), "ts")
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+        else:
+            df = spark.read.parquet(p)
         out[name] = df
     return out

@@ -357,3 +357,61 @@ def test_bm25_wand_all_pruned_terms_falls_back_exact(spark):
         for r in idx.search(qt, k=10, champions=3, champion_df_floor=0).collect()
     )
     assert wand_idx == exact
+
+
+def test_bm25_index_empty_batch_append(spark, corpus):
+    """r9 review fix: an empty micro-batch (or all-NULL text) used to
+    TypeError on None stats; it must be a stats no-op."""
+    idx = R.Bm25Index.build(corpus)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    grown = idx.append(empty)
+    assert grown.n_docs == idx.n_docs
+    assert grown.avgdl == idx.avgdl
+    # all-NULL text: rows count toward N, contribute no tokens
+    nulls = spark.createDataFrame([(90, None), (91, None)], "doc_id long, text string")
+    grown2 = idx.append(nulls)
+    assert grown2.n_docs == idx.n_docs + 2
+    assert grown2.avgdl == pytest.approx(
+        idx.avgdl * idx.n_docs / (idx.n_docs + 2)
+    )
+
+
+def test_bm25_index_stale_handle_stats(spark, corpus, tmp_path):
+    """r9 review fix: a handle loaded before another process's append
+    must base its running stats on DISK meta, not its in-memory copy —
+    otherwise the other batch silently vanishes from n_docs/avgdl."""
+    path = str(tmp_path / "bm25stale")
+    first = corpus.filter(F.col("doc_id") < 3)
+    R.Bm25Index.build(first, path=path)
+    a = R.Bm25Index.load(spark, path)
+    b = R.Bm25Index.load(spark, path)
+    batch1 = corpus.filter(F.col("doc_id") == 3)
+    batch2 = corpus.filter(F.col("doc_id") == 4)
+    a.append(batch1, batch_id="b1")
+    out = b.append(batch2, batch_id="b2")  # stale handle
+    fresh = R.Bm25Index.build(corpus)
+    assert out.n_docs == fresh.n_docs
+    assert out.avgdl == pytest.approx(fresh.avgdl)
+    # idempotent replay of a committed id also returns DISK stats
+    replay = R.Bm25Index.load(spark, path).append(batch1, batch_id="b1")
+    assert replay.n_docs == fresh.n_docs
+    assert replay.avgdl == pytest.approx(fresh.avgdl)
+
+
+def test_bm25_stats_count_nulltext_docs(spark):
+    """r9 review fix: N counts every doc (NULL/empty text included) in
+    BOTH paths — Bm25Index.build scores must stay bit-for-bit equal to
+    bm25_search on a corpus with NULL-text rows."""
+    rows = [
+        (0, "spark runs fast"),
+        (1, "fast pond spark"),
+        (2, None),
+        (3, "the pond"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([(0, "spark"), (0, "pond")], "qid long, term string")
+    adhoc = {(r.qid, r._docid): r.score for r in R.bm25_search(corpus, q, k=4).collect()}
+    idx = R.Bm25Index.build(corpus)
+    assert idx.n_docs == 4.0
+    got = {(r.qid, r._docid): r.score for r in idx.search(q, k=4).collect()}
+    assert got == adhoc

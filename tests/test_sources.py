@@ -131,3 +131,62 @@ def test_write_dataset_empty_jsonl_and_allnull_tokens(tmp_path, spark, documents
         df, str(tmp_path / "nulltok"), fmt="json", token_col="n_tokens"
     )
     assert man1["n_rows"] == 50 and man1["n_tokens"] == 0
+
+
+def test_load_tables_restores_nanos_conf(spark, sf_dir):
+    """r9 review fix: the events read must not leave
+    spark.sql.legacy.parquet.nanosAsLong set for the whole session —
+    it would silently turn every later TIMESTAMP(NANOS) parquet read
+    into BIGINT."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    try:
+        tables = load_tables(spark, sf_dir)
+        assert spark.conf.get(key, None) == prev
+        # the events relation still executes correctly after restore
+        ev = tables["events"]
+        assert dict(ev.dtypes)["ts"] == "bigint"
+        assert ev.limit(5).count() > 0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_load_from_faiss_empty_flat_dump(tmp_path, spark):
+    """r9 review fix: a legal empty faiss dump (ntotal=0) materializes
+    an empty relation instead of crashing on a missing parquet path."""
+    import numpy as np
+
+    from gamma_spark.sources.faiss_io import load_from_faiss, write_faiss_flat
+
+    fpath = str(tmp_path / "empty.faiss")
+    write_faiss_flat(fpath, np.zeros((0, 8), dtype=np.float32), metric="L2")
+    out = load_from_faiss(spark, fpath, str(tmp_path / "imported"))
+    assert out["docs"].count() == 0
+    assert out["metric"] == "L2"
+
+
+def test_write_faiss_quantizer_metric_follows_index(tmp_path, spark):
+    """r9 review fix: an IP IVFFlat export must serialize an IP coarse
+    quantizer (faiss's quantizer-metric-follows-index convention), not
+    an unconditional L2 one."""
+    import numpy as np
+
+    from gamma_spark.sources.faiss_io import parse_faiss, write_faiss_ivfflat
+
+    rng = np.random.default_rng(5)
+    cents = rng.normal(size=(4, 8)).astype(np.float32)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    ids = np.arange(20)
+    asg = rng.integers(0, 4, size=20)
+    p = str(tmp_path / "ip.faiss")
+    write_faiss_ivfflat(p, cents, ids, vecs, asg, metric="IP")
+    raw = open(p, "rb").read()
+    assert b"IxFI" in raw and b"IxF2" not in raw
+    parsed = parse_faiss(p)
+    assert parsed["metric"] == "IP"
+    # round-trip intact: list membership and vectors preserved
+    got_ids = np.sort(np.concatenate([l[0] for l in parsed["lists"] if len(l[0])]))
+    assert (got_ids == ids).all()

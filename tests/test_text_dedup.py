@@ -390,3 +390,23 @@ def test_minhash_index_compact_preserves_matches(documents, tmp_path, spark):
     }
     assert after == before and before  # content identical, non-trivial
     assert len(glob.glob(f"{path}/*.parquet")) <= min(2, files_before)
+
+
+def test_minhash_index_meta_roundtrip(tmp_path, spark, documents):
+    """r9 review fix: the shingle width is baked into the stored
+    signatures — load() must recover it from the meta sidecar instead
+    of trusting the caller's default (a mismatched n silently banded
+    new batches against incompatible buckets)."""
+    from gamma_spark.operators.dedup import MinHashIndex
+
+    corpus = documents.limit(40)
+    path = str(tmp_path / "mh5")
+    MinHashIndex.build(corpus, n=5, path=path)
+    loaded = MinHashIndex.load(spark, path)  # default n=3 would be wrong
+    assert loaded.n == 5
+    assert loaded.id_col == "doc_id"
+    # an indexed doc re-presented as a new batch must match itself-ish:
+    # identical text lands in identical buckets at the recovered n
+    probe = corpus.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    hits = loaded.match(probe)
+    assert hits.count() > 0

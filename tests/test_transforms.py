@@ -131,3 +131,22 @@ def test_normalize_matches_duckdb(spark):
     con.register("t0", pd.DataFrame({"t": vals}))
     want = con.sql(f"SELECT {TR.sql_normalize_text('t')} AS n FROM t0").df()["n"].tolist()
     assert got == want
+
+
+def test_paragraph_dedup_null_text_keeps_doc(spark):
+    """r9 review fix: a NULL-text doc used to vanish entirely (NULL
+    chunk dropped by the null-unsafe join); it must come back as one
+    row, same as the SQL twin."""
+    from gamma_spark.operators.transforms import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, None), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df, width=2).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0].kept_text == "alpha beta gamma"
+    # NULL text behaves as empty text; the first empty doc keeps its
+    # (empty) chunk, the second dedups against it
+    assert out[1].kept_text == "" and out[2].kept_text == ""
+    assert out[1].n_dropped + out[2].n_dropped == 1
