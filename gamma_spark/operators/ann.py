@@ -112,6 +112,10 @@ class BinaryIvfIndex:
             query_id="qid",
             query_vec="qsig",
             probe_vec="_probe_vec",
+            # forward the rest (min_score/max_score F8 bands, l2_sqrt,
+            # strategy) — swallowing **kw silently ignored score bands
+            # on BINARYIVF while every other model honored them
+            **kw,
         )
 
     def knn_join_distributed(
@@ -207,24 +211,41 @@ def _tune_ladder(
     sample, run ``search_at(qs, rung)`` per rung, return the first rung
     whose recall@k clears the target (else the last rung).
 
+    ``query_id`` names the id column of the INPUT queries relation
+    (forwarded to the exact kernel); the recall join always uses the
+    kernels' fixed OUTPUT columns (qid, _docid) — RESULT_COLS is the
+    same for every model, so ``doc_id`` only matters if a custom
+    ``search_at`` renames its output.
+
     Cost is bounded: the exact baseline is one scan-kernel pass over
     ≤``max_queries`` queries (staged and reused for every rung), each
     rung is one pruned search over the same sample, and the only
-    driver-side values are per-rung hit counts."""
-    from gamma_spark.session import stage
+    driver-side values are per-rung hit counts. The whole walk runs in
+    its own stage_scope so the two staged relations release on return
+    (a periodically-retuning service must not accumulate pinned RDDs —
+    the r8 soak failure class)."""
+    from gamma_spark.session import stage, stage_scope
 
-    qs = stage(queries.limit(max_queries))
-    keys = [query_id, doc_id]
-    exact = stage(knn.knn_scan(docs, qs, k=k, metric=metric).select(*keys))
-    n_pairs = exact.count()
-    value, recall = rungs[-1], 0.0
-    for rung in rungs:
-        hits = (
-            search_at(qs, rung).select(*keys).join(exact, on=keys, how="inner").count()
+    keys = ["qid", doc_id]
+    with stage_scope():
+        qs = stage(queries.limit(max_queries))
+        exact = stage(
+            knn.knn_scan(
+                docs, qs, k=k, metric=metric, query_id=query_id
+            ).select(*keys)
         )
-        value, recall = rung, hits / max(n_pairs, 1)
-        if recall >= target_recall:
-            break
+        n_pairs = exact.count()
+        value, recall = rungs[-1], 0.0
+        for rung in rungs:
+            hits = (
+                search_at(qs, rung)
+                .select(*keys)
+                .join(exact, on=keys, how="inner")
+                .count()
+            )
+            value, recall = rung, hits / max(n_pairs, 1)
+            if recall >= target_recall:
+                break
     return value, recall
 
 
@@ -256,7 +277,8 @@ def tune_nprobe(
         docs,
         queries,
         lambda qs, rung: index.search(
-            docs, qs, k=k, metric=metric, nprobe=rung, **search_kw
+            docs, qs, k=k, metric=metric, nprobe=rung,
+            query_id=query_id, **search_kw
         ),
         rungs,
         k, metric, target_recall, max_queries, query_id, doc_id,
@@ -287,7 +309,7 @@ def tune_recall_num(
         queries,
         lambda qs, rung: index.search(
             docs, qs, k=k, metric=metric, nprobe=nprobe,
-            recall_num=rung, has_rank=True, **search_kw
+            recall_num=rung, has_rank=True, query_id=query_id, **search_kw
         ),
         list(ladder),
         k, metric, target_recall, max_queries, query_id, doc_id,

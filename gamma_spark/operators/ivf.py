@@ -379,6 +379,7 @@ class IvfFlatIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         probe_vec: str | None = None,
+        _precomputed: tuple | None = None,
     ) -> DataFrame:
         """``probe_vec`` names the float query column used for centroid
         probing when ``query_vec`` itself isn't in centroid space (the
@@ -401,10 +402,22 @@ class IvfFlatIndex:
                 f"{metric.upper()}; use strategy='join' (the 'auto' "
                 "default already routes non-float metrics there)"
             )
-        qrows = queries.select(query_id, query_vec, probe_vec or query_vec).collect()
+        if _precomputed is not None:
+            # private seam for delegating wrappers (IvfSq8Index.search)
+            # that already collected the batch and probed the centroids
+            # for their own partition prune — re-collecting and
+            # re-running the O(Q·ncentroids) probe here doubled the
+            # driver cost of every delegated search. The tuple is
+            # (collected (id, vec[, probe_vec]) rows, float64 probe
+            # matrix, (Q, nprobe) probe ids).
+            qrows, qmat, probes = _precomputed
+        else:
+            qrows = queries.select(
+                query_id, query_vec, probe_vec or query_vec
+            ).collect()
+            qmat = np.asarray([r[2] for r in qrows], dtype=np.float64)
+            probes = self.probe_clusters(qmat, nprobe)
         qids = [int(r[0]) for r in qrows]
-        qmat = np.asarray([r[2] for r in qrows], dtype=np.float64)
-        probes = self.probe_clusters(qmat, nprobe)
 
         # literal isin over the union of probed clusters prunes parquet
         # partitions at scan time (partition pruning / pushed filter);

@@ -218,17 +218,23 @@ class IvfSq8Index:
             pruned = pruned.filter(F.col("cluster_id").isin(wanted))
         decoded = self._decode(pruned)
         helper = IvfFlatIndex(self.centroids, decoded)
+        # the batch is already collected and probed (the pre-decode
+        # partition prune above needs both) — hand them down so the
+        # delegated search doesn't re-collect and re-probe
+        pre = (qrows, qmat, probes)
         if not (has_rank and docs is not None):
             return helper.search(
                 None, queries, k=k, metric=metric, doc_vec=dv, nprobe=nprobe,
                 predicate=predicate, min_score=min_score, max_score=max_score,
-                l2_sqrt=l2_sqrt, query_id=query_id, query_vec=query_vec, **kw,
+                l2_sqrt=l2_sqrt, query_id=query_id, query_vec=query_vec,
+                _precomputed=pre, **kw,
             )
 
         pool = max(recall_num or max(4 * k, 64), k)
         candidates = helper.search(
             None, queries, k=pool, metric=metric, doc_vec=dv, nprobe=nprobe,
-            predicate=predicate, query_id=query_id, query_vec=query_vec, **kw,
+            predicate=predicate, query_id=query_id, query_vec=query_vec,
+            _precomputed=pre, **kw,
         ).select("qid", "_docid")
 
         from pyspark.sql.types import StructField, StructType
@@ -306,7 +312,13 @@ class IvfSq8Index:
             queries, k=pool, metric=metric, nprobe=nprobe,
             doc_vec=self.doc_vec, l2_sqrt=l2_sqrt, **kw,
         ).select("qid", "_docid").dropDuplicates(["qid", "_docid"])
-        qsel = queries.select(F.col("qid"), F.col("qvec").alias("_qvec"))
+        # honor query_id/query_vec overrides riding in **kw: the
+        # candidate pass above renames to (qid, _docid), but the
+        # rescore must read the caller's OWN column names here
+        qsel = queries.select(
+            F.col(kw.get("query_id", "qid")).alias("qid"),
+            F.col(kw.get("query_vec", "qvec")).alias("_qvec"),
+        )
         rescored = (
             cand.join(
                 rescore_docs.select("_docid", F.col(self.doc_vec).alias("_dvec")),

@@ -22,8 +22,6 @@ SESSION_SCHEMA = (
 STATE_SCHEMA = "n long, start long, last long"
 
 DEFAULT_SESSION_GAP_MS = 30 * 60 * 1000
-# module-level so the closure pickled to workers sees the configured gap
-SESSION_GAP_MS = DEFAULT_SESSION_GAP_MS
 
 
 def track_sessions(

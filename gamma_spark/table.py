@@ -101,7 +101,15 @@ def _merge_batch(
     new keys. ``cur`` must carry ``_docid``/``_deleted``. Shared by the
     full-table path (GammaTable.add_or_update) and the O(batch) bucketed
     path (BucketedDocStore.upsert), where ``cur`` is only the affected
-    buckets and ``next_docid_start`` comes from store metadata."""
+    buckets and ``next_docid_start`` comes from store metadata.
+
+    Engine-internal columns riding on the batch are dropped: a
+    migrate_since replay feeds upserts built from a live view (which
+    carries ``_docid``) straight back in, and the stale docids must not
+    collide with this table's minting (the merge assigns/preserves
+    docids itself; tombstones arrive through the deletes relation, not
+    the upsert batch)."""
+    batch = batch.drop(DOCID, DELETED)
     if order_col is not None:
         if order_col not in batch.columns:
             raise ValueError(f"order_col {order_col!r} not in batch columns")
@@ -345,10 +353,12 @@ class GammaTable:
         # ONE clock reading for both parts: two reads straddling a
         # second boundary can yield '..00_999' -> '..01_000'-style
         # inversions where the newer snapshot sorts lexically OLDER and
-        # load() silently returns stale data
+        # load() silently returns stale data. gmtime, not localtime: a
+        # DST fall-back would reintroduce the same inversion through
+        # the wall clock (01:50 EDT sorts after 01:10 EST an hour later)
         now = time.time()
         ts = time.strftime(
-            "%Y%m%d%H%M%S", time.localtime(now)
+            "%Y%m%d%H%M%S", time.gmtime(now)
         ) + f"_{int(now * 1000) % 1000:03d}"
         snap = os.path.join(root, ts)
         self._df.write.mode("overwrite").parquet(os.path.join(snap, "docs"))
@@ -647,6 +657,31 @@ class BucketedDocStore:
         for inserts, tombstone revival)."""
         idc = self.id_col
         nb = self.nbuckets
+        # xxhash64 bucketing is TYPE-sensitive (INT 42 != LONG 42, the
+        # point_lookup comment below): a batch whose id column arrives
+        # narrower than the store's would compute `hit` from the narrow
+        # hashes while the post-merge bucket recompute runs on the
+        # union-promoted type — rows land in staged buckets outside
+        # `hit` and the commit silently discards them. Widen the batch
+        # id to the store's type up front; anything non-widening fails
+        # loudly instead of corrupting the store.
+        from pyspark.sql import types as _T
+
+        store_t = self.raw().schema[idc].dataType
+        batch_t = batch.schema[idc].dataType
+        if batch_t != store_t:
+            _rank = {
+                _T.ByteType(): 0, _T.ShortType(): 1,
+                _T.IntegerType(): 2, _T.LongType(): 3,
+            }
+            if batch_t in _rank and store_t in _rank and _rank[batch_t] <= _rank[store_t]:
+                batch = batch.withColumn(idc, F.col(idc).cast(store_t))
+            else:
+                raise TypeError(
+                    f"upsert batch id column {idc!r} is {batch_t.simpleString()} "
+                    f"but the store was created with {store_t.simpleString()}; "
+                    "cast the batch to the store's id type explicitly"
+                )
         # bounded collect: at most nbuckets ints
         hit = [
             int(r[0])

@@ -261,3 +261,37 @@ def test_scan_strategy_rejects_non_float_metric(docs, queries, ivf):
     the executor; 'auto' keeps routing non-float metrics to 'join'."""
     with pytest.raises(ValueError, match="strategy='scan'"):
         ivf.search(docs, queries, k=5, metric="HAMMING", strategy="scan")
+
+
+def test_binaryivf_score_band(docs, queries):
+    """r9 review fix: BinaryIvfIndex.search swallowed min/max_score in
+    **kw — a Hamming score band (F8) was silently ignored."""
+    idx = BinaryIvfIndex.build(docs, ncentroids=NCENT, seed=42)
+    lo, hi = 1.0, 20.0
+    res = idx.search(
+        None, queries, k=10, nprobe=NCENT, min_score=lo, max_score=hi
+    ).collect()
+    assert res, "band should admit some hits"
+    assert all(lo <= r.score <= hi for r in res)
+    # band excludes the distance-0 self hit every unbanded search has
+    assert all(r.score != 0 for r in res)
+
+
+def test_tune_nprobe_custom_query_id(spark, embeddings):
+    """r9 review fix: tune_nprobe's query_id parameter is forwarded to
+    both the exact kernel and the per-rung searches."""
+    from gamma_spark.operators.ann import tune_nprobe
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    docs = embeddings.withColumnRenamed("vec_id", "_docid")
+    idx = IvfFlatIndex.build(docs, ncentroids=8, seed=1)
+    rows = docs.orderBy("_docid").limit(6).collect()
+    queries = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "uid long, qvec array<float>",
+    )
+    nprobe, recall = tune_nprobe(
+        idx, docs, queries, k=5, metric="L2", target_recall=1.0,
+        ladder=(2, 8), max_queries=6, query_id="uid",
+    )
+    assert nprobe in (2, 8) and recall == 1.0

@@ -558,3 +558,46 @@ def test_build_index_via_registry(spark, embeddings):
         )
         out = table.search(req, index=idx)
         assert out.count() == 15
+
+
+def test_bucketed_upsert_widens_batch_id_type(tmp_path, spark, documents):
+    """r9 review fix: a batch with a NARROWER id type hashed into
+    different buckets than the store's (xxhash64 is type-sensitive) —
+    rows silently vanished in the commit. Integral batches widen to
+    the store's type; incompatible types fail loudly."""
+    from gamma_spark.table import BucketedDocStore, GammaTable
+
+    base = GammaTable(spark, documents.limit(30), id_col="doc_id")
+    store = BucketedDocStore.create(base, str(tmp_path / "store"), nbuckets=8)
+    # batch with INT ids (store ids are LONG)
+    batch = (
+        documents.limit(5)
+        .withColumn("doc_id", (F.col("doc_id") + 1000).cast("int"))
+    )
+    grown = store.upsert(batch)
+    live = grown.table().df
+    assert live.count() == 35
+    got = {r.doc_id for r in live.filter(F.col("doc_id") >= 1000).collect()}
+    assert len(got) == 5
+    # every inserted key is findable through the bucket-pruned lookup
+    for key in sorted(got):
+        assert grown.get_doc_by_id(key).count() == 1
+    # an incompatible id type fails fast instead of corrupting buckets
+    bad = documents.limit(1).withColumn("doc_id", F.lit("not-a-long"))
+    with pytest.raises(TypeError, match="id column"):
+        grown.upsert(bad)
+
+
+def test_merge_batch_drops_engine_columns(spark, documents):
+    """r9 review fix: migrate_since upserts carry _docid from the live
+    view; replaying them through add_or_update must work without the
+    caller hand-dropping engine-internal columns."""
+    from gamma_spark.table import GammaTable
+
+    base = GammaTable(spark, documents.limit(20), id_col="doc_id")
+    batch = base.df.limit(3).withColumn("text", F.lit("replayed"))
+    assert "_docid" in batch.columns
+    out = base.add_or_update(batch)
+    assert out.doc_count() == 20
+    got = out.df.filter(F.col("text") == "replayed").count()
+    assert got == 3
