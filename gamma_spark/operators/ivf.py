@@ -120,6 +120,10 @@ def _estimate_rows(df: DataFrame, vec_col: str, probe: bool = True) -> int | Non
     head = df.select(vec_col).head(1)
     if not head:
         return 0
+    if head[0][0] is None:
+        # nullable vector column whose first row is NULL: fall back to
+        # the assumed width rather than crash plan building
+        return max(1, size // 256)
     dim = len(head[0][0])
     return max(1, size // (8 * dim + 24))
 
@@ -139,6 +143,66 @@ def _presented_to_kernel_band(
     lo = None if min_score is None else max(min_score, 0.0) ** 2
     hi = None if max_score is None else float(max_score) ** 2
     return lo, hi
+
+
+def make_exec_probe(
+    cents: np.ndarray,
+    nprobe: int,
+    salts: int,
+    probe_col: str = "_qvec",
+    exec_chunk_cells: int = 8_000_000,
+):
+    """mapInPandas generator fanning each query row out to its nprobe
+    nearest clusters x salts shards — the ONE executor-side coarse
+    probe shared by the IVF and PQ distributed joins (the PQ twin had
+    re-grown an unchunked copy of this kernel).
+
+    The per-worker probe matrix is bounded: 8M float64 cells = 64 MB —
+    smaller than the driver's PROBE_CHUNK_CELLS because all workers
+    allocate concurrently (the hnsw.scan lesson, SCALING.md r7); at
+    131k centroids an unchunked 10k-row Arrow batch would transiently
+    hold ~10 GB per worker. A probe_col other than '_qvec' (the
+    BINARYIVF float-probe seam) is dropped from the output before the
+    shuffle."""
+    cnorm = (cents * cents).sum(axis=1)
+
+    def probe(batches):
+        buf = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[probe_col].to_numpy()).astype(np.float64)
+            if nprobe < len(cents):
+                rows = max(1, exec_chunk_cells // max(1, len(cents)))
+                parts = []
+                for lo in range(0, len(mat), rows):
+                    mb = mat[lo : lo + rows]
+                    if buf is None or buf.shape != (len(mb), len(cents)):
+                        buf = np.empty((len(mb), len(cents)))
+                    np.matmul(mb, cents.T, out=buf)
+                    buf *= -2.0
+                    buf += cnorm[None, :]
+                    parts.append(
+                        np.argpartition(buf, nprobe - 1, axis=1)[:, :nprobe]
+                    )
+                part = np.concatenate(parts, axis=0)
+            else:
+                part = np.broadcast_to(
+                    np.arange(len(cents)), (len(mat), len(cents))
+                )
+            fan = nprobe * salts
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), fan)].copy()
+            out["cluster_id"] = (
+                np.repeat(part, salts, axis=1).ravel().astype(np.int32)
+            )
+            out["_salt"] = np.tile(
+                np.arange(salts, dtype=np.int32), len(pdf) * nprobe
+            )
+            if probe_col != "_qvec":
+                out = out.drop(columns=[probe_col])
+            yield out
+
+    return probe
 
 
 def _train_centroids(
@@ -402,6 +466,20 @@ class IvfFlatIndex:
                 f"{metric.upper()}; use strategy='join' (the 'auto' "
                 "default already routes non-float metrics there)"
             )
+        if probe_vec is not None and metric.upper() in ("IP", "L2", "COSINE"):
+            # the scan kernel scores qmat, which is built from
+            # probe_vec — for a float metric that silently scores the
+            # PROBE column instead of the query vectors. Only the join
+            # path separates the two; force it (the combination is
+            # reachable through the public API even though only
+            # BINARYIVF/HAMMING uses probe_vec today).
+            if strategy == "scan":
+                raise ValueError(
+                    "strategy='scan' cannot combine probe_vec with a "
+                    "float metric (the kernel would score the probe "
+                    "column); use strategy='join'"
+                )
+            strategy = "join"
         if _precomputed is not None:
             # private seam for delegating wrappers (IvfSq8Index.search)
             # that already collected the batch and probed the centroids
@@ -794,7 +872,6 @@ class IvfFlatIndex:
         worst = np.inf if asc else -np.inf
         cents = self.centroids
         nprobe = min(nprobe, len(cents))
-        cnorm = (cents * cents).sum(axis=1)
         chunk_cells = self.COGROUP_CHUNK_CELLS
 
         qsel = queries.select(
@@ -816,46 +893,7 @@ class IvfFlatIndex:
         else:
             psel = qsel
 
-        # bound the per-worker probe matrix: 8M float64 cells = 64 MB —
-        # smaller than the driver's PROBE_CHUNK_CELLS because 32 workers
-        # allocate concurrently (the hnsw.scan lesson, SCALING.md r7);
-        # at 131k centroids an unchunked 10k-row Arrow batch would
-        # transiently hold ~10 GB per worker
-        exec_chunk_cells = 8_000_000
-
-        def probe(batches):
-            buf = None
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                mat = np.stack(pdf[probe_col].to_numpy()).astype(np.float64)
-                if nprobe < len(cents):
-                    rows = max(1, exec_chunk_cells // max(1, len(cents)))
-                    parts = []
-                    for lo in range(0, len(mat), rows):
-                        mb = mat[lo : lo + rows]
-                        if buf is None or buf.shape != (len(mb), len(cents)):
-                            buf = np.empty((len(mb), len(cents)))
-                        np.matmul(mb, cents.T, out=buf)
-                        buf *= -2.0
-                        buf += cnorm[None, :]
-                        parts.append(
-                            np.argpartition(buf, nprobe - 1, axis=1)[:, :nprobe]
-                        )
-                    part = np.concatenate(parts, axis=0)
-                else:
-                    part = np.broadcast_to(
-                        np.arange(len(cents)), (len(mat), len(cents))
-                    )
-                fan = nprobe * salts
-                out = pdf.iloc[np.repeat(np.arange(len(pdf)), fan)].copy()
-                out["cluster_id"] = np.repeat(part, salts, axis=1).ravel().astype(np.int32)
-                out["_salt"] = np.tile(
-                    np.arange(salts, dtype=np.int32), len(pdf) * nprobe
-                )
-                if probe_col != "_qvec":
-                    out = out.drop(columns=[probe_col])
-                yield out
+        probe = make_exec_probe(cents, nprobe, salts, probe_col=probe_col)
 
         if hierarchical:
             prel = queries.select(

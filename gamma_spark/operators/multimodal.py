@@ -454,6 +454,14 @@ def extract_image_features(
     """
     out_schema = StructType(list(df.schema.fields) + [StructField("feat", ArrayType(FloatType()))])
     codec_fn = resolve_codec(codec)
+    # configuration-only check: fail fast on the DRIVER at plan build,
+    # not per-row inside the executor loop (where a job must launch to
+    # surface it — and an all-empty-partition job never would)
+    if not deterministic and codec_fn is None:
+        raise ValueError(
+            "deterministic=False requires a named codec "
+            "(register_codec + codec=...); built-ins: ppm, png, raw-rgb"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -461,12 +469,6 @@ def extract_image_features(
                 continue
             feats = []
             for payload, meta in zip(pdf[payload_col], pdf[meta_col]):
-                if not deterministic and codec_fn is None:
-                    raise ValueError(
-                        "deterministic=False requires a named codec "
-                        "(register_codec + codec=...); built-ins: "
-                        "ppm, png, raw-rgb"
-                    )
                 px = _decode(bytes(payload), meta, codec_fn).astype(np.float64)
                 # channel-mean pyramid: cheap, shape-sensitive, deterministic
                 g = px.mean(axis=2)
@@ -637,8 +639,14 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame index (the
     explode pattern a video pipeline needs); frame decode is stubbed to
-    the frame index + payload hash."""
-    frames = F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every))
+    the frame index + payload hash. Rows with zero or NULL ``n_frames``
+    produce no output rows (explode of an empty array) instead of
+    crashing the job — ``sequence(0, -1, every)`` is an illegal range
+    Spark rejects at runtime."""
+    frames = F.when(
+        F.col(n_frames_col) > 0,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every)),
+    )  # no otherwise: NULL, which explode drops (matches any int type)
     return (
         df.withColumn("frame_idx", F.explode(frames))
         .withColumn(

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from gamma_spark.functions import vector as V
 from gamma_spark.operators.ivf import (
     IvfFlatIndex,
+    _presented_to_kernel_band,
     assign_clusters,
     kmeans_lloyd_np,
 )
@@ -77,8 +78,6 @@ def anisotropic_kmeans_np(
     subspace with the subvector's own direction — the standard
     decoupled approximation, keeping codebooks independently
     trainable (and thread-parallel, like the plain path)."""
-    from gamma_spark.operators.ivf import kmeans_lloyd_np
-
     if eta == 1.0:
         return kmeans_lloyd_np(data, k, seed, iters=iters)
     rng = np.random.default_rng(seed)
@@ -158,10 +157,11 @@ def anisotropic_kmeans_np(
     return cents
 
 
-def opq_rotation_np(residuals: np.ndarray, seed: int = 42) -> np.ndarray:
+def opq_rotation_np(residuals: np.ndarray) -> np.ndarray:
     """Deterministic OPQ-lite: PCA eigenbasis of the residual
     covariance. Decorrelates subspaces, which is most of full OPQ's
-    benefit at a fraction of its cost (no iterative re-training)."""
+    benefit at a fraction of its cost (no iterative re-training).
+    Fully deterministic — eigh + sign fixing, no randomness."""
     cov = np.cov(residuals, rowvar=False)
     _, vecs = np.linalg.eigh(cov)
     # eigh returns ascending order; reverse so high-variance dims lead,
@@ -292,6 +292,15 @@ class IvfPqIndex:
         if est is not None and est > cap:
             svec = svec.sample(fraction=min(1.0, 1.5 * cap / est), seed=seed)
         spdf = svec.limit(cap).toPandas()
+        if spdf.empty:
+            # fraction sampling under an overestimated row count can
+            # return nothing; fall back to a plain bounded take (same
+            # guard as ivf._train_centroids)
+            spdf = docs.select(
+                F.col(doc_vec).cast("array<double>").alias("_v")
+            ).limit(cap).toPandas()
+        if spdf.empty:
+            raise ValueError("cannot train codebooks on an empty relation")
         sample = np.stack(spdf["_v"].to_numpy()).astype(np.float64)
         # residuals to the assigned coarse centroid (faiss IVFPQ)
         a = (
@@ -299,7 +308,7 @@ class IvfPqIndex:
             + (centroids * centroids).sum(axis=1)[None, :]
         ).argmin(axis=1)
         residuals = sample - centroids[a]
-        rotation = opq_rotation_np(residuals, seed) if opq else np.eye(d)
+        rotation = opq_rotation_np(residuals) if opq else np.eye(d)
         rotated = residuals @ rotation
         # subspaces train independently; numpy BLAS releases the GIL so a
         # thread pool gets real parallelism. seed+i per subspace keeps the
@@ -442,6 +451,22 @@ class IvfPqIndex:
         m_, ksub_, dsub_ = self.m, self.ksub, self.dsub
         worst = np.inf if asc else -np.inf
 
+        # F8 band handling (gamma parity: IVFPQ bands only in the exact
+        # rerank, `gamma_index_ivfpq.cc:668,689` — same rule as
+        # knn_join_distributed below). With has_rank the ADC estimates
+        # must NOT be banded: a candidate whose quantized estimate sits
+        # outside the band but whose exact score is inside it would be
+        # unrecoverable. Without rerank the band applies to the ADC
+        # scores, mapped to the kernel's scale (squared L2 when the
+        # presented scale is sqrt).
+        if has_rank:
+            kmin = kmax = None
+        else:
+            kmin, kmax = _presented_to_kernel_band(
+                min_score, max_score,
+                squared=(metric_u == "L2" and l2_sqrt),
+            )
+
         # r9 OOM fix (found by the SIFT1M anchor rehearsal): the
         # kernel's real memory load is the residual LUTs — one
         # (m, ksub) float64 table per (query, probed cluster) pair,
@@ -528,10 +553,10 @@ class IvfPqIndex:
                     ).copy()
                     for i in range(m_):
                         s += luts[:, i, bcodes[:, i]]
-                    if min_score is not None:
-                        s = np.where(s >= min_score, s, worst)
-                    if max_score is not None:
-                        s = np.where(s <= max_score, s, worst)
+                    if kmin is not None:
+                        s = np.where(s >= kmin, s, worst)
+                    if kmax is not None:
+                        s = np.where(s <= kmax, s, worst)
                     # merge into the running top-rn — shared kernel
                     # (operators/topk.merge_running_topk, r9): dual-pivot
                     # tie detection + smallest-docid lexsort repair
@@ -566,6 +591,11 @@ class IvfPqIndex:
 
         if not has_rank:
             out = candidates.withColumnRenamed("adc_score", "score")
+            if l2_sqrt and metric_u == "L2":
+                # gamma applies sqrt at response packing regardless of
+                # rank mode (`idl/fbs/request.fbs:39`); monotone, so
+                # ranks are unchanged
+                out = out.withColumn("score", F.sqrt(F.col("score")))
             return topk(out, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])
 
         # two-phase rerank (R6): exact distances for the candidate set
@@ -652,16 +682,22 @@ class IvfPqIndex:
         worst = np.inf if asc else -np.inf
         cents = self.centroids
         nprobe = min(nprobe, len(cents))
-        cnorm = (cents * cents).sum(axis=1)
         cb, rot = self.codebooks, self.rotation
         m_, ksub_, dsub_ = self.m, self.ksub, self.dsub
         rn = recall_num
         chunk_cells = self.COGROUP_CHUNK_CELLS
         salts = max(1, int(salts))
         # kernel-side band only when the ADC score is the presented
-        # score (no rerank) — see docstring
-        kmin = min_score if not has_rank else None
-        kmax = max_score if not has_rank else None
+        # score (no rerank) — see docstring. The kernel holds squared
+        # L2; with l2_sqrt the presented band maps to its squares
+        # (monotone), same rule as the IVF scan kernel.
+        if has_rank:
+            kmin = kmax = None
+        else:
+            kmin, kmax = _presented_to_kernel_band(
+                min_score, max_score,
+                squared=(metric_u == "L2" and l2_sqrt),
+            )
         banded = kmin is not None or kmax is not None
 
         qsel = queries.select(
@@ -669,25 +705,13 @@ class IvfPqIndex:
         )
         vec_type = qsel.schema["_qvec"].dataType.simpleString()
 
-        def probe(batches):
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                mat = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
-                d = -2.0 * (mat @ cents.T) + cnorm[None, :]
-                if nprobe < len(cents):
-                    part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
-                else:
-                    part = np.broadcast_to(
-                        np.arange(len(cents)), (len(mat), len(cents))
-                    )
-                fan = nprobe * salts
-                out = pdf.iloc[np.repeat(np.arange(len(pdf)), fan)].copy()
-                out["cluster_id"] = np.repeat(part, salts, axis=1).ravel().astype(np.int32)
-                out["_salt"] = np.tile(
-                    np.arange(salts, dtype=np.int32), len(pdf) * nprobe
-                )
-                yield out
+        # shared chunked executor probe (ivf.make_exec_probe): the PQ
+        # twin had re-grown an UNCHUNKED copy — at 131k centroids a
+        # 10k-row Arrow batch would transiently hold ~10 GB per worker,
+        # the exact OOM the IVF twin's chunking fixed (SCALING.md r7)
+        from gamma_spark.operators.ivf import make_exec_probe
+
+        probe = make_exec_probe(cents, nprobe, salts)
 
         qprobed = qsel.mapInPandas(
             probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
@@ -791,6 +815,11 @@ class IvfPqIndex:
         )
         if not has_rank:
             out = candidates.withColumnRenamed("adc_score", "score")
+            if l2_sqrt and metric_u == "L2":
+                # gamma applies sqrt at response packing regardless of
+                # rank mode (`idl/fbs/request.fbs:39`); monotone, so
+                # ranks are unchanged
+                out = out.withColumn("score", F.sqrt(F.col("score")))
             return topk(out, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"])
         rer = (
             candidates.join(raw.select("_docid", self.doc_vec), on="_docid", how="inner")

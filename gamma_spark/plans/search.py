@@ -216,7 +216,15 @@ def search(
             nq = _estimate_rows(vq.queries, "qvec", probe=False)
             if nq is None or nq <= SCAN_ESTIMATE_CONFIDENT:
                 nq = vq.queries.limit(SCAN_STRATEGY_MIN_Q + 1).count()
-            kernel = knn.knn_scan if nq > SCAN_STRATEGY_MIN_Q else knn.knn_join
+            # the scan kernel has no HAMMING branch — non-float metrics
+            # always take the join kernel regardless of batch size (the
+            # same routing rule as IvfFlatIndex's 'auto')
+            kernel = (
+                knn.knn_scan
+                if nq > SCAN_STRATEGY_MIN_Q
+                and vq.metric.upper() in ("IP", "L2", "COSINE")
+                else knn.knn_join
+            )
             hits = kernel(
                 docs,
                 vq.queries,

@@ -440,3 +440,18 @@ def test_encode_png_indexed_rejects_wrapping_indices():
     # in-range but beyond the palette still raises the range error
     with pytest.raises(ValueError, match="out of range"):
         encode_png_indexed(np.array([[2]], dtype=np.uint8), palette)
+
+
+def test_sample_video_frames_zero_and_null_frames(spark):
+    """r9 review fix: a row with n_frames=0 crashed the whole job
+    (sequence(0, -1, step) is an illegal range); zero/NULL rows now
+    contribute no output rows."""
+    from gamma_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame(
+        [(0, b"vid-a", 25), (1, b"vid-b", 0), (2, b"vid-c", None)],
+        "vid long, video binary, n_frames int",
+    )
+    out = sample_video_frames(df, every=10).collect()
+    assert {r.vid for r in out} == {0}
+    assert sorted(r.frame_idx for r in out) == [0, 10, 20]

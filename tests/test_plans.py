@@ -424,3 +424,50 @@ def test_hybrid_with_docid_order_fusion(spark, docs):
     out = search(two_vec, req).collect()
     assert out, "hybrid docid-order request returns fused rows"
     assert {c for c in ("qid", "_docid", "score", "rank")} <= set(out[0].asDict())
+
+
+def test_brute_hamming_large_batch_routes_to_join(spark, docs):
+    """r9 review fix: the brute chooser picked the kernel purely by
+    query count — a HAMMING request with >16 queries crashed in
+    knn_scan (no HAMMING branch). Non-float metrics always take the
+    join kernel."""
+    from gamma_spark.functions import vector as V
+    from gamma_spark.plans.search import SearchRequest, VectorQuery, search
+
+    sigs = docs.select(
+        "_docid", V.sign_bits("embedding").alias("sig")
+    ).withColumn("sig", F.col("sig"))
+    rows = docs.orderBy("_docid").limit(20).collect()
+    queries = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    qsig = queries.select(
+        "qid", V.sign_bits("qvec").alias("qvec")
+    )
+    req = SearchRequest(
+        vector_queries=[VectorQuery(field="sig", queries=qsig, metric="HAMMING")],
+        topn=3,
+    )
+    out = search(sigs, req).collect()
+    assert len(out) == 3 * 20
+    # self-signature distance is 0 -> every query's rank-1 score is 0
+    assert all(r.score == 0 for r in out if r.rank == 1)
+
+
+def test_scan_rejects_probe_vec_float_metric(spark, docs, queries):
+    """r9 review fix: probe_vec + float metric would silently score the
+    PROBE column on the scan path; 'auto' now routes to join, explicit
+    'scan' raises."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    idx = IvfFlatIndex.build(
+        docs.withColumn("pv", F.col("embedding")), ncentroids=8, seed=1
+    )
+    q = queries.withColumn("pvq", F.col("qvec"))
+    with pytest.raises(ValueError, match="probe_vec"):
+        idx.search(None, q, k=3, metric="L2", strategy="scan", probe_vec="pvq")
+    # auto silently takes the join path and scores the QUERY vectors
+    out = idx.search(None, q, k=3, metric="L2", nprobe=8, probe_vec="pvq").collect()
+    top1 = {r.qid: r._docid for r in out if r.rank == 1}
+    assert all(q_ == d for q_, d in top1.items())

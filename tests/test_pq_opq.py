@@ -104,3 +104,65 @@ def test_adc_lut_bounds_preserve_results(docs, queries, monkeypatch):
         for r in idx.search(None, queries, **kw).collect()
     }
     assert got == want
+
+
+def test_rerank_band_not_applied_to_adc(docs, queries):
+    """r9 review fix (gamma parity, `gamma_index_ivfpq.cc:668,689`):
+    with has_rank the score band filters EXACT rerank scores only — a
+    candidate whose quantized ADC estimate falls outside the band but
+    whose exact score is inside must still be returned. At degenerate
+    settings (full probes, full recall) the banded PQ search must
+    therefore equal the banded exact kernel exactly."""
+    n = docs.count()
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42)
+    # band tight around the mid scores so quantization error can move
+    # estimates across the edges
+    lo, hi = 5.0, 30.0
+    got = {
+        (r.qid, r.rank): r._docid
+        for r in pq.search(
+            docs, queries, k=10, metric="L2", nprobe=NCENT, recall_num=n,
+            has_rank=True, min_score=lo, max_score=hi,
+        ).collect()
+    }
+    want = {
+        (r.qid, r.rank): r._docid
+        for r in knn.knn_join(
+            docs, queries, k=10, metric="L2", min_score=lo, max_score=hi
+        ).collect()
+    }
+    assert got == want
+
+
+def test_no_rank_l2_sqrt_scale(docs, queries):
+    """r9 review fix: without rerank the ADC score IS the presented
+    score — l2_sqrt must return sqrt-scale scores and interpret the
+    band on that scale (it compared a sqrt band against squared ADC
+    distances and returned squared scores)."""
+    pq = IvfPqIndex.build(docs, ncentroids=NCENT, nsubvector=8, seed=42)
+    plain = {
+        (r.qid, r.rank): (r._docid, r.score)
+        for r in pq.search(
+            docs, queries, k=5, metric="L2", nprobe=NCENT, has_rank=False
+        ).collect()
+    }
+    sqrt = {
+        (r.qid, r.rank): (r._docid, r.score)
+        for r in pq.search(
+            docs, queries, k=5, metric="L2", nprobe=NCENT, has_rank=False,
+            l2_sqrt=True,
+        ).collect()
+    }
+    assert plain.keys() == sqrt.keys()
+    import math
+
+    for key, (doc, s) in plain.items():
+        doc2, s2 = sqrt[key]
+        assert doc == doc2
+        assert s2 == pytest.approx(math.sqrt(s))
+    # band on the sqrt scale admits sqrt-scale scores
+    banded = pq.search(
+        docs, queries, k=5, metric="L2", nprobe=NCENT, has_rank=False,
+        l2_sqrt=True, max_score=6.0,
+    ).collect()
+    assert all(r.score <= 6.0 for r in banded)
