@@ -1031,7 +1031,7 @@ SQ8_RECALL_T = 0.9
 HNSW_SCAN_RECALL_T = 0.999
 
 
-def q_ivf_recall_check(spark, sf_dir):
+def q_ivf_recall_check(spark, sf_dir, exact=None):
     """Driver-visible recall@k for the pruned IVF path (VERDICT r2 #5):
     one row (k, threshold, recall_ok) where recall_ok is measured
     against the exact kernel — the reference's recall-table methodology
@@ -1041,19 +1041,21 @@ def q_ivf_recall_check(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries_df = _queries_df(spark, sf_dir)
-    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    if exact is None:
+        exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     approx = q_knn_ivfflat_pruned(spark, sf_dir)
     return recall_check(exact, approx, k=KNN_K, threshold=IVF_RECALL_T)
 
 
-def q_pq_recall_check(spark, sf_dir):
+def q_pq_recall_check(spark, sf_dir, exact=None):
     """Recall@k for IVFPQ at practical settings (ADC candidates + exact
     rerank, nprobe=8/16, recall_num=64) vs the exact kernel."""
     from gamma_spark.operators.ann import recall_check
 
     docs = _docs(spark, sf_dir)
     queries_df = _queries_df(spark, sf_dir)
-    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    if exact is None:
+        exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     approx = q_knn_ivfpq_adc(spark, sf_dir)
     return recall_check(exact, approx, k=KNN_K, threshold=PQ_RECALL_T)
 
@@ -1088,7 +1090,7 @@ def q_faiss_load_search(spark, sf_dir):
     )
 
 
-def q_scann_recall_check(spark, sf_dir):
+def q_scann_recall_check(spark, sf_dir, exact=None):
     """Recall@k for the VEARCH model (SURVEY K7, flipped from a
     declared non-goal: `index/impl/scann/gamma_index_vearch.cc:19,
     415-520`): anisotropic (score-aware, ScaNN-objective) 4-bit
@@ -1100,7 +1102,8 @@ def q_scann_recall_check(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries_df = _queries_df(spark, sf_dir)
-    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="IP")
+    if exact is None:
+        exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="IP")
     idx = VearchIndex.build(docs, ncentroids=IVF_NCENT, nsubvector=8, seed=42)
     # recall_num=128: the tune_recall_num knee for recall@10 >= 0.9
     # (0.925 at sf0.01; 64 measured 0.825)
@@ -1110,7 +1113,7 @@ def q_scann_recall_check(spark, sf_dir):
     return recall_check(exact, approx, k=KNN_K, threshold=SCANN_RECALL_T)
 
 
-def q_hnsw_recall_check(spark, sf_dir):
+def q_hnsw_recall_check(spark, sf_dir, exact=None):
     """Recall@k for the sharded-HNSW graph path (SURVEY K5, flipped
     from a declared non-goal this round: `index/impl/hnswlib/
     gamma_index_hnswlib.cc:128,316-380`): 4 independent per-shard
@@ -1122,7 +1125,8 @@ def q_hnsw_recall_check(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries_df = _queries_df(spark, sf_dir)
-    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    if exact is None:
+        exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     idx = HnswIndex.build(docs, nshards=4, m=16, ef_construction=80, metric="L2")
     # mode="graph": this row's purpose is to gate the TRAVERSAL kernel's
     # recall — the auto router would route small sf shards to the exact
@@ -1131,7 +1135,7 @@ def q_hnsw_recall_check(spark, sf_dir):
     return recall_check(exact, approx, k=KNN_K, threshold=HNSW_RECALL_T)
 
 
-def q_hnsw_scan_recall_check(spark, sf_dir):
+def q_hnsw_scan_recall_check(spark, sf_dir, exact=None):
     """The r7 bulk-router scan kernel (operators/hnsw.py NpHnsw.scan):
     per-shard exact GEMM top-k whose global merge is the exact answer,
     so the gate sits at 0.999 — a regression that makes this path
@@ -1141,7 +1145,8 @@ def q_hnsw_scan_recall_check(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries_df = _queries_df(spark, sf_dir)
-    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    if exact is None:
+        exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     idx = HnswIndex.build(docs, nshards=4, m=16, ef_construction=80, metric="L2")
     approx = idx.search(None, queries_df, k=KNN_K, mode="scan")
     return recall_check(exact, approx, k=KNN_K, threshold=HNSW_SCAN_RECALL_T)
@@ -1167,7 +1172,7 @@ SQL_SQ8_RECALL_CHECK = (
 )
 
 
-def q_sq8_recall_check(spark, sf_dir):
+def q_sq8_recall_check(spark, sf_dir, exact=None):
     """Recall@k for IVFSQ8 (operators/sq.py — the idiomatic analogue of
     the reference's ZFP-compressed raw-vector tier, SURVEY O12,
     `storage/compress/compressor_zfp.h:38-58`): full probes so the ONLY
@@ -1178,7 +1183,8 @@ def q_sq8_recall_check(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     queries_df = _queries_df(spark, sf_dir)
-    exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    if exact is None:
+        exact = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
     idx = IvfSq8Index.build(docs, ncentroids=IVF_NCENT, seed=42)
     approx = idx.search(None, queries_df, k=KNN_K, metric="L2", nprobe=IVF_NCENT)
     return recall_check(exact, approx, k=KNN_K, threshold=SQ8_RECALL_T)
@@ -1380,7 +1386,11 @@ def q_events_sliding_window(spark, sf_dir):
     capability beyond the reference (SURVEY §2.7); epoch-second window
     starts keep the oracle type-aligned."""
     ev = _events(spark, sf_dir)
-    ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    # exact integer nanos->micros (`div`, not `/`): the float chain is
+    # off by one for int64 nanos within ~128 ns of a boundary, which
+    # would assign boundary events to the wrong window vs the oracle's
+    # integer arithmetic (same fix as q_events_session_window)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
     win = F.window(ts, "1 hour", "30 minutes")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))
@@ -1414,7 +1424,8 @@ def q_events_sessionization(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
-    sec = (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    # exact integer nanos->seconds (see q_events_sliding_window)
+    sec = F.expr("ts div 1000000000")
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
     with_gap = (
         ev.select("user_id", "event_id", sec.alias("sec"))
@@ -2037,13 +2048,20 @@ def q_ann_recall_checks(spark, sf_dir):
     model discriminator — keeps every pruned search path
     driver-hash-checked in a single registry slot (VERDICT r3 #1
     consolidation pattern)."""
+    # ONE exact baseline per metric, shared by every leg: each leg
+    # used to build its own identical knn_join subplan — five L2 brute
+    # joins where one (reused) suffices (r9 review)
+    docs = _docs(spark, sf_dir)
+    queries_df = _queries_df(spark, sf_dir)
+    exact_l2 = knn.knn_join(docs, queries_df, k=KNN_K, metric="L2")
+    exact_ip = knn.knn_join(docs, queries_df, k=KNN_K, metric="IP")
     parts = [
-        q_ivf_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFFLAT")),
-        q_pq_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFPQ")),
-        q_hnsw_recall_check(spark, sf_dir).withColumn("model", F.lit("HNSW")),
-        q_hnsw_scan_recall_check(spark, sf_dir).withColumn("model", F.lit("HNSW-SCAN")),
-        q_scann_recall_check(spark, sf_dir).withColumn("model", F.lit("VEARCH")),
-        q_sq8_recall_check(spark, sf_dir).withColumn("model", F.lit("IVFSQ8")),
+        q_ivf_recall_check(spark, sf_dir, exact_l2).withColumn("model", F.lit("IVFFLAT")),
+        q_pq_recall_check(spark, sf_dir, exact_l2).withColumn("model", F.lit("IVFPQ")),
+        q_hnsw_recall_check(spark, sf_dir, exact_l2).withColumn("model", F.lit("HNSW")),
+        q_hnsw_scan_recall_check(spark, sf_dir, exact_l2).withColumn("model", F.lit("HNSW-SCAN")),
+        q_scann_recall_check(spark, sf_dir, exact_ip).withColumn("model", F.lit("VEARCH")),
+        q_sq8_recall_check(spark, sf_dir, exact_l2).withColumn("model", F.lit("IVFSQ8")),
     ]
     out = parts[0]
     for p in parts[1:]:

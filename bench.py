@@ -53,6 +53,32 @@ def _mark_split(t0: float, t_build_done: float) -> None:
     }
 
 
+def extra_queries(entry_mod) -> dict:
+    """Bench-suite query callables beyond the driver registry: the
+    round-over-round-stable names whose registry rows were consolidated
+    (the functions themselves remain). ONE map shared with
+    tools/ab_bench.py so any benched name stays A/B-able — a
+    hand-copied duplicate there drifted and broke the protocol's
+    any-entry contract (r9 review)."""
+    return {
+        **entry_mod.queries(),
+        "knn_ip_topk": entry_mod.q_knn_ip,
+        "knn_hamming_topk": entry_mod.q_knn_hamming,
+        "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
+        "simhash_signatures": entry_mod.q_simhash_signatures,
+        "multimodal_features": entry_mod.q_multimodal_features,
+        "upsert_last_wins": entry_mod.q_upsert_last_wins,
+        "dedup_groups": entry_mod.q_dedup_groups,
+        # VERDICT r5 #2/#4: the registry row knn_fusion_multivector
+        # became a TOPK+DISTRIBUTED variants union in r5; bench the legs
+        # separately under their stable names.
+        "knn_fusion_multivector": entry_mod.q_knn_fusion,
+        "knn_fusion_distributed": entry_mod.q_knn_fusion_distributed,
+        # non-registry builder-shaped entries timed by the suite
+        "pq_build_search": entry_mod.q_knn_ivfpq_adc,
+    }
+
+
 def bench_knn_scan(spark, sf_dir):
     """All-pairs style load: every embedding queries the full table
     through the partition-local-heap scan kernel."""
@@ -355,9 +381,16 @@ def main():
                         best = dt
                         best_split = LAST_SPLIT  # split of the best repeat
                 except Exception as exc:  # noqa: BLE001 — isolate per query
-                    errors[name] = f"error:{type(exc).__name__}"
                     print(f"[bench] {name} failed: {exc}", file=sys.stderr)
-                    return
+                    if best == float("inf"):
+                        # no successful repeat at all: record the error
+                        errors[name] = f"error:{type(exc).__name__}"
+                        return
+                    # a LATER repeat flaked after a valid measurement:
+                    # keep the measured best instead of discarding it —
+                    # dropping it would shrink the shared-set total and
+                    # misreport a transient flake as a broken entry
+                    break
         finally:
             # between QUERIES only — repeats keep their warm caches (the
             # round-3 measurement protocol; operators that stage
@@ -367,25 +400,8 @@ def main():
         if best_split is not None:
             splits[name] = best_split
 
-    # registry callables + round-over-round-stable names whose registry
-    # rows were consolidated in r4 (the functions themselves remain)
-    qs = {
-        **entry_mod.queries(),
-        "knn_ip_topk": entry_mod.q_knn_ip,
-        "knn_hamming_topk": entry_mod.q_knn_hamming,
-        "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
-        "simhash_signatures": entry_mod.q_simhash_signatures,
-        "multimodal_features": entry_mod.q_multimodal_features,
-        "upsert_last_wins": entry_mod.q_upsert_last_wins,
-        "dedup_groups": entry_mod.q_dedup_groups,
-        # VERDICT r5 #2/#4: the registry row knn_fusion_multivector became
-        # a TOPK+DISTRIBUTED variants union in r5, silently redefining the
-        # benched workload under its r1-r4 name. Bench the legs separately:
-        # the stable name keeps its original TOPK meaning (comparable to
-        # r4 and earlier), the corpus-scale full-probe leg gets its own.
-        "knn_fusion_multivector": entry_mod.q_knn_fusion,
-        "knn_fusion_distributed": entry_mod.q_knn_fusion_distributed,
-    }
+    # ONE shared map with tools/ab_bench.py (see extra_queries)
+    qs = extra_queries(entry_mod)
     run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
     run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
     run("pq_build_search", lambda: entry_mod.q_knn_ivfpq_adc(spark, sf_dir).count())

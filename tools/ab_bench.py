@@ -48,6 +48,7 @@ ENTRIES = {
     "knn_graph": "bench_knn_graph",
     "knn_graph_10kq": "bench_knn_graph_10kq",
     "neardup": "bench_neardup_banded",
+    "hnsw_bulk_routed": "bench_hnsw_bulk_routed",
 }
 
 # two positions can only call the same tree "faster" together if each
@@ -65,18 +66,7 @@ def _resolve(entry: str):
         return getattr(bench, ENTRIES[entry])
     import __spark_entry__ as entry_mod
 
-    qs = {
-        **entry_mod.queries(),
-        "knn_ip_topk": entry_mod.q_knn_ip,
-        "knn_hamming_topk": entry_mod.q_knn_hamming,
-        "dedup_minhash_lsh": entry_mod.q_dedup_minhash_lsh,
-        "simhash_signatures": entry_mod.q_simhash_signatures,
-        "multimodal_features": entry_mod.q_multimodal_features,
-        "upsert_last_wins": entry_mod.q_upsert_last_wins,
-        "dedup_groups": entry_mod.q_dedup_groups,
-        "knn_fusion_multivector": entry_mod.q_knn_fusion,
-        "knn_fusion_distributed": entry_mod.q_knn_fusion_distributed,
-    }
+    qs = bench.extra_queries(entry_mod)
     if entry not in qs:
         raise SystemExit(
             f"unknown entry {entry!r}; builders: {sorted(ENTRIES)}; "

@@ -19,11 +19,25 @@ TABLES = [
 ]
 
 
+def _arr_str(v) -> str:
+    """Engine-neutral stringification of an array value: NULL-safe
+    (a NULL array must read as a comparable token, not crash the whole
+    gate), and numpy arrays go through .tolist() so elements repr as
+    plain python scalars — under numpy >= 2, list(ndarray) yields
+    np.int64(1)-style reprs that would false-fail against the Spark
+    side's plain lists."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    return str(list(v))
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for col in df.columns:  # lists/arrays aren't sortable; stringify
         if df[col].map(lambda v: isinstance(v, (list, np.ndarray))).any():
-            df[col] = df[col].map(lambda v: str(list(v)))
+            df[col] = df[col].map(_arr_str)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
