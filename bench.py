@@ -402,10 +402,24 @@ def main():
 
     # ONE shared map with tools/ab_bench.py (see extra_queries)
     qs = extra_queries(entry_mod)
-    run("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
-    run("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
-    run("pq_build_search", lambda: entry_mod.q_knn_ivfpq_adc(spark, sf_dir).count())
-    run("hybrid_search", lambda: qs["knn_hybrid_pending_exact"](spark, sf_dir).count())
+
+    # r10 (VERDICT r9 #5): entries run in a SEEDED RANDOM order recorded
+    # in the artifact. r7-r9 showed position/page-cache noise is the
+    # dominant artifact confound the canaries only partially absorb; a
+    # per-round shuffle decorrelates position from entry identity across
+    # rounds, so raw round-over-round diffs stop encoding a fixed
+    # position bias. The seed varies per round (count of existing BENCH
+    # artifacts) and can be pinned via SPARK_GRAFT_BENCH_ORDER_SEED for
+    # a reproducible rerun.
+    entries: list = []
+
+    def add(name, fn):
+        entries.append((name, fn))
+
+    add("knn_scan_512q", lambda: bench_knn_scan(spark, sf_dir))
+    add("ivf_build_search_512q", lambda: bench_ivf(spark, sf_dir))
+    add("pq_build_search", lambda: entry_mod.q_knn_ivfpq_adc(spark, sf_dir).count())
+    add("hybrid_search", lambda: qs["knn_hybrid_pending_exact"](spark, sf_dir).count())
     for name in (
         "knn_ip_topk",
         "knn_fusion_multivector",
@@ -425,29 +439,46 @@ def main():
         "dedup_minhash_lsh",
         "simhash_signatures",
     ):
-        run(name, lambda n=name: qs[n](spark, sf_dir).count())
-    run("hnsw_build_search_512q", lambda: bench_hnsw(spark, sf_dir))
-    run("hnsw_bulk_routed", lambda: bench_hnsw_bulk_routed(spark, sf_dir))
-    run("vearch_build_search_512q", lambda: bench_vearch(spark, sf_dir))
-    run("sq8_build_search_512q", lambda: bench_sq8(spark, sf_dir))
-    run("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
-    run("pack_sequences", lambda: qs["pack_sequences"](spark, sf_dir).count())
-    run("bm25_topk", lambda: qs["bm25_topk"](spark, sf_dir).count())
-    run("corpus_profile", lambda: qs["corpus_profile"](spark, sf_dir).count())
-    run("hybrid_rrf", lambda: qs["hybrid_rrf"](spark, sf_dir).count())
-    run("quality_signals", lambda: qs["quality_signals"](spark, sf_dir).count())
-    run("decontaminate", lambda: qs["decontaminate"](spark, sf_dir).count())
-    run("pii_scrub", lambda: qs["pii_scrub"](spark, sf_dir).count())
-    run("paragraph_dedup", lambda: qs["paragraph_dedup"](spark, sf_dir).count())
-    run("incdedup_match", lambda: qs["incdedup_match"](spark, sf_dir).count())
-    run("lm_perplexity", lambda: qs["lm_perplexity"](spark, sf_dir).count())
-    run("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
-    run("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
-    run("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))
-    run("simhash_neardup_pairs", lambda: qs["simhash_neardup_pairs"](spark, sf_dir).count())
-    run("dedup_minhash_verified", lambda: qs["dedup_minhash_verified"](spark, sf_dir).count())
-    run("dedup_groups", lambda: qs["dedup_groups"](spark, sf_dir).count())
-    run("curation_pipeline", lambda: qs["curation_pipeline"](spark, sf_dir).count())
+        add(name, lambda n=name: qs[n](spark, sf_dir).count())
+    add("hnsw_build_search_512q", lambda: bench_hnsw(spark, sf_dir))
+    add("hnsw_bulk_routed", lambda: bench_hnsw_bulk_routed(spark, sf_dir))
+    add("vearch_build_search_512q", lambda: bench_vearch(spark, sf_dir))
+    add("sq8_build_search_512q", lambda: bench_sq8(spark, sf_dir))
+    add("mixture_sample", lambda: qs["mixture_sample"](spark, sf_dir).count())
+    add("pack_sequences", lambda: qs["pack_sequences"](spark, sf_dir).count())
+    add("bm25_topk", lambda: qs["bm25_topk"](spark, sf_dir).count())
+    add("corpus_profile", lambda: qs["corpus_profile"](spark, sf_dir).count())
+    add("hybrid_rrf", lambda: qs["hybrid_rrf"](spark, sf_dir).count())
+    add("quality_signals", lambda: qs["quality_signals"](spark, sf_dir).count())
+    add("decontaminate", lambda: qs["decontaminate"](spark, sf_dir).count())
+    add("pii_scrub", lambda: qs["pii_scrub"](spark, sf_dir).count())
+    add("paragraph_dedup", lambda: qs["paragraph_dedup"](spark, sf_dir).count())
+    add("incdedup_match", lambda: qs["incdedup_match"](spark, sf_dir).count())
+    add("lm_perplexity", lambda: qs["lm_perplexity"](spark, sf_dir).count())
+    add("knn_graph_selfjoin", lambda: bench_knn_graph(spark, sf_dir))
+    add("knn_graph_distributed_10kq", lambda: bench_knn_graph_10kq(spark, sf_dir))
+    add("embedding_neardup_banded", lambda: bench_neardup_banded(spark, sf_dir))
+    add("simhash_neardup_pairs", lambda: qs["simhash_neardup_pairs"](spark, sf_dir).count())
+    add("dedup_minhash_verified", lambda: qs["dedup_minhash_verified"](spark, sf_dir).count())
+    add("dedup_groups", lambda: qs["dedup_groups"](spark, sf_dir).count())
+    add("curation_pipeline", lambda: qs["curation_pipeline"](spark, sf_dir).count())
+
+
+    import glob as _glob
+    import random as _random
+
+    _arts = sorted(_glob.glob(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r*.json")))
+    _seed_env = os.environ.get("SPARK_GRAFT_BENCH_ORDER_SEED")
+    order_seed = int(_seed_env) if _seed_env else len(_arts)
+    _random.Random(order_seed).shuffle(entries)
+    print(
+        f"[bench] order_seed {order_seed}: "
+        + ",".join(n for n, _ in entries[:5]) + ",...",
+        file=sys.stderr,
+    )
+    for _name, _fn in entries:
+        run(_name, _fn)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -462,6 +493,9 @@ def main():
         # becomes usable for normalization from r9 on)
         "canary2": {"membw": membw_s},
         "canary2_s": membw_s,
+        # r10: the seeded entry order this artifact was measured under
+        "order_seed": order_seed,
+        "order": [n for n, _ in entries],
     }
     if splits:
         # VERDICT r8 #6: per-entry {build_s, search_s} for the index-

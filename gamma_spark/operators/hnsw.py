@@ -95,8 +95,14 @@ SCAN_MACS_PER_SEC = 6e8     # measured under full concurrency, NOT peak BLAS
 GRAPH_SEC_PER_QUERY = 3.5e-3  # measured per-traversal Python overhead floor
 ENV_SCAN_MACS = "SPARK_GRAFT_HNSW_SCAN_MACS_PER_SEC"
 ENV_GRAPH_SPQ = "SPARK_GRAFT_HNSW_GRAPH_SEC_PER_QUERY"
-#: >1 enables the saturated concurrent probe at build time with that
-#: many forked probe processes (0/unset = solo probe only)
+#: probe-process count for the saturated concurrent calibration at
+#: build time. Since r10 the saturated probe is the DEFAULT for
+#: path-backed builds (unset = min(32, cpu_count) processes): the r9
+#: probe measured the solo-probe ratio assumption genuinely failing —
+#: under 32-way concurrency the scan GEMM derates 2.1x while the
+#: traversal barely moves, halving the break-even shard size
+#: (docs/SCALING.md "saturated-mode calibration"). Set =1 to force the
+#: solo probe only; ``saturate=`` on build() overrides the env.
 ENV_CALIB_PROCS = "SPARK_GRAFT_HNSW_CALIB_PROCS"
 
 
@@ -113,6 +119,43 @@ def _env_float(name: str) -> float | None:
     return v
 
 
+def _calibrated_float(value, name: str) -> float | None:
+    """Validate a router constant sourced from persisted/calibrated
+    state, mirroring :func:`_env_float`'s positivity check: ``None``
+    passes through (resolution falls to the next tier), but a present
+    non-positive/NaN value is a degenerate calibration that must be
+    REJECTED loudly — silently falling through to the frozen defaults
+    would hide a corrupt sidecar behind a plausible route (ADVICE r9)."""
+    if value is None:
+        return None
+    v = float(value)
+    if not (v > 0):
+        raise ValueError(
+            f"calibrated router constant {name} must be > 0, got {value!r}"
+            " (degenerate calibration persisted in index meta — rebuild"
+            " or fix the sidecar, or override via env)"
+        )
+    return v
+
+
+def _resolve_constants(
+    scan_macs: float | None, graph_spq: float | None
+) -> tuple[float, float]:
+    """env > validated calibrated > frozen — `is None` tiering, never
+    truthiness (a calibrated 0.0 raises instead of vanishing)."""
+    env_macs, env_spq = _env_float(ENV_SCAN_MACS), _env_float(ENV_GRAPH_SPQ)
+    macs = env_macs if env_macs is not None else _calibrated_float(
+        scan_macs, "scan_macs_per_sec"
+    )
+    spq = env_spq if env_spq is not None else _calibrated_float(
+        graph_spq, "graph_sec_per_query"
+    )
+    return (
+        macs if macs is not None else SCAN_MACS_PER_SEC,
+        spq if spq is not None else GRAPH_SEC_PER_QUERY,
+    )
+
+
 def _route_to_scan(
     n_shard: int,
     dim: int,
@@ -125,9 +168,7 @@ def _route_to_scan(
 
     ``scan_macs`` / ``graph_spq`` are the calibrated constants from the
     index meta (None → frozen defaults); the env vars win over both."""
-    env_macs, env_spq = _env_float(ENV_SCAN_MACS), _env_float(ENV_GRAPH_SPQ)
-    scan_macs = env_macs or scan_macs or SCAN_MACS_PER_SEC
-    graph_spq = env_spq or graph_spq or GRAPH_SEC_PER_QUERY
+    scan_macs, graph_spq = _resolve_constants(scan_macs, graph_spq)
     scan_sec = (n_shard * dim) / scan_macs
     graph_sec = graph_spq + (ef * 2 * m * dim) / scan_macs
     return scan_sec < graph_sec
@@ -145,9 +186,7 @@ def route_break_even(
     spq + ef*2*m*d/macs), kept NEXT to the model so a model change
     can't leave a stale copy in the rehearsal tools. Resolves the
     constants exactly like the router (env > calibrated > frozen)."""
-    env_macs, env_spq = _env_float(ENV_SCAN_MACS), _env_float(ENV_GRAPH_SPQ)
-    scan_macs = env_macs or scan_macs or SCAN_MACS_PER_SEC
-    graph_spq = env_spq or graph_spq or GRAPH_SEC_PER_QUERY
+    scan_macs, graph_spq = _resolve_constants(scan_macs, graph_spq)
     return int(graph_spq * scan_macs / dim + ef * 2 * m)
 
 
@@ -319,6 +358,35 @@ def calibrate_router_saturated(
 #: Resolution order stays env > index meta > this memo > frozen
 #: defaults.
 _HOST_CALIBRATION: dict[tuple[str, int, int], dict[str, float]] = {}
+
+#: build-time calibration memo, keyed (metric, dim, m, procs): the
+#: probes measure HOST throughput, not index data, so repeated
+#: path-backed builds in one driver process (test suites, micro-batch
+#: compaction loops, bench sessions) pay the fork-probe once per
+#: operating point instead of once per build.
+_BUILD_CALIBRATION: dict[tuple[str, int, int, int], dict[str, float]] = {}
+
+
+def _build_router_constants(
+    dim: int, m: int, metric: str, procs: int
+) -> dict[str, float]:
+    """Solo router constants plus (``procs > 1``) the saturated pair
+    for a path-backed build, memoized per process per operating
+    point."""
+    key = (metric, int(dim), int(m), int(procs))
+    if key not in _BUILD_CALIBRATION:
+        router = calibrate_router(dim=dim, m=m, metric=metric)
+        if procs > 1:
+            sat = calibrate_router_saturated(
+                dim=dim, m=m, metric=metric, procs=procs
+            )
+            router["saturated_scan_macs_per_sec"] = sat["scan_macs_per_sec"]
+            router["saturated_graph_sec_per_query"] = sat[
+                "graph_sec_per_query"
+            ]
+            router["saturated_procs"] = int(procs)
+        _BUILD_CALIBRATION[key] = router
+    return dict(_BUILD_CALIBRATION[key])
 
 
 def _host_calibration(
@@ -805,34 +873,29 @@ class HnswIndex:
             ).parquet(os.path.join(path, "graph"))
             from gamma_spark.io_util import atomic_write_json
 
-            # measure the routing constants on this host once per build
-            # and persist them with the index (VERDICT r7 #2) — probed
-            # at the index's OWN dim and metric (the ratio-preservation
-            # argument only holds when the probe matches the operating
-            # point); an empty relation skips calibration. ``saturate``
-            # (or SPARK_GRAFT_HNSW_CALIB_PROCS) > 1 additionally runs
-            # the concurrent probe and persists the saturated pair,
-            # which query-time routing prefers (VERDICT r8 #4).
+            # measure the routing constants on this host (memoized per
+            # process per operating point) and persist them with the
+            # index (VERDICT r7 #2) — probed at the index's OWN dim and
+            # metric (the ratio-preservation argument only holds when
+            # the probe matches the operating point); an empty relation
+            # skips calibration. Path-backed builds run the SATURATED
+            # concurrent probe BY DEFAULT (VERDICT r9 #3: the solo
+            # ratio assumption measurably fails — the scan GEMM derates
+            # 2.1x under 32-way concurrency while traversal barely
+            # moves, so solo constants over-route to the scan); the
+            # solo pair is persisted alongside for diagnostics.
+            # ``saturate=1`` (or SPARK_GRAFT_HNSW_CALIB_PROCS=1)
+            # restores solo-only probing.
             first = docs.select(doc_vec).first()
             if first is not None:
                 dim = len(first[0])
-                router = calibrate_router(dim=dim, m=m, metric=metric_u)
-                procs = (
-                    saturate
-                    if saturate is not None
-                    else int(os.environ.get(ENV_CALIB_PROCS, "0") or 0)
-                )
-                if procs > 1:
-                    sat = calibrate_router_saturated(
-                        dim=dim, m=m, metric=metric_u, procs=procs
-                    )
-                    router["saturated_scan_macs_per_sec"] = sat[
-                        "scan_macs_per_sec"
-                    ]
-                    router["saturated_graph_sec_per_query"] = sat[
-                        "graph_sec_per_query"
-                    ]
-                    router["saturated_procs"] = int(procs)
+                if saturate is not None:
+                    procs = int(saturate)
+                else:
+                    procs = int(
+                        os.environ.get(ENV_CALIB_PROCS, "0") or 0
+                    ) or min(os.cpu_count() or 1, 32)
+                router = _build_router_constants(dim, m, metric_u, procs)
             atomic_write_json(
                 os.path.join(path, "meta.json"),
                 {
@@ -1094,15 +1157,26 @@ class HnswIndex:
         # script's, so an os.environ set after session start (or any
         # real-cluster deploy) would silently not reach the cogroup
         # kernel.
-        r_macs = (
-            _env_float(ENV_SCAN_MACS)
-            or self.router.get("saturated_scan_macs_per_sec")
-            or self.router.get("scan_macs_per_sec")
+        def _tiered(env_name: str, *meta_keys: str) -> float | None:
+            # env > saturated meta > solo meta, `is None` tiering — a
+            # persisted 0.0 raises via _calibrated_float instead of
+            # silently falling through (ADVICE r9)
+            v = _env_float(env_name)
+            if v is not None:
+                return v
+            for key in meta_keys:
+                v = _calibrated_float(self.router.get(key), key)
+                if v is not None:
+                    return v
+            return None
+
+        r_macs = _tiered(
+            ENV_SCAN_MACS, "saturated_scan_macs_per_sec", "scan_macs_per_sec"
         )
-        r_spq = (
-            _env_float(ENV_GRAPH_SPQ)
-            or self.router.get("saturated_graph_sec_per_query")
-            or self.router.get("graph_sec_per_query")
+        r_spq = _tiered(
+            ENV_GRAPH_SPQ,
+            "saturated_graph_sec_per_query",
+            "graph_sec_per_query",
         )
         if (
             mode == "auto"
@@ -1117,8 +1191,10 @@ class HnswIndex:
             # back to the default probe shape (documented
             # approximation; the memo is keyed on the resolved shape)
             host = _host_calibration(self.metric, self._probe_dim(), self.m)
-            r_macs = r_macs or host["scan_macs_per_sec"]
-            r_spq = r_spq or host["graph_sec_per_query"]
+            if r_macs is None:
+                r_macs = host["scan_macs_per_sec"]
+            if r_spq is None:
+                r_spq = host["graph_sec_per_query"]
         if mode == "auto" and self.path:
             # parquet-backed: resolve the route driver-side (count is
             # metadata-only under aggregate pushdown, dim reads one row)
@@ -1148,8 +1224,10 @@ class HnswIndex:
                     )
                     self.router = {**self.router, **cal}
                     self.dim = self.dim or len(first[0])
-                    r_macs = r_macs or cal["scan_macs_per_sec"]
-                    r_spq = r_spq or cal["graph_sec_per_query"]
+                    if r_macs is None:
+                        r_macs = cal["scan_macs_per_sec"]
+                    if r_spq is None:
+                        r_spq = cal["graph_sec_per_query"]
                     self._backfill_router_meta()
                 mode = (
                     "scan"

@@ -164,6 +164,11 @@ def make_exec_probe(
     hold ~10 GB per worker. A probe_col other than '_qvec' (the
     BINARYIVF float-probe seam) is dropped from the output before the
     shuffle."""
+    # the full-probe branch below emits len(cents) cluster ids per row,
+    # so fan must never exceed that — the invariant lives with the
+    # kernel, not in each caller (an unclamped nprobe would surface as
+    # a pandas length mismatch deep in the executor)
+    nprobe = min(int(nprobe), len(cents))
     cnorm = (cents * cents).sum(axis=1)
 
     def probe(batches):

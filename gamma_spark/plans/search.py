@@ -118,7 +118,9 @@ def _project_fields(result: DataFrame, docs: DataFrame, request) -> DataFrame:
     filter-only paths: named fields joined back from docs, plus the
     ``_source`` JSON blob over ``source_fields``."""
     if request.fields or request.source_fields:
-        cols = [F.col(c) for c in (request.fields or [])]
+        # _docid is the join key and always present on the result side —
+        # re-projecting it would leave two identically named columns
+        cols = [F.col(c) for c in (request.fields or []) if c != "_docid"]
         if request.source_fields:
             cols.append(
                 F.to_json(F.struct(*request.source_fields)).alias("_source")
@@ -162,7 +164,17 @@ def search(
         result = GF.filter_only_query(
             docs, request.filters, request.topn, extra_predicate=extra_predicate
         )
-        return _project_fields(result, docs, request)
+        if request.fields or request.source_fields:
+            # filter_only_query returns FULL doc rows (+ total); joining
+            # the projection onto them would duplicate every requested
+            # column name (AMBIGUOUS_REFERENCE downstream) — narrow to
+            # the engine columns first, then project like every other
+            # path. Without a projection the full-row result IS the F9
+            # contract (gamma returns whole docs, `gamma_engine.cc:
+            # 405-457`), so it passes through untouched.
+            result = result.select("_docid", "total")
+            result = _project_fields(result, docs, request)
+        return result
 
     # hybrid requests retrieve a per-system pool, then RRF down to topn
     pool = (
@@ -243,6 +255,23 @@ def search(
     elif len(per_field) == 1:
         result = per_field[0]
     else:
+        # the fused score is Σ boost_i·score_i, so its ordering direction
+        # is only defined when every leg's metric orders the same way —
+        # gamma's multi_vector_rank comparator likewise assumes one
+        # request-wide direction (`vector/vector_manager.cc:15-21`).
+        # Rejecting mixed directions here also keeps the RRF rank
+        # backfill below honest (it ranks the fused pool by the first
+        # leg's direction).
+        from gamma_spark.functions.vector import metric_ascending as _asc
+
+        dirs = {_asc(vq.metric) for vq in request.vector_queries}
+        if len(dirs) > 1:
+            raise ValueError(
+                "multi-vector fusion requires every VectorQuery metric "
+                "to share an ordering direction (IP/COSINE descend, "
+                "L2 ascends); got "
+                f"{[vq.metric for vq in request.vector_queries]}"
+            )
         result = fuse(
             per_field,
             boosts=[vq.boost for vq in request.vector_queries],

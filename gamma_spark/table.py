@@ -871,3 +871,34 @@ class BucketedDocStore:
         # a fully-tombstoned bucket stages no rows; _swap_commit removes
         # its directory as part of the swap
         return self._rewrite_buckets(kept, hit)
+
+    def migrate_since(self, snapshot: GammaTable) -> tuple[DataFrame, DataFrame]:
+        """S8 against a LIVE store — the reference migrates while adds
+        keep landing (`tests/test.h:364-396`, `storage/migrate_data.cc`),
+        so the export must be a consistent cut, not a lazy plan racing
+        the writers. Two hazards a bare ``table().migrate_since`` has:
+
+        * a commit swapping bucket directories mid-scan tears the read
+          (some buckets pre-commit, some post — or FILE_NOT_FOUND on the
+          renamed files);
+        * even an untorn lazy plan re-reads the CURRENT files at every
+          later action, so a consumer collecting upserts after one more
+          commit replays a different table than the deletes it paired
+          them with.
+
+        Both close the same way: the delta computation runs under the
+        store's writer lock (``block=True`` — commits queue behind the
+        export's scan instead of failing) and both relations are
+        MATERIALIZED (localCheckpoint) before the lock releases. The
+        returned pair is therefore an immutable commit-N view: replaying
+        it onto ``snapshot`` reconstructs exactly the state the export
+        saw, however far the store advances afterwards. Export size is
+        delta-bounded; a 100 TB deployment streams the checkpointed pair
+        straight into ``sources.export`` rather than holding it."""
+        from gamma_spark.io_util import writer_lock
+
+        with writer_lock(self.root, block=True):
+            upserts, deleted = self.table().migrate_since(snapshot)
+            upserts = upserts.localCheckpoint()
+            deleted = deleted.localCheckpoint()
+        return upserts, deleted

@@ -295,3 +295,26 @@ def test_tune_nprobe_custom_query_id(spark, embeddings):
         ladder=(2, 8), max_queries=6, query_id="uid",
     )
     assert nprobe in (2, 8) and recall == 1.0
+
+
+def test_make_exec_probe_clamps_nprobe():
+    """ADVICE r9: the shared executor probe kernel owns the
+    nprobe <= ncentroids invariant — an over-asking caller gets a
+    full probe, not a pandas length mismatch deep in the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from gamma_spark.operators.ivf import make_exec_probe
+
+    cents = np.arange(8, dtype=np.float64).reshape(4, 2)
+    probe = make_exec_probe(cents, nprobe=99, salts=2)
+    pdf = pd.DataFrame({
+        "qid": [0, 1, 2],
+        "_qvec": [np.zeros(2), np.ones(2), np.full(2, 3.0)],
+    })
+    out = pd.concat(list(probe(iter([pdf]))), ignore_index=True)
+    # full probe: every query fans to all 4 clusters x 2 salts
+    assert len(out) == 3 * 4 * 2
+    per_q = out.groupby("qid")["cluster_id"].apply(lambda s: sorted(set(s)))
+    assert all(list(v) == [0, 1, 2, 3] for v in per_q)
+    assert sorted(set(out["_salt"])) == [0, 1]

@@ -117,3 +117,52 @@ def test_fusion_distributed_legs_match_request_path(docs, salts):
     gd = {(r.qid, r._docid): (r.score, r.rank) for r in got.collect()}
     wd = {(r.qid, r._docid): (r.score, r.rank) for r in want.collect()}
     assert gd == wd
+
+
+def test_mixed_direction_metrics_rejected(docs):
+    """ADVICE r9: the fused score Σ boost·score has no defined ordering
+    when legs mix IP (descending) with L2 (ascending) — the planner
+    rejects the request instead of ranking the pool by the first leg's
+    direction."""
+    q = docs.limit(2).select(
+        F.col("_docid").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    req = SearchRequest(
+        vector_queries=[
+            VectorQuery(field="embedding", queries=q, metric="IP"),
+            VectorQuery(field="emb2", queries=q, metric="L2"),
+        ],
+        topn=5,
+    )
+    with pytest.raises(ValueError, match="ordering direction"):
+        search(docs, req)
+    # IP + COSINE share a direction: accepted
+    req2 = SearchRequest(
+        vector_queries=[
+            VectorQuery(field="embedding", queries=q, metric="IP"),
+            VectorQuery(field="emb2", queries=q, metric="COSINE"),
+        ],
+        topn=5,
+    )
+    assert search(docs, req2).columns  # plans fine
+
+
+def test_filter_only_projection_has_unique_columns(documents):
+    """ADVICE r9 (medium): F9 through search() with a field projection
+    used to join the projection onto FULL doc rows — duplicate column
+    names that broke any downstream select. The result now carries each
+    requested column exactly once and stays selectable."""
+    docs = documents.withColumn("_docid", F.col("doc_id"))
+    req = SearchRequest(
+        filters=[GF.TermFilter("lang", ("de",), GF.TERM_OR)],
+        topn=7,
+        fields=["lang", "text"],
+    )
+    out = search(docs, req)
+    assert len(out.columns) == len(set(out.columns))
+    assert set(out.columns) == {"_docid", "total", "lang", "text"}
+    rows = out.select("lang", "total").collect()  # no AMBIGUOUS_REFERENCE
+    assert rows and all(r.lang == "de" for r in rows)
+    # without a projection the F9 contract stays full-doc rows
+    plain = search(docs, SearchRequest(filters=[], topn=3))
+    assert "text" in plain.columns and "total" in plain.columns

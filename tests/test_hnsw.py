@@ -830,3 +830,89 @@ def test_route_break_even_inverts_cost_model():
                     be + 2, dim, ef=64, m=16,
                     scan_macs=macs, graph_spq=spq,
                 )
+
+
+def test_calibrated_constants_rejected_when_degenerate(monkeypatch):
+    """ADVICE r9: a persisted router constant of 0.0/NaN must raise, not
+    silently fall through to the frozen defaults; None still tiers to
+    the frozen defaults; env overrides still win."""
+    import numpy as np
+
+    from gamma_spark.operators import hnsw as H
+
+    monkeypatch.delenv(H.ENV_SCAN_MACS, raising=False)
+    monkeypatch.delenv(H.ENV_GRAPH_SPQ, raising=False)
+    # None -> frozen defaults, no raise
+    assert isinstance(H._route_to_scan(1000, 64), bool)
+    assert H.route_break_even(64) > 0
+    for bad in (0.0, -1.0, float("nan")):
+        with pytest.raises(ValueError, match="must be > 0"):
+            H._route_to_scan(1000, 64, scan_macs=bad)
+        with pytest.raises(ValueError, match="must be > 0"):
+            H.route_break_even(64, graph_spq=bad)
+    # env override wins even over a degenerate calibrated value
+    monkeypatch.setenv(H.ENV_SCAN_MACS, "1e9")
+    monkeypatch.setenv(H.ENV_GRAPH_SPQ, "1e-3")
+    assert isinstance(H._route_to_scan(1000, 64, scan_macs=0.0, graph_spq=0.0), bool)
+    assert np.isfinite(H.route_break_even(64, scan_macs=0.0, graph_spq=0.0))
+
+
+def test_degenerate_meta_constants_raise_at_query_time(tmp_path, docs, queries, monkeypatch):
+    """The knn_join_distributed resolution chain validates meta-sourced
+    constants: a persisted saturated 0.0 raises instead of silently
+    routing on the solo/frozen pair."""
+    from gamma_spark.operators import hnsw as H
+
+    monkeypatch.delenv(H.ENV_SCAN_MACS, raising=False)
+    monkeypatch.delenv(H.ENV_GRAPH_SPQ, raising=False)
+    idx = HnswIndex.build(docs, nshards=2, m=16, metric="L2")
+    idx.router = {"saturated_scan_macs_per_sec": 0.0,
+                  "scan_macs_per_sec": 1e9,
+                  "graph_sec_per_query": 1e-3}
+    with pytest.raises(ValueError, match="must be > 0"):
+        idx.search(None, queries, k=5, mode="auto").count()
+
+
+def test_path_backed_build_defaults_to_saturated_probe(tmp_path, docs, monkeypatch):
+    """VERDICT r9 #3: path-backed builds run the saturated concurrent
+    probe BY DEFAULT at min(32, cpu_count) procs (the r9 measurement
+    showed the solo ratio assumption failing 2.1x under concurrency);
+    saturate=1 / ENV_CALIB_PROCS=1 restores solo-only."""
+    import os as _os
+
+    from gamma_spark.operators import hnsw as H
+
+    monkeypatch.delenv(H.ENV_CALIB_PROCS, raising=False)
+    calls = {}
+
+    def fake_solo(dim=64, m=16, metric="L2", **kw):
+        return {"scan_macs_per_sec": 1e9, "graph_sec_per_query": 1e-3}
+
+    def fake_sat(dim=64, m=16, metric="L2", procs=None, **kw):
+        calls["procs"] = procs
+        return {"scan_macs_per_sec": 5e8, "graph_sec_per_query": 1e-3}
+
+    monkeypatch.setattr(H, "calibrate_router", fake_solo)
+    monkeypatch.setattr(H, "calibrate_router_saturated", fake_sat)
+    H._BUILD_CALIBRATION.clear()
+    idx = HnswIndex.build(docs, nshards=2, m=16, metric="L2",
+                          path=str(tmp_path / "defsat"))
+    assert calls["procs"] == min(_os.cpu_count() or 1, 32)
+    assert idx.router["saturated_procs"] == calls["procs"]
+    assert idx.router["saturated_scan_macs_per_sec"] == 5e8
+    # memoized per operating point: a second build re-uses the probe
+    calls.clear()
+    HnswIndex.build(docs, nshards=2, m=16, metric="L2",
+                    path=str(tmp_path / "defsat2"))
+    assert calls == {}
+    # solo-only escape hatches
+    H._BUILD_CALIBRATION.clear()
+    idx2 = HnswIndex.build(docs, nshards=2, m=16, metric="L2",
+                           path=str(tmp_path / "solo"), saturate=1)
+    assert calls == {} and "saturated_procs" not in idx2.router
+    monkeypatch.setenv(H.ENV_CALIB_PROCS, "1")
+    H._BUILD_CALIBRATION.clear()
+    idx3 = HnswIndex.build(docs, nshards=2, m=16, metric="L2",
+                           path=str(tmp_path / "solo2"))
+    assert calls == {} and "saturated_procs" not in idx3.router
+    H._BUILD_CALIBRATION.clear()

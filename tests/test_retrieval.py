@@ -415,3 +415,67 @@ def test_bm25_stats_count_nulltext_docs(spark):
     assert idx.n_docs == 4.0
     got = {(r.qid, r._docid): r.score for r in idx.search(q, k=4).collect()}
     assert got == adhoc
+
+
+def _scan_counted(spark, corpus):
+    """corpus routed through a mapInPandas row counter: the accumulator
+    counts how many rows the docs relation SENDS through the plan — one
+    full corpus pass adds exactly len(corpus)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    return corpus.mapInPandas(count_rows, corpus.schema), acc
+
+
+def test_bm25_build_single_corpus_pass(spark, corpus, tmp_path):
+    """VERDICT r9 #4: fit costs ONE corpus action — the row count and
+    token total ride the postings job as observed metrics instead of a
+    second docs scan. The accumulator sees each input row exactly once,
+    and the stats are bit-identical to the two-pass shape."""
+    n = corpus.count()
+    counted, acc = _scan_counted(spark, corpus)
+    idx = R.Bm25Index.build(counted, path=str(tmp_path / "bm25single"))
+    assert acc.value == n, f"docs scanned {acc.value / n:.1f}x, want 1x"
+    assert idx.n_docs == float(n)
+    # reference stats from an uninstrumented build over the same corpus
+    ref = R.Bm25Index.build(corpus)
+    assert idx.avgdl == ref.avgdl
+    # memory-mode build also makes one pass
+    counted2, acc2 = _scan_counted(spark, corpus)
+    idx2 = R.Bm25Index.build(counted2)
+    assert acc2.value == n
+    assert (idx2.n_docs, idx2.avgdl) == (idx.n_docs, idx.avgdl)
+
+
+def test_bm25_append_single_pass_and_no_pins(spark, corpus, tmp_path):
+    """ADVICE r9 + VERDICT r9 #4 on the append path: one action over
+    the new batch, no persisted RDD left pinned after the call (the r9
+    shape staged post_new and leaked the pin for plain batch callers),
+    stats unchanged vs a fresh build over the union."""
+    jsc = spark.sparkContext._jsc.sc()
+    base_pins = int(jsc.getPersistentRDDs().size())
+    path = str(tmp_path / "bm25append")
+    first = corpus.filter(F.col("doc_id") < 3)
+    idx = R.Bm25Index.build(first, path=path)
+    batch = corpus.filter(F.col("doc_id") >= 3)
+    nb = batch.count()
+    counted, acc = _scan_counted(spark, batch)
+    grown = idx.append(counted, batch_id="b1")
+    assert acc.value == nb, f"batch scanned {acc.value / nb:.1f}x, want 1x"
+    assert int(jsc.getPersistentRDDs().size()) == base_pins
+    fresh = R.Bm25Index.build(corpus)
+    assert grown.n_docs == fresh.n_docs
+    assert grown.avgdl == pytest.approx(fresh.avgdl, abs=1e-12)
+    # memory-only append: also leak-free (its one action materializes
+    # the observations, nothing stays persisted beyond build()'s own
+    # intentional postings cache)
+    mem_idx = R.Bm25Index.build(first)
+    pins_after_build = int(jsc.getPersistentRDDs().size())
+    grown2 = mem_idx.append(batch)
+    assert int(jsc.getPersistentRDDs().size()) == pins_after_build
+    assert grown2.n_docs == fresh.n_docs
+    assert grown2.avgdl == pytest.approx(fresh.avgdl, abs=1e-12)

@@ -601,3 +601,72 @@ def test_merge_batch_drops_engine_columns(spark, documents):
     assert out.doc_count() == 20
     got = out.df.filter(F.col("text") == "replayed").count()
     assert got == 3
+
+
+def test_bucketed_store_migrate_under_write(tmp_path, spark, table):
+    """VERDICT r9 #6 — the reference migrates DURING adds
+    (`tests/test.h:364-396`); our store export must be a consistent
+    commit-N cut. (a) a delta pair exported at commit N replays to
+    exactly commit N's state even after later upserts + deletes +
+    compaction rewrote and REMOVED the underlying bucket files (a lazy
+    plan would re-read the swapped files or die on the renamed ones);
+    (b) no commit can land inside the export's critical section — a
+    concurrent writer fails fast instead of swapping files under the
+    export's scan."""
+    from gamma_spark.io_util import ConcurrentWriterError, writer_lock
+    from gamma_spark.table import BucketedDocStore
+
+    root = str(tmp_path / "store")
+    store = BucketedDocStore.create(table, root, nbuckets=8)
+
+    # consumer's base snapshot (immutable dump, commit 0)
+    base_root = str(tmp_path / "snap")
+    store.table().dump(base_root)
+    base = GammaTable.load(spark, base_root)
+
+    # advance the store to commit-state v1: update, insert, delete
+    cols = [c for c in store.table().df.columns if c != "_docid"]
+    batch = spark.createDataFrame(
+        [(1, "v1 text", "en", "srcX", 1), (10**9, "fresh", "zz", "srcN", 2)],
+        store.table().df.drop("_docid").schema,
+    )
+    store = store.upsert(batch, order_col=None)
+    store, deleted_now = store.delete_by_filter(
+        [GF.TermFilter("lang", ("zh",), GF.TERM_OR)]
+    )
+    v1_rows = sorted(tuple(r) for r in store.table().df.collect())
+    v1_deleted = {r[0] for r in deleted_now.collect()}
+
+    # export at v1 (materialized, consistent)
+    upserts, deleted = store.migrate_since(base)
+
+    # keep writing: another update to the SAME doc, more deletes, and a
+    # compaction that physically removes the tombstoned rows' files
+    batch2 = spark.createDataFrame(
+        [(1, "v2 text CHANGED", "en", "srcX", 1)],
+        store.table().df.drop("_docid").schema,
+    )
+    store = BucketedDocStore(spark, root).upsert(batch2)
+    store, _ = store.delete_by_filter(
+        [GF.TermFilter("lang", ("de",), GF.TERM_OR)]
+    )
+    store = store.compact()
+
+    # the exported pair still replays base -> v1 exactly
+    up_rows = upserts.collect()
+    del_ids = {r[0] for r in deleted.collect()}
+    assert del_ids == v1_deleted  # tombstones exact
+    up_ids = {getattr(r, "doc_id") for r in up_rows}
+    replayed = sorted(
+        [tuple(r) for r in base.df.collect()
+         if r.doc_id not in del_ids and r.doc_id not in up_ids]
+        + [tuple(r)[: len(cols) + 1] for r in up_rows]
+    )
+    assert replayed == v1_rows
+
+    # (b) export's critical section excludes commits: with the store's
+    # writer lock held (as migrate_since holds it for the whole scan),
+    # a concurrent upsert fails fast — no torn bucket swap is possible
+    with writer_lock(root):
+        with pytest.raises(ConcurrentWriterError):
+            BucketedDocStore(spark, root).upsert(batch2)

@@ -16,6 +16,15 @@ in a fresh subprocess JVM, and emits the within-position deltas plus a
 verdict; single-tree mode NEVER prints a verdict line, so a mis-run
 one-order comparison cannot masquerade as the protocol.
 
+SWAP-CHECK (r10 lesson, docs/ab_r10): the AB+BA schedule always puts
+tree A in time slots {1,4} and tree B in {2,3}; non-monotone host drift
+that keys on the absolute slot (observed: inner slots consistently
+slower) then produces a consistent same-sign verdict on bit-identical
+code. A verdict-grade ``A_faster``/``B_faster`` must therefore survive
+a SECOND ``--ab`` run with the tree arguments swapped — the label must
+follow the tree, not the slot (the decontaminate adjudication flipped
+with the swap and was thereby exonerated).
+
 Usage:
   python tools/ab_bench.py <entry> [repeats] [sf_dir]            # measure
   python tools/ab_bench.py <entry> [repeats] [sf_dir] --ab A B   # verdict
@@ -66,7 +75,13 @@ def _resolve(entry: str):
         return getattr(bench, ENTRIES[entry])
     import __spark_entry__ as entry_mod
 
-    qs = bench.extra_queries(entry_mod)
+    if hasattr(bench, "extra_queries"):
+        qs = bench.extra_queries(entry_mod)
+    else:
+        # --tree pointing at a pre-r9 tree whose bench.py predates the
+        # extra_queries helper: registry rows still resolve, only the
+        # bench-only consolidated names need the helper
+        qs = dict(entry_mod.queries())
     if entry not in qs:
         raise SystemExit(
             f"unknown entry {entry!r}; builders: {sorted(ENTRIES)}; "
