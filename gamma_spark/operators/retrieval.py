@@ -600,20 +600,23 @@ class Bm25Index:
                     post, base_n, base_avg,
                     k1=self.k1, b=self.b, path=self.path,
                 )
-            # ONE corpus action (VERDICT r9 #4): the batch row count and
-            # token total ride the postings job as observed metrics —
-            # n_docs counts every batch row (NULL/empty-text docs carry
-            # zero postings but belong to N, bm25_search's stats shape)
-            # from a CollectMetrics node on the pre-explode scan, so no
-            # second pass over the batch relation and no persist pinned
-            # past the call (the r9 shape staged post_new and leaked the
-            # pin unless the caller wrapped a stage_scope — ADVICE r9).
-            obs_docs, obs_post = Observation(), Observation()
-            post_new = term_postings(
-                new_docs.observe(obs_docs, F.count(F.lit(1)).alias("n")),
-                id_col, text_col,
-            ).observe(obs_post, F.sum("tf").alias("s"))
+            # ONE batch action (VERDICT r9 #4), and no persist pinned
+            # past the call (the r9 shape staged post_new and leaked
+            # the pin unless the caller wrapped a stage_scope — ADVICE
+            # r9). n_docs counts every batch row: NULL/empty-text docs
+            # carry zero postings but belong to N (bm25_search's stats
+            # shape).
             if self.path is not None:
+                # stats ride the postings write as observed metrics
+                # (the pre-explode row count from a CollectMetrics node
+                # on the batch scan — no second batch pass)
+                obs_docs, obs_post = Observation(), Observation()
+                post_new = term_postings(
+                    new_docs.observe(
+                        obs_docs, F.count(F.lit(1)).alias("n")
+                    ),
+                    id_col, text_col,
+                ).observe(obs_post, F.sum("tf").alias("s"))
                 if batch_id is not None:
                     post_new.write.mode("overwrite").parquet(
                         f"{self.path}/postings/batch-{batch_id}"
@@ -626,17 +629,26 @@ class Bm25Index:
                 post = _read_postings(
                     new_docs.sparkSession, f"{self.path}/postings"
                 )
+                nd = float(_obs_value(obs_docs, "n", new_docs.count))
+                s = _obs_value(obs_post, "s", lambda: None)
+                s = float(s) if s is not None else 0.0  # empty: sum=NULL
             else:
-                # memory-only index: materialize the observations (the
-                # one action this branch runs); the union recomputes the
-                # batch postings at search time — the durable path is
-                # the production shape, and pinning post_new here is
-                # exactly the r8 soak-leak class
-                post_new.count()
+                # memory-only index: one direct stats aggregate over
+                # the batch (bm25_search's expressions — integer-equal
+                # to sum(tf), see build()); the union stays a PLAIN
+                # postings plan (no CollectMetrics under it) and the
+                # batch postings recompute at search time — the durable
+                # path is the production shape
+                post_new = term_postings(new_docs, id_col, text_col)
+                row = new_docs.agg(
+                    F.count(F.lit(1)).cast("double").alias("n"),
+                    F.coalesce(
+                        F.sum(F.size(T.tokens(text_col))).cast("double"),
+                        F.lit(0.0),
+                    ).alias("s"),
+                ).collect()[0]
+                nd, s = float(row["n"]), float(row["s"])
                 post = self.postings.unionByName(post_new)
-            nd = float(_obs_value(obs_docs, "n", new_docs.count))
-            s = _obs_value(obs_post, "s", lambda: None)
-            s = float(s) if s is not None else 0.0  # empty batch: sum=NULL
             n2 = base_n + nd
             avg2 = (base_avg * base_n + s) / n2 if n2 > 0 else 0.0
             if self.path is not None:
@@ -665,27 +677,42 @@ class Bm25Index:
         # input doc (a NULL/empty-text doc has zero postings but still
         # belongs to N — countDistinct over postings would exclude it
         # and shift idf/avgdl for every query, breaking the documented
-        # bit-for-bit score parity); total tokens = sum tf (= sum dl),
-        # NULL -> 0.0 for an empty corpus. Both ride the ONE postings
-        # job as observed metrics (VERDICT r9 #4): the pre-explode row
-        # count comes from a CollectMetrics node on the docs scan, so
-        # fit costs a single corpus action — no second docs pass.
-        obs_docs, obs_post = Observation(), Observation()
-        post = term_postings(
-            docs.observe(obs_docs, F.count(F.lit(1)).alias("n")),
-            id_col, text_col,
-        ).observe(obs_post, F.sum("tf").alias("s"))
+        # bit-for-bit score parity); total tokens = sum dl (= sum tf —
+        # integer-equal, so the doubles are identical), NULL -> 0.0 for
+        # an empty corpus. ONE corpus action either way (VERDICT r9 #4).
         if path is not None:
+            # production shape: both stats ride the postings WRITE as
+            # observed metrics — the pre-explode row count comes from a
+            # CollectMetrics node on the docs scan, so fit costs a
+            # single corpus action, no second docs pass
+            obs_docs, obs_post = Observation(), Observation()
+            post = term_postings(
+                docs.observe(obs_docs, F.count(F.lit(1)).alias("n")),
+                id_col, text_col,
+            ).observe(obs_post, F.sum("tf").alias("s"))
             post.write.mode("overwrite").parquet(f"{path}/postings")
             post = _read_postings(docs.sparkSession, f"{path}/postings")
+            n_docs = float(_obs_value(obs_docs, "n", docs.count))
+            s = _obs_value(obs_post, "s", lambda: None)
+            s = float(s) if s is not None else 0.0
         else:
-            post = post.cache()
-            # materialize the cache + observations (the one action —
-            # this replaces BOTH the old docs.count() and the stats agg)
-            post.count()
-        n_docs = float(_obs_value(obs_docs, "n", docs.count))
-        s = _obs_value(obs_post, "s", lambda: None)
-        s = float(s) if s is not None else 0.0
+            # memory mode: one direct stats aggregate over docs (the
+            # bm25_search stats expressions verbatim) and a PLAIN
+            # lazily-cached postings plan. Deliberately NOT the observe
+            # shape: a CollectMetrics node baked under the cache point
+            # changes the canonical plan, so same-session ad-hoc
+            # bm25_search subplans would stop substituting the cached
+            # postings relation (measured as +1 exchange in the
+            # hybrid_rrf plan audit)
+            post = term_postings(docs, id_col, text_col).cache()
+            row = docs.agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.coalesce(
+                    F.sum(F.size(T.tokens(text_col))).cast("double"),
+                    F.lit(0.0),
+                ).alias("s"),
+            ).collect()[0]
+            n_docs, s = float(row["n"]), float(row["s"])
         avgdl = (s / n_docs) if n_docs > 0 else 0.0
         if path is not None:
             # meta sidecar makes the index loadable without a stats

@@ -23,7 +23,10 @@ slower) then produces a consistent same-sign verdict on bit-identical
 code. A verdict-grade ``A_faster``/``B_faster`` must therefore survive
 a SECOND ``--ab`` run with the tree arguments swapped — the label must
 follow the tree, not the slot (the decontaminate adjudication flipped
-with the swap and was thereby exonerated).
+with the swap and was thereby exonerated). ``--ab A B --swap-check``
+automates this: both runs in one invocation, combined verdict
+{A_faster_confirmed, B_faster_confirmed, slot_bias, noise,
+inconclusive}.
 
 Usage:
   python tools/ab_bench.py <entry> [repeats] [sf_dir]            # measure
@@ -137,9 +140,10 @@ def _run_cell(entry: str, repeats: int, sf_dir: str, tree: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
-def _ab(entry: str, repeats: int, sf_dir: str, tree_a: str, tree_b: str):
+def _ab(entry: str, repeats: int, sf_dir: str, tree_a: str, tree_b: str) -> dict:
     """The full protocol: sequence 1 = (A then B), sequence 2 =
-    (B then A); compare within-position so JVM-order bias cancels."""
+    (B then A); compare within-position so JVM-order bias cancels.
+    Returns the result dict (caller prints)."""
     tree_a, tree_b = os.path.abspath(tree_a), os.path.abspath(tree_b)
     for t in (tree_a, tree_b):
         if not os.path.isdir(os.path.join(t, "gamma_spark")):
@@ -174,7 +178,7 @@ def _ab(entry: str, repeats: int, sf_dir: str, tree_a: str, tree_b: str):
         verdict = "noise"
     else:
         verdict = "inconclusive_positions_disagree"
-    print(json.dumps({
+    return {
         "entry": entry,
         "sf_dir": sf_dir,
         "repeats": repeats,
@@ -185,7 +189,53 @@ def _ab(entry: str, repeats: int, sf_dir: str, tree_a: str, tree_b: str):
         "noise_band": NOISE_BAND,
         "verdict": verdict,
         "cells": {f"{lbl}@pos{pos}": m for (lbl, pos), m in cells.items()},
-    }))
+    }
+
+
+def _ab_swap_checked(
+    entry: str, repeats: int, sf_dir: str, tree_a: str, tree_b: str
+) -> dict:
+    """The r10 verdict-grade protocol (docs/ab_r10): run the dual-order
+    A/B twice — once as given, once with the TREE ARGUMENTS SWAPPED —
+    and require the faster label to FOLLOW THE TREE across the swap.
+    The AB+BA schedule always hands tree A the outer time slots {1,4};
+    host drift that keys on the slot then produces a consistent
+    same-sign verdict on bit-identical code (measured: the decontaminate
+    exoneration). The swap is the control that separates tree identity
+    from slot identity:
+
+      run1 A_faster + run2 B_faster  -> A_faster_confirmed (tree effect)
+      run1 B_faster + run2 A_faster  -> B_faster_confirmed
+      same winner LABEL in both runs -> slot_bias (host artifact)
+      both noise                     -> noise
+      anything else                  -> inconclusive
+    """
+    run1 = _ab(entry, repeats, sf_dir, tree_a, tree_b)
+    print("[ab] swap-check: rerunning with tree labels swapped",
+          file=sys.stderr)
+    run2 = _ab(entry, repeats, sf_dir, tree_b, tree_a)
+    v1, v2 = run1["verdict"], run2["verdict"]
+    if v1 == "A_faster" and v2 == "B_faster":
+        verdict = "A_faster_confirmed"
+    elif v1 == "B_faster" and v2 == "A_faster":
+        verdict = "B_faster_confirmed"
+    elif v1 == v2 and v1 in ("A_faster", "B_faster"):
+        verdict = "slot_bias"
+    elif v1 == "noise" and v2 == "noise":
+        verdict = "noise"
+    else:
+        verdict = "inconclusive"
+    return {
+        "entry": entry,
+        "sf_dir": sf_dir,
+        "repeats": repeats,
+        "tree_a": os.path.abspath(tree_a),
+        "tree_b": os.path.abspath(tree_b),
+        "protocol": "dual-order within-position x tree-swap control",
+        "verdict": verdict,
+        "run1": run1,
+        "run2_swapped": run2,
+    }
 
 
 def main():
@@ -200,13 +250,18 @@ def main():
         i = argv.index("--ab")
         ab_trees = (argv[i + 1], argv[i + 2])
         del argv[i : i + 3]
+    swap_check = "--swap-check" in argv
+    if swap_check:
+        argv.remove("--swap-check")
     entry = argv[0]
     repeats = int(argv[1]) if len(argv) > 1 else 8
     sf_dir = argv[2] if len(argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    if ab_trees:
-        _ab(entry, repeats, sf_dir, *ab_trees)
+    if ab_trees and swap_check:
+        print(json.dumps(_ab_swap_checked(entry, repeats, sf_dir, *ab_trees)))
+    elif ab_trees:
+        print(json.dumps(_ab(entry, repeats, sf_dir, *ab_trees)))
     else:
         print(json.dumps(_measure(entry, repeats, sf_dir, tree)))
 
