@@ -66,6 +66,10 @@ def write_dataset(
         "format": fmt,
         "n_rows": int(row["n_rows"]),
         "schema": df.schema.simpleString(),
+        # exact schema for reopen: json datasets cannot re-infer their
+        # schema when empty (inference raises on zero rows) and can
+        # re-type all-NULL columns; readers apply this instead
+        "schema_json": df.schema.json(),
         "partition_by": partition_by or [],
         "config": config or {},
     }
@@ -89,5 +93,17 @@ def read_dataset(spark, path: str) -> tuple[DataFrame, dict]:
     never committed."""
     with open(os.path.join(path, "manifest.json")) as fh:
         manifest = json.load(fh)
-    df = getattr(spark.read, manifest["format"])(os.path.join(path, "data"))
+    reader = spark.read
+    if manifest.get("schema_json"):
+        # the recorded schema makes reopen inference-free: an EMPTY
+        # json dataset is unreadable otherwise (inference raises on
+        # zero rows), and a partial read could silently re-type
+        # all-NULL columns. Manifests from before this key fall back
+        # to inference (parquet never needed it — self-describing).
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(
+            StructType.fromJson(json.loads(manifest["schema_json"]))
+        )
+    df = getattr(reader, manifest["format"])(os.path.join(path, "data"))
     return df, manifest

@@ -190,3 +190,18 @@ def test_write_faiss_quantizer_metric_follows_index(tmp_path, spark):
     # round-trip intact: list membership and vectors preserved
     got_ids = np.sort(np.concatenate([l[0] for l in parsed["lists"] if len(l[0])]))
     assert (got_ids == ids).all()
+
+
+def test_dataset_empty_jsonl_roundtrip(spark, tmp_path):
+    """r10 review: an EMPTY jsonl dataset must reopen — json schema
+    inference raises on zero rows, so read_dataset applies the
+    manifest's recorded schema instead of inferring."""
+    from gamma_spark.sources.export import read_dataset, write_dataset
+
+    empty = spark.createDataFrame([], "doc_id long, text string, n_tok int")
+    path = str(tmp_path / "emptyset")
+    man = write_dataset(empty, path, fmt="json", token_col="n_tok")
+    assert man["n_rows"] == 0 and man["n_tokens"] == 0
+    df, man2 = read_dataset(spark, path)
+    assert df.count() == 0
+    assert df.schema == empty.schema  # exact types, not inferred strings
