@@ -194,8 +194,13 @@ def fingerprint(c: Column | str) -> Column:
 
 
 def sql_fingerprint(c: str) -> str:
+    # NULL text must stay NULL (matching Spark's aggregate-over-NULL
+    # propagation): DuckDB's list_prepend(0, NULL) yields [0], which
+    # would silently fingerprint every NULL doc as 0 — colliding all
+    # content-less docs with each other and with any true-zero hash
     h = f"({sql_hash60('t')} % {HASH_P})"
-    return (
+    fold = (
         f"list_reduce(list_prepend(0::BIGINT, [{h} for t in {sql_tokens(c)}]), "
         f"(acc, t) -> (acc * {FP_BASE} + t) % {HASH_P})"
     )
+    return f"(CASE WHEN {c} IS NULL THEN NULL ELSE {fold} END)"

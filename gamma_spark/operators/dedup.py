@@ -80,13 +80,22 @@ def _read_tree(spark, path: str) -> DataFrame:
 def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Assign every row its group keeper (min id per identical key) —
     one hash aggregation, map-side combinable; `filter(id == keeper)`
-    yields the deduplicated corpus."""
+    yields the deduplicated corpus.
+
+    NULL keys (e.g. NULL-text docs on a raw 100 TB crawl) form ONE
+    group — SQL grouping semantics, identical to the oracle twin's
+    PARTITION BY — via a null-safe join key; a plain equi-join would
+    silently DROP every NULL-key row from the output (NULL != NULL).
+    Callers that want content-less docs kept instead pass a coalesced
+    key (e.g. ``coalesce(key, id)``)."""
     keyed = df.select(F.col(id_col), key.alias("_key"))
     groups = keyed.groupBy("_key").agg(
         F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("group_size")
-    )
+    ).withColumnRenamed("_key", "_gkey")
     return (
-        keyed.join(groups, on="_key", how="inner")
+        keyed.join(
+            groups, on=F.col("_key").eqNullSafe(F.col("_gkey")), how="inner"
+        )
         .select(id_col, "keeper_id", "group_size")
     )
 

@@ -1,0 +1,83 @@
+"""Dirty-data oracle parity (r10): at 100 TB there WILL be NULL and
+empty text, and both engines must still agree — not just on the clean
+synthetic tables the driver verifies. This gate re-runs a
+representative slice of the registry against a NULL-injected copy of
+the documents table and hash-compares Spark vs DuckDB with the same
+comparator the local oracle replica uses.
+
+Findings this gate originally surfaced (each now fixed at the source):
+- exact_dedup's equi-join DROPPED every NULL-key row (NULL != NULL);
+  null-safe join restores SQL grouping semantics (dedup.py);
+- sql_fingerprint turned NULL text into fp=0 (DuckDB's
+  list_prepend(0, NULL) -> [0]) while Spark propagated NULL — every
+  content-less doc silently collided (functions/text.py);
+- the comparator itself false-failed None-vs-NaN NULL
+  representations (tools/check_oracle.py `_null_token`).
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+import __spark_entry__ as E  # noqa: E402
+from check_oracle import compare  # noqa: E402
+
+#: rows that read ONLY the documents table and exercise the NULL-text /
+#: NULL-lang paths end to end (kNN/event rows don't touch text)
+DIRTY_ROWS = (
+    "text_stats",
+    "dedup_exact",
+    "pack_sequences",
+    "corpus_profile",
+    "bm25_topk",
+    "decontaminate",
+    "paragraph_dedup",
+)
+
+
+@pytest.fixture(scope="module")
+def dirty_sf(tmp_path_factory, sf_dir):
+    """sf0.001 documents with injected NULL text / empty text / NULL
+    lang (deterministic by doc_id), other tables passed through."""
+    out = str(tmp_path_factory.mktemp("dirty_sf"))
+    con = duckdb.connect()
+    con.sql(f"""
+    COPY (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN NULL
+                  WHEN doc_id % 11 = 0 THEN ''
+                  ELSE text END AS text,
+             CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+             source, n_chars
+      FROM '{sf_dir}/documents.parquet'
+    ) TO '{out}/documents.parquet' (FORMAT PARQUET)
+    """)
+    return out
+
+
+@pytest.mark.parametrize("name", DIRTY_ROWS)
+def test_dirty_corpus_oracle_parity(spark, dirty_sf, name):
+    qs, oracles = E.queries(), E.oracle_sql()
+    spark_pdf = qs[name](spark, dirty_sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{dirty_sf}/documents.parquet'"
+    )
+    duck_pdf = con.execute(oracles[name]).fetchdf()
+    problems = [
+        p for p in compare(name, spark_pdf, duck_pdf) if "warning" not in p
+    ]
+    assert not problems, f"{name} diverges on dirty data: {problems}"
+    if name != "decontaminate":
+        # per-doc rows are nonempty by construction; decontaminate can
+        # legitimately be empty at sf0.001 (no cross-split 6-gram
+        # overlap survives the NULL injection) — parity is the gate
+        assert len(spark_pdf) > 0

@@ -33,11 +33,27 @@ def _arr_str(v) -> str:
     return str(list(v))
 
 
+def _null_token(v):
+    """Canonical missing-value token for object columns: Spark's
+    toPandas yields None where duckdb's fetchdf yields float NaN for
+    the SAME NULL — astype(str) would compare 'None' vs 'nan' and
+    false-fail every NULL-bearing row (surfaced by the r10 dirty-data
+    sweep)."""
+    try:
+        if v is None or (np.isscalar(v) and pd.isna(v)):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for col in df.columns:  # lists/arrays aren't sortable; stringify
         if df[col].map(lambda v: isinstance(v, (list, np.ndarray))).any():
             df[col] = df[col].map(_arr_str)
+        if df[col].dtype == object:
+            df[col] = df[col].map(_null_token)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
