@@ -36,6 +36,38 @@ def _as_double_array(c: Column | str) -> Column:
     return c.cast("array<double>")
 
 
+def zero_fill_vectors(df, vec_col: str, dim: int):
+    """Reference parity for absent vector values: gamma's wire format
+    has no nullability — an absent field is ZERO BYTES, i.e. the zero
+    vector (`idl/fbs/doc.fbs:5-14`, SURVEY §1.2). A raw 100 TB ingest
+    WILL carry NULL vector cells; apply this at ingest so every kernel
+    sees the fixed-length non-null vectors the engine (like gamma)
+    requires. Scan-stage expression — no shuffle, no Python."""
+    zeros = F.array_repeat(F.lit(0.0), int(dim)).cast(
+        df.schema[vec_col].dataType
+    )
+    return df.withColumn(vec_col, F.coalesce(F.col(vec_col), zeros))
+
+
+def stack_vectors(values, what: str) -> "np.ndarray":  # noqa: F821
+    """np.stack with an actionable error: a NULL or ragged vector row
+    otherwise surfaces as an opaque numpy/Arrow error five frames deep
+    in an executor. Used by the Arrow kernels' hot paths — the check is
+    free (np.stack already fails; this only rewrites the diagnosis)."""
+    import numpy as np
+
+    try:
+        return np.stack(values)
+    except Exception as exc:
+        raise ValueError(
+            f"{what}: the engine requires fixed-length NON-NULL vectors "
+            "(found NULL or ragged rows in the vector column); gamma "
+            "zero-fills absent vectors — apply "
+            "functions.vector.zero_fill_vectors at ingest, or drop the "
+            "rows"
+        ) from exc
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Inner product <a, b> in double precision, left-to-right."""
     prods = F.zip_with(_as_double_array(a), _as_double_array(b), lambda x, y: x * y)

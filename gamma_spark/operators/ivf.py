@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from gamma_spark.functions.vector import stack_vectors
 
 
 DEFAULT_NCENTROIDS = 256  # reference test default (`tests/test.h:51-66`)
@@ -176,7 +177,9 @@ def make_exec_probe(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[probe_col].to_numpy()).astype(np.float64)
+            mat = stack_vectors(
+                pdf[probe_col].to_numpy(), "coarse probe (queries)"
+            ).astype(np.float64)
             if nprobe < len(cents):
                 rows = max(1, exec_chunk_cells // max(1, len(cents)))
                 parts = []
@@ -249,7 +252,9 @@ def _train_centroids(
             )
         if pdf.empty:
             raise ValueError("cannot train centroids on an empty relation")
-        data = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        data = stack_vectors(
+            pdf["_v"].to_numpy(), "centroid training sample"
+        ).astype(np.float64)
         return kmeans_lloyd_np(data, ncentroids, seed)
 
     from pyspark.ml.clustering import KMeans
@@ -271,7 +276,9 @@ def assign_clusters(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+            mat = stack_vectors(
+                pdf[doc_vec].to_numpy(), "cluster assignment (docs)"
+            ).astype(np.float64)
             # argmin over ||v-c||^2 = v.v - 2 v.c + c.c; v.v constant per row
             d = -2.0 * (mat @ cents.T) + cnorm[None, :]
             pdf = pdf.copy()

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gamma_spark.functions import vector as V
+from gamma_spark.functions.vector import stack_vectors
 from gamma_spark.operators.topk import merge_running_topk, topk
 
 RESULT_COLS = ("qid", "_docid", "score", "rank")
@@ -154,7 +155,9 @@ def knn_scan(
             if pdf.empty:
                 continue
             n_seen += len(pdf)
-            dmat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)  # (B, d)
+            dmat = stack_vectors(
+                pdf["_vec"].to_numpy(), "knn scan kernel (docs)"
+            ).astype(np.float64)  # (B, d)
             ids = pdf["_docid"].to_numpy(dtype=np.int64)
             if metric_u == "IP":
                 s = dmat @ qmat.T  # (B, Q)

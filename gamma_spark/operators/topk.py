@@ -84,7 +84,17 @@ def topk(
     Ties are broken by ``tiebreak_cols`` (default: none — callers on
     continuous scores) to keep results deterministic.
     """
-    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    # NULLS LAST explicitly: Spark's asc() is NULLS FIRST, so a NULL
+    # score (e.g. a NULL vector flowing through the expression kernel
+    # on a dirty corpus) would silently displace every real result from
+    # an ascending-metric top-k; DuckDB's ORDER BY default is NULLS
+    # LAST, so this also keeps the oracle convention. No effect on
+    # clean data (kernel scores are non-null there).
+    order = [
+        F.col(order_col).asc_nulls_last()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    ]
     for c in tiebreak_cols or []:
         order.append(F.col(c).asc())
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)

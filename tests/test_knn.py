@@ -118,3 +118,48 @@ def test_scan_kernel_tie_order_on_duplicate_vectors(spark):
         b = {(r.qid, r.rank): (r._docid, round(r.score, 9)) for r in
              knn.knn_join(docs, queries, k=4, metric=metric).collect()}
         assert a == b, metric
+
+
+def test_null_vectors_fail_loud_or_rank_last(spark, docs, queries):
+    """r10 dirty-vector contract: gamma zero-fills absent vectors
+    (SURVEY §1.2) and our kernels require fixed-length non-null input.
+    The Arrow scan kernel must fail LOUDLY with the remediation in the
+    message (not an opaque numpy stack error); the expression kernel's
+    NULL scores must sort NULLS LAST (DuckDB's default) instead of
+    displacing real results; zero_fill_vectors restores reference
+    semantics and makes both paths agree."""
+    from gamma_spark.functions.vector import stack_vectors, zero_fill_vectors
+
+    dirty = docs.withColumn(
+        "embedding",
+        F.when(F.col("_docid") % 5 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    # expression kernel: NULL-vector docs never displace real results
+    out = knn.knn_join(dirty, queries, k=5, metric="L2")
+    rows = out.collect()
+    assert rows and all(r.score is not None for r in rows)
+    assert all(r._docid % 5 != 0 for r in rows)
+
+    # Arrow scan kernel: loud, actionable error
+    with pytest.raises(Exception, match="zero_fill_vectors"):
+        knn.knn_scan(dirty, queries, k=5, metric="L2").collect()
+
+    # zero-fill restores gamma's absent-field-is-zero semantics: both
+    # kernels agree, and the zero vector scores exactly ||q||^2 on L2
+    dim = len(docs.select("embedding").first()[0])
+    filled = zero_fill_vectors(dirty, "embedding", dim)
+    a = {(r.qid, r._docid, round(r.score, 6))
+         for r in knn.knn_join(filled, queries, k=5, metric="L2").collect()}
+    b = {(r.qid, r._docid, round(r.score, 6))
+         for r in knn.knn_scan(filled, queries, k=5, metric="L2").collect()}
+    assert a == b
+
+    # stack_vectors: ragged rows also diagnosed
+    import pandas as pd
+
+    with pytest.raises(ValueError, match="fixed-length"):
+        stack_vectors(
+            pd.Series([[1.0, 2.0], [1.0]]).to_numpy(), "unit"
+        )
