@@ -42,10 +42,21 @@ DIRTY_ROWS = (
 )
 
 
+#: event-time rows verified on a NULL-event_type corpus (NULL groups
+#: flow through window aggregation identically in both engines)
+DIRTY_EVENT_ROWS = (
+    "events_hourly",
+    "events_sliding_window",
+    "events_sessionization",
+    "events_session_window",
+)
+
+
 @pytest.fixture(scope="module")
 def dirty_sf(tmp_path_factory, sf_dir):
-    """sf0.001 documents with injected NULL text / empty text / NULL
-    lang (deterministic by doc_id), other tables passed through."""
+    """sf0.001 with injected NULLs: documents get NULL text / empty
+    text / NULL lang (deterministic by doc_id); events get NULL
+    event_type (by user_id)."""
     out = str(tmp_path_factory.mktemp("dirty_sf"))
     con = duckdb.connect()
     con.sql(f"""
@@ -59,18 +70,25 @@ def dirty_sf(tmp_path_factory, sf_dir):
       FROM '{sf_dir}/documents.parquet'
     ) TO '{out}/documents.parquet' (FORMAT PARQUET)
     """)
+    con.sql(f"""
+    COPY (
+      SELECT * REPLACE (CASE WHEN user_id % 17 = 0 THEN NULL
+                             ELSE event_type END AS event_type)
+      FROM '{sf_dir}/events.parquet'
+    ) TO '{out}/events.parquet' (FORMAT PARQUET)
+    """)
     return out
 
 
-@pytest.mark.parametrize("name", DIRTY_ROWS)
+@pytest.mark.parametrize("name", DIRTY_ROWS + DIRTY_EVENT_ROWS)
 def test_dirty_corpus_oracle_parity(spark, dirty_sf, name):
     qs, oracles = E.queries(), E.oracle_sql()
     spark_pdf = qs[name](spark, dirty_sf).toPandas()
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"'{dirty_sf}/documents.parquet'"
-    )
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dirty_sf}/{t}.parquet'"
+        )
     duck_pdf = con.execute(oracles[name]).fetchdf()
     problems = [
         p for p in compare(name, spark_pdf, duck_pdf) if "warning" not in p
