@@ -56,6 +56,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from gamma_spark.functions.vector import stack_vectors
 
 DEFAULT_M = 32  # nlinks (`gamma_index_hnswlib.cc:26-44`)
 DEFAULT_EF_CONSTRUCTION = 100
@@ -837,7 +838,9 @@ class HnswIndex:
 
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("_docid").reset_index(drop=True)
-            mat = np.stack(pdf[doc_vec].to_numpy())
+            mat = stack_vectors(
+                pdf[doc_vec].to_numpy(), "HNSW shard build (docs)"
+            )
             shard = int(pdf["_shard"].iloc[0])
             g = NpHnsw(m=m, ef_construction=ef_construction, metric=metric_u)
             # per-shard seed keeps shards independent yet reproducible
@@ -1295,7 +1298,9 @@ class HnswIndex:
             if qpdf.empty or gpdf.empty:
                 return empty
             order = np.argsort(gpdf["_pos"].to_numpy(), kind="stable")
-            mat = np.stack(gpdf["_dvec"].to_numpy())[order]
+            mat = stack_vectors(
+                gpdf["_dvec"].to_numpy(), "HNSW cogroup (docs)"
+            )[order]
             ids = gpdf["_docid"].to_numpy(dtype=np.int64)[order]
             valid = gpdf["_valid"].to_numpy(dtype=bool)[order]
 
@@ -1303,7 +1308,9 @@ class HnswIndex:
             g.vecs = g._prep(mat)
             if mname == "L2":
                 g.sq = (g.vecs * g.vecs).sum(axis=1)
-            qmat = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qmat = stack_vectors(
+                qpdf["_qvec"].to_numpy(), "HNSW search (queries)"
+            ).astype(np.float64)
             qids = qpdf["qid"].to_numpy(dtype=np.int64)
             kk = k_ if not band_at_emit else ef  # keep all, band below
             use_scan = mode == "scan" or (

@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from gamma_spark.functions.vector import stack_vectors
 
 from gamma_spark.functions import vector as V
 from gamma_spark.operators.ivf import (
@@ -191,7 +192,9 @@ def _encode_codes(
         for pdf in batches:
             if pdf.empty:
                 continue
-            mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+            mat = stack_vectors(
+                pdf[doc_vec].to_numpy(), "PQ encode (docs)"
+            ).astype(np.float64)
             clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
             res = (mat - cents[clus]) @ rot
             codes = np.empty((len(mat), m_), dtype=np.int32)
@@ -301,7 +304,9 @@ class IvfPqIndex:
             ).limit(cap).toPandas()
         if spdf.empty:
             raise ValueError("cannot train codebooks on an empty relation")
-        sample = np.stack(spdf["_v"].to_numpy()).astype(np.float64)
+        sample = stack_vectors(
+            spdf["_v"].to_numpy(), "PQ codebook training sample"
+        ).astype(np.float64)
         # residuals to the assigned coarse centroid (faiss IVFPQ)
         a = (
             -2.0 * (sample @ centroids.T)
@@ -744,7 +749,9 @@ class IvfPqIndex:
             order = np.argsort(dpdf["_docid"].to_numpy(), kind="stable")
             codes = np.stack(dpdf["codes"].to_numpy())[order].astype(np.int64)
             ids = dpdf["_docid"].to_numpy(dtype=np.int64)[order]
-            qall = np.stack(qpdf["_qvec"].to_numpy()).astype(np.float64)
+            qall = stack_vectors(
+                qpdf["_qvec"].to_numpy(), "PQ distributed join (queries)"
+            ).astype(np.float64)
             qids_all = qpdf["qid"].to_numpy(dtype=np.int64)
             kk = min(rn, len(ids))
             chunk = max(1, chunk_cells // max(1, len(ids)))

@@ -26,6 +26,7 @@ import os
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from gamma_spark.functions.vector import stack_vectors
 
 from gamma_spark.operators.ivf import (
     DEFAULT_NCENTROIDS,
@@ -132,7 +133,9 @@ class IvfSq8Index:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                M = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+                M = stack_vectors(
+                    pdf[doc_vec].to_numpy(), "SQ8 encode (docs)"
+                ).astype(np.float64)
                 q = np.clip(
                     np.rint((M - mins64) / span * 255.0), 0, 255
                 ).astype(np.uint8)
