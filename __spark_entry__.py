@@ -2407,42 +2407,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: or renamed since, or r3 registry-tail casualties now moved into the
 #: verified window) — tests/test_registry.py allows exactly these to be
 #: absent from it; prune this set once the next artifact lands
-NEWLY_ADDED = {
-    # r5 corpus transforms + incremental dedup + consolidations
-    "pii_scrub",
-    "paragraph_dedup",
-    "incdedup_match",
-    "lm_perplexity",
-    "filter_tags_variants",
-    "embedding_neardup_variants",
-    "knn_hamming_variants",
-    "knn_graph_models_exact",
-    # r5 additions + consolidations
-    "bm25_topk",
-    "hybrid_rrf",
-    "quality_signals",
-    "decontaminate",
-    "corpus_profile",
-    "ann_recall_checks",
-    "knn_ivfpq_variants_exact",
-    # r4 additions (no r4 artifact was recorded; prune once one lands)
-    "hnsw_recall_check",
-    "scann_recall_check",
-    "faiss_load_search",
-    "knn_ip_filtered_banded",
-    "search_request_full",
-    "mixture_sample",
-    "pack_sequences",
-    "knn_metrics_topk",
-    "knn_graph_banded",
-    "multimodal_resize",
-    "multimodal_audio",
-    # first 50-window appearance (r3 tail, driver never checked them)
-    "events_session_window",
-    "engine_status",
-    "order_priority_ranks",
-    "lineitem_by_region",
-}
+NEWLY_ADDED: set[str] = set()
+# r10: pruned to empty — every registry key is driver-verified in
+# CORRECTNESS_r09, so the r4/r5 exemptions had gone stale (a stale
+# exemption silently weakens the verified-or-declared-new gate for
+# exactly that key). Add keys here ONLY when introducing a row after
+# the newest CORRECTNESS artifact; prune again once it lands.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
