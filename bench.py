@@ -307,6 +307,148 @@ def _canary_membw(spark) -> None:
     ).collect()
 
 
+#: Hard budget for the ONE JSON line printed to stdout. The driver
+#: captures only the last 2,000 chars of output and parses the JSON
+#: line out of that tail — r10's line (queries + canaries + the 43-name
+#: order permutation) grew past it and the round's artifact landed with
+#: parsed=null (VERDICT r10 "what's wrong" #1). Bulk fields now live in
+#: a full-JSON side file under docs/bench_runs/; the printed line is
+#: budget-checked by slim_for_stdout() and pinned by
+#: tests/test_bench_artifact.py.
+LINE_BUDGET = 1800
+
+#: fields that are history/diagnostics, not driver contract — they go
+#: to the side file only, never the printed line
+_SIDE_ONLY_FIELDS = ("order", "splits", "canary", "canary2")
+
+#: optional printed fields droppable (in this order) if the line still
+#: exceeds budget; "queries" and the metric triple are never dropped
+_DROPPABLE_FIELDS = (
+    "full",
+    "shared_prev_total_norm2",
+    "shared_prev_total_norm",
+    "shared_prev_artifact",
+    "shared_prev_n",
+    "shared_prev_total",
+    "order_seed",
+    "canary2_s",
+    "canary_s",
+)
+
+
+def slim_for_stdout(out: dict) -> str:
+    """Build the printed JSON line, guaranteed <= LINE_BUDGET chars.
+
+    Strategy: compact separators; side-file-only bulk fields removed;
+    then (only if still over) query timings rounded to 2 decimals; then
+    optional fields dropped in _DROPPABLE_FIELDS order; finally, as a
+    never-expected last resort, only the driver-essential quintuple is
+    kept. The full dict is always persisted to docs/bench_runs/ before
+    this runs, so nothing is lost — only the stdout copy is slimmed."""
+    slim = {k: v for k, v in out.items() if k not in _SIDE_ONLY_FIELDS}
+
+    def _dump(d):
+        return json.dumps(d, separators=(",", ":"))
+
+    line = _dump(slim)
+    if len(line) > LINE_BUDGET and isinstance(slim.get("queries"), dict):
+        slim["queries"] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in slim["queries"].items()
+        }
+        line = _dump(slim)
+    for k in _DROPPABLE_FIELDS:
+        if len(line) <= LINE_BUDGET:
+            break
+        slim.pop(k, None)
+        line = _dump(slim)
+    if len(line) > LINE_BUDGET:
+        slim = {
+            k: slim[k]
+            for k in ("metric", "value", "unit", "queries", "sf")
+            if k in slim
+        }
+        line = _dump(slim)
+    if len(line) > LINE_BUDGET and isinstance(slim.get("queries"), dict):
+        # truly oversized suite: print the most expensive entries that
+        # fit and say how many were cut — the side file always carries
+        # the complete dict, so nothing is lost, only the stdout copy
+        full_q = slim["queries"]
+        ranked = sorted(
+            full_q.items(),
+            key=lambda kv: -(kv[1] if isinstance(kv[1], (int, float)) else 1e9),
+        )
+        keep = len(ranked)
+        while keep > 0 and len(line) > LINE_BUDGET:
+            keep -= 1
+            slim["queries"] = dict(ranked[:keep])
+            slim["queries_truncated"] = len(full_q) - keep
+            line = _dump(slim)
+    return line
+
+
+def write_full_artifact(out: dict, repo_dir: str) -> str | None:
+    """Persist the COMPLETE result dict (order, splits, canaries, all)
+    to docs/bench_runs/ so per-query history never again depends on the
+    driver's stdout tail capture. Returns the repo-relative path, or
+    None if the write failed (never breaks the run)."""
+    try:
+        runs_dir = os.path.join(repo_dir, "docs", "bench_runs")
+        os.makedirs(runs_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        name = f"run_{stamp}_sf{out.get('sf', '')}.json"
+        path = os.path.join(runs_dir, name)
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+        # stable-name copy for tooling that wants "the newest run"
+        with open(os.path.join(runs_dir, "latest_full.json"), "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+        return os.path.join("docs", "bench_runs", name)
+    except Exception as exc:  # noqa: BLE001 — never break the artifact
+        print(f"[bench] full-artifact write failed: {exc}", file=sys.stderr)
+        return None
+
+
+def recover_prev(prev: dict) -> dict:
+    """Extract the previous round's bench result from a driver artifact
+    wrapper, surviving the r10 failure mode where `parsed` is null
+    because the JSON line outgrew the 2,000-char tail capture.
+
+    Order: (1) the driver's own `parsed`; (2) a complete JSON line
+    found in the tail; (3) regex recovery of "name": number pairs from
+    a tail that starts mid-queries-dict (the r10 shape — recovers the
+    per-query timings that survived plus the canary scalars)."""
+    parsed = prev.get("parsed")
+    if isinstance(parsed, dict):
+        return parsed
+    tail = prev.get("tail") or ""
+    for ln in reversed(tail.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{") and ln.endswith("}"):
+            try:
+                d = json.loads(ln)
+                if isinstance(d, dict) and "queries" in d:
+                    return d
+            except Exception:  # noqa: BLE001
+                pass
+    import re
+
+    out: dict = {"queries": {}}
+    # the queries dict precedes "sf" in the printed field order; a tail
+    # that starts mid-line contains only query pairs before that marker
+    qpart = tail.split('"sf":')[0]
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?[0-9]+(?:\.[0-9]+)?)', qpart):
+        if m.group(1) not in ("value", "n", "rc", "cpus"):
+            out["queries"][m.group(1)] = float(m.group(2))
+    for key in ("canary_s", "canary2_s", "value", "sf"):
+        m = re.search(rf'"{key}":\s*(-?[0-9]+(?:\.[0-9]+)?)', tail)
+        if m:
+            out[key] = float(m.group(1))
+    return out
+
+
 def run_canary(spark) -> dict[str, float]:
     """Best-of-3 per leg, with one untimed warmup pass (JIT, Python
     worker spin-up) so the canary measures steady-state host speed."""
@@ -513,8 +655,11 @@ def main():
         if arts:
             with open(arts[-1]) as fh:
                 prev = json.load(fh)
-            # driver artifacts wrap our JSON line under "parsed"
-            prev = prev.get("parsed", prev) or {}
+            # driver artifacts wrap our JSON line under "parsed"; when
+            # that is null (r10: line outgrew the tail capture) recover
+            # what the tail still holds instead of silently comparing
+            # against an empty dict
+            prev = recover_prev(prev) if "parsed" in prev else prev
             prev_qs = {
                 k for k, v in prev.get("queries", {}).items()
                 if isinstance(v, (int, float))
@@ -554,7 +699,17 @@ def main():
         print(f"[bench] shared_prev_total failed: {exc}", file=sys.stderr)
     if errors:
         out["errors"] = len(errors)
-    print(json.dumps(out))
+    # full history to disk FIRST (order, splits, canary legs, all),
+    # then the budget-checked line to stdout (VERDICT r10 #1)
+    full_path = write_full_artifact(
+        out, os.path.dirname(os.path.abspath(__file__)))
+    if full_path:
+        out["full"] = full_path
+    line = slim_for_stdout(out)
+    print(f"[bench] printed line {len(line)} chars "
+          f"(budget {LINE_BUDGET}); full artifact: {full_path}",
+          file=sys.stderr)
+    print(line)
     try:
         spark.stop()
     except Exception:

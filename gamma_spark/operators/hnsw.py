@@ -50,6 +50,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -102,9 +103,27 @@ ENV_GRAPH_SPQ = "SPARK_GRAFT_HNSW_GRAPH_SEC_PER_QUERY"
 #: probe measured the solo-probe ratio assumption genuinely failing —
 #: under 32-way concurrency the scan GEMM derates 2.1x while the
 #: traversal barely moves, halving the break-even shard size
-#: (docs/SCALING.md "saturated-mode calibration"). Set =1 to force the
-#: solo probe only; ``saturate=`` on build() overrides the env.
+#: (docs/SCALING.md "saturated-mode calibration"). Set =1 (or =0, the
+#: pre-r10 opt-out spelling — ADVICE r10) to force the solo probe
+#: only; ``saturate=`` on build() overrides the env.
 ENV_CALIB_PROCS = "SPARK_GRAFT_HNSW_CALIB_PROCS"
+
+
+def _calib_procs_env() -> int | None:
+    """Resolve ``SPARK_GRAFT_HNSW_CALIB_PROCS``: unset/empty -> None
+    (caller picks the saturated default), an explicit value -> that
+    count, with ``0`` (or any non-positive value) meaning SOLO-ONLY —
+    the pre-r10 opt-out. ADVICE r10: an explicit ``0`` must not
+    silently trigger the host-wide min(32,cpu)-process saturated fork
+    (it contaminated one of the r10 A/B cells)."""
+    raw = os.environ.get(ENV_CALIB_PROCS)
+    if raw is None or raw.strip() == "":
+        return None
+    try:
+        n = int(raw)
+    except ValueError:
+        return None
+    return 1 if n <= 0 else n
 
 
 def _env_float(name: str) -> float | None:
@@ -295,12 +314,18 @@ def calibrate_router_saturated(
     probe when fork is unavailable or any worker dies — routing must
     never fail a build."""
     if procs is None:
-        procs = int(os.environ.get(ENV_CALIB_PROCS, "0") or 0) or min(
-            os.cpu_count() or 1, 32
-        )
+        env = _calib_procs_env()
+        procs = env if env is not None else min(os.cpu_count() or 1, 32)
     procs = int(procs)
     if procs <= 1:
         return calibrate_router(dim=dim, m=m, ef=ef, metric=metric, seed=seed)
+    # the fork probe is a deliberate host-wide load spike; say so
+    # (ADVICE r10 — it silently contaminated an A/B measurement cell)
+    print(
+        f"[hnsw] saturated router probe starting: {procs} fork workers "
+        f"(dim={dim}, m={m}, metric={metric})",
+        file=sys.stderr,
+    )
     import multiprocessing as mp
 
     try:
@@ -887,17 +912,19 @@ class HnswIndex:
             # 2.1x under 32-way concurrency while traversal barely
             # moves, so solo constants over-route to the scan); the
             # solo pair is persisted alongside for diagnostics.
-            # ``saturate=1`` (or SPARK_GRAFT_HNSW_CALIB_PROCS=1)
-            # restores solo-only probing.
+            # ``saturate=1`` (or SPARK_GRAFT_HNSW_CALIB_PROCS=1; an
+            # explicit =0 also means solo — ADVICE r10) restores
+            # solo-only probing.
             first = docs.select(doc_vec).first()
             if first is not None:
                 dim = len(first[0])
                 if saturate is not None:
                     procs = int(saturate)
                 else:
-                    procs = int(
-                        os.environ.get(ENV_CALIB_PROCS, "0") or 0
-                    ) or min(os.cpu_count() or 1, 32)
+                    env = _calib_procs_env()
+                    procs = env if env is not None else min(
+                        os.cpu_count() or 1, 32
+                    )
                 router = _build_router_constants(dim, m, metric_u, procs)
             atomic_write_json(
                 os.path.join(path, "meta.json"),

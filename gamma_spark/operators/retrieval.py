@@ -62,6 +62,22 @@ def term_postings(
     )
 
 
+def doc_token_count(text_col) -> Column:
+    """NULL-safe token count: ``size(tokens(text))`` with NULL text
+    counting as 0 tokens regardless of ``spark.sql.ansi.enabled``
+    (ADVICE r10: with ANSI off, ``size(NULL)`` is -1, which would skew
+    avgdl by -1 per NULL-text doc and diverge from the postings-side
+    ``sum(tf)`` stats — a NULL doc carries zero postings)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(c.isNull(), F.lit(0)).otherwise(F.size(T.tokens(c)))
+
+
+#: sentinel distinguishing "the CollectMetrics observation never
+#: arrived" (plan substitution / pruned node) from "it arrived as NULL"
+#: (aggregate over an empty relation) — see _obs_value / ADVICE r10
+_OBS_MISSED = object()
+
+
 def sql_term_postings(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     return f"""
 SELECT _docid, dl, term, count(*) AS tf
@@ -318,7 +334,7 @@ def bm25_search(
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (
-            F.sum(F.size(T.tokens(text_col))).cast("double")
+            F.sum(doc_token_count(text_col)).cast("double")
             / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
@@ -630,8 +646,18 @@ class Bm25Index:
                     new_docs.sparkSession, f"{self.path}/postings"
                 )
                 nd = float(_obs_value(obs_docs, "n", new_docs.count))
-                s = _obs_value(obs_post, "s", lambda: None)
-                s = float(s) if s is not None else 0.0  # empty: sum=NULL
+                s = _obs_value(obs_post, "s", lambda: _OBS_MISSED)
+                if s is _OBS_MISSED:
+                    # ADVICE r10 (medium): same re-derive contract as
+                    # build() — never zero a non-empty batch's tokens
+                    s = 0.0 if nd == 0 else float(
+                        new_docs.agg(F.coalesce(
+                            F.sum(doc_token_count(text_col)).cast("double"),
+                            F.lit(0.0),
+                        ).alias("s")).collect()[0]["s"]
+                    )
+                else:
+                    s = float(s) if s is not None else 0.0  # empty: sum=NULL
             else:
                 # memory-only index: one direct stats aggregate over
                 # the batch (bm25_search's expressions — integer-equal
@@ -643,7 +669,7 @@ class Bm25Index:
                 row = new_docs.agg(
                     F.count(F.lit(1)).cast("double").alias("n"),
                     F.coalesce(
-                        F.sum(F.size(T.tokens(text_col))).cast("double"),
+                        F.sum(doc_token_count(text_col)).cast("double"),
                         F.lit(0.0),
                     ).alias("s"),
                 ).collect()[0]
@@ -693,8 +719,21 @@ class Bm25Index:
             post.write.mode("overwrite").parquet(f"{path}/postings")
             post = _read_postings(docs.sparkSession, f"{path}/postings")
             n_docs = float(_obs_value(obs_docs, "n", docs.count))
-            s = _obs_value(obs_post, "s", lambda: None)
-            s = float(s) if s is not None else 0.0
+            s = _obs_value(obs_post, "s", lambda: _OBS_MISSED)
+            if s is _OBS_MISSED:
+                # ADVICE r10 (medium): a MISSED observation on a
+                # non-empty corpus must not silently zero avgdl — only
+                # the genuinely-empty case may assume 0; otherwise
+                # re-derive with a real aggregate over the docs scan
+                s = 0.0 if n_docs == 0 else float(
+                    docs.agg(F.coalesce(
+                        F.sum(doc_token_count(text_col)).cast("double"),
+                        F.lit(0.0),
+                    ).alias("s")).collect()[0]["s"]
+                )
+            else:
+                # observation arrived; NULL = sum over zero postings
+                s = float(s) if s is not None else 0.0
         else:
             # memory mode: one direct stats aggregate over docs (the
             # bm25_search stats expressions verbatim) and a PLAIN
@@ -708,7 +747,7 @@ class Bm25Index:
             row = docs.agg(
                 F.count(F.lit(1)).cast("double").alias("n"),
                 F.coalesce(
-                    F.sum(F.size(T.tokens(text_col))).cast("double"),
+                    F.sum(doc_token_count(text_col)).cast("double"),
                     F.lit(0.0),
                 ).alias("s"),
             ).collect()[0]

@@ -118,9 +118,14 @@ def _project_fields(result: DataFrame, docs: DataFrame, request) -> DataFrame:
     filter-only paths: named fields joined back from docs, plus the
     ``_source`` JSON blob over ``source_fields``."""
     if request.fields or request.source_fields:
-        # _docid is the join key and always present on the result side —
-        # re-projecting it would leave two identically named columns
-        cols = [F.col(c) for c in (request.fields or []) if c != "_docid"]
+        # any engine-side column already on the result (_docid the join
+        # key, but also total/score/rank/qid depending on path) must
+        # not be re-projected from docs — it would leave two
+        # identically named columns (ADVICE r10: the r10 fix excluded
+        # only '_docid', so fields=['total'] still hit
+        # AMBIGUOUS_REFERENCE on the filter-only path)
+        present = set(result.columns)
+        cols = [F.col(c) for c in (request.fields or []) if c not in present]
         if request.source_fields:
             cols.append(
                 F.to_json(F.struct(*request.source_fields)).alias("_source")

@@ -27,10 +27,17 @@ def _arr_str(v) -> str:
     np.int64(1)-style reprs that would false-fail against the Spark
     side's plain lists."""
     if v is None:
-        return "NULL"
+        return NULL_SENTINEL
     if isinstance(v, np.ndarray):
         v = v.tolist()
     return str(list(v))
+
+
+#: collision-proof NULL sentinel — contains \x00, which no genuine
+#: string value in either engine's textual output carries, so a real
+#: NULL-vs-'NULL'-string divergence cannot false-pass the parity gate
+#: (ADVICE r10)
+NULL_SENTINEL = "\x00__NULL__"
 
 
 def _null_token(v):
@@ -38,10 +45,11 @@ def _null_token(v):
     toPandas yields None where duckdb's fetchdf yields float NaN for
     the SAME NULL — astype(str) would compare 'None' vs 'nan' and
     false-fail every NULL-bearing row (surfaced by the r10 dirty-data
-    sweep)."""
+    sweep). The sentinel is outside the data alphabet so a genuine
+    'NULL' string stays distinguishable from SQL NULL."""
     try:
         if v is None or (np.isscalar(v) and pd.isna(v)):
-            return "NULL"
+            return NULL_SENTINEL
     except (TypeError, ValueError):
         pass
     return v
