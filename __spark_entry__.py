@@ -2236,6 +2236,71 @@ def _sql_filter_tags_variants() -> str:
     )
 
 
+def q_filter_scalar_variants(spark, sf_dir):
+    """The full scalar-filter algebra (F2 range incl. include-flags,
+    F3 term OR, F4 term AND, F5 NOT-IN, F6 multi-filter AND, F9
+    filter-only + total) as ONE relation with a variant column — the
+    r11 consolidation of the filter_range_term + filter_only_topn +
+    filter_tags_variants registry rows (VERDICT r10 #3: free driver
+    headroom; every predicate shape stays hash-checked and the
+    underlying functions remain for bench/pytest). Harmonized schema
+    (variant, doc_id, info, n_chars, total): ``info`` carries each
+    variant's discriminating strings via NULL-propagating concat so
+    the oracle's ``||`` compares identically under the dirty-data
+    gate."""
+    rt = q_filter_range_term(spark, sf_dir).select(
+        F.lit("RANGE_TERM").alias("variant"),
+        "doc_id",
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("info"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.lit(None).cast("long").alias("total"),
+    )
+    fo = q_filter_only_topn(spark, sf_dir).select(
+        F.lit("FILTER_ONLY").alias("variant"),
+        "doc_id",
+        F.col("lang").alias("info"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+    def _tags(fn, tag):
+        return fn(spark, sf_dir).select(
+            F.lit(tag).alias("variant"),
+            "doc_id",
+            F.col("tags_csv").alias("info"),
+            F.lit(None).cast("long").alias("n_chars"),
+            F.lit(None).cast("long").alias("total"),
+        )
+
+    return (
+        rt.unionByName(fo)
+        .unionByName(_tags(q_filter_tags_and, "TAGS_AND"))
+        .unionByName(_tags(q_filter_tags_or_notin, "TAGS_OR_NOTIN"))
+    )
+
+
+def _sql_filter_scalar_variants() -> str:
+    legs = [
+        ("RANGE_TERM",
+         "SELECT doc_id, lang || ':' || source AS info, "
+         "n_chars::BIGINT AS n_chars, NULL::BIGINT AS total "
+         f"FROM ({SQL_FILTER_RANGE_TERM}) s"),
+        ("FILTER_ONLY",
+         "SELECT doc_id, lang AS info, n_chars::BIGINT AS n_chars, "
+         f"total::BIGINT AS total FROM ({SQL_FILTER_ONLY_TOPN}) s"),
+        ("TAGS_AND",
+         "SELECT doc_id, tags_csv AS info, NULL::BIGINT AS n_chars, "
+         f"NULL::BIGINT AS total FROM ({SQL_FILTER_TAGS_AND}) s"),
+        ("TAGS_OR_NOTIN",
+         "SELECT doc_id, tags_csv AS info, NULL::BIGINT AS n_chars, "
+         f"NULL::BIGINT AS total FROM ({SQL_FILTER_TAGS_OR_NOTIN}) s"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{v}' AS variant, * FROM ({s}) t{i}"
+        for i, (v, s) in enumerate(legs)
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained bigram-LM perplexity (CCNet quality filter,
     Wenzek et al. 2020): the documents table is both training corpus
@@ -2407,7 +2472,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: or renamed since, or r3 registry-tail casualties now moved into the
 #: verified window) — tests/test_registry.py allows exactly these to be
 #: absent from it; prune this set once the next artifact lands
-NEWLY_ADDED: set[str] = set()
+NEWLY_ADDED: set[str] = {
+    # r11 consolidation row (replaces three driver-verified rows whose
+    # every predicate shape it still hash-checks)
+    "filter_scalar_variants",
+}
 # r10: pruned to empty — every registry key is driver-verified in
 # CORRECTNESS_r09, so the r4/r5 exemptions had gone stale (a stale
 # exemption silently weakens the verified-or-declared-new gate for
@@ -2435,6 +2504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- newest (never driver-verified): corpus transforms +
         # incremental dedup ---
+        # --- new in r11: the scalar-filter algebra as one variants
+        # union (consolidates filter_range_term + filter_only_topn +
+        # filter_tags_variants -> 2 driver slots freed, VERDICT r10 #3)
+        "filter_scalar_variants": q_filter_scalar_variants,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "incdedup_match": q_incdedup_match,
@@ -2474,14 +2547,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfflat_exact": q_knn_ivfflat_exact,
         # knn_ivfpq_{rerank,opq,fastscan}_exact consolidated into
         # knn_ivfpq_variants_exact above (functions remain for pytest)
-        "filter_range_term": q_filter_range_term,
+        # filter_range_term folded into filter_scalar_variants (r11)
         "knn_multivid_collapse": q_knn_multivid_collapse,
         # filter_tags_and + filter_tags_or_notin consolidated into
-        # filter_tags_variants (both predicate shapes hash-checked)
-        "filter_tags_variants": q_filter_tags_variants,
+        # filter_tags_variants folded into filter_scalar_variants (r11)
         # search_projected_l2sqrt + search_with_total consolidated into
         # search_request_full above (functions remain for pytest)
-        "filter_only_topn": q_filter_only_topn,
+        # filter_only_topn folded into filter_scalar_variants (r11)
         "point_lookup": q_point_lookup,
         # upsert_last_wins folded into upsert_chain (the chain's first
         # batch IS the within-batch last-wins case; S2/S3 semantics all
@@ -2524,6 +2596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "filter_scalar_variants": _sql_filter_scalar_variants(),
         "pii_scrub": _sql_pii_scrub(),
         "paragraph_dedup": _sql_paragraph_dedup(),
         "events_session_window": SQL_EVENTS_SESSION_WINDOW,
@@ -2539,13 +2612,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_fusion_multivector": SQL_KNN_FUSION_VARIANTS,
         "knn_ivfflat_exact": SQL_KNN_L2,
         "knn_ivfpq_variants_exact": _sql_knn_ivfpq_variants_exact(),
-        "filter_range_term": SQL_FILTER_RANGE_TERM,
         "knn_multivid_collapse": SQL_KNN_MULTIVID_COLLAPSE,
-        "filter_tags_variants": _sql_filter_tags_variants(),
         "lm_perplexity": _sql_lm_perplexity(),
         "search_request_full": SQL_SEARCH_REQUEST_FULL,
         "faiss_load_search": SQL_KNN_L2,
-        "filter_only_topn": SQL_FILTER_ONLY_TOPN,
         "point_lookup": SQL_POINT_LOOKUP,
         "upsert_chain": SQL_UPSERT_CHAIN,
         "delete_by_filter": SQL_DELETE_BY_FILTER,

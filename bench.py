@@ -74,6 +74,9 @@ def extra_queries(entry_mod) -> dict:
         # separately under their stable names.
         "knn_fusion_multivector": entry_mod.q_knn_fusion,
         "knn_fusion_distributed": entry_mod.q_knn_fusion_distributed,
+        # r11: registry row folded into filter_scalar_variants; the
+        # bench entry keeps its round-over-round-stable definition
+        "filter_range_term": entry_mod.q_filter_range_term,
         # non-registry builder-shaped entries timed by the suite
         "pq_build_search": entry_mod.q_knn_ivfpq_adc,
     }

@@ -95,8 +95,16 @@ def norm(a: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity. The reference enumerates Cosine in
     DistanceComputeType (`index/retrieval_model.h:20`) but implements it
-    by normalizing at ingest + InnerProduct; we provide it directly."""
-    return dot(a, b) / (norm(a) * norm(b))
+    by normalizing at ingest + InnerProduct; we provide it directly.
+
+    Zero-norm contract (r11, flushed by the dirty-vector parity gate):
+    a zero vector — exactly what the documented zero_fill_vectors
+    remediation produces for absent vectors — has no direction, so its
+    similarity to anything is defined as 0.0. Without the guard the
+    expression is 0/0, which Spark's ANSI mode raises as DIVIDE_BY_ZERO
+    at scan time (one bad row kills the whole request)."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def score(metric: str, a: Column | str, b: Column | str, l2_sqrt: bool = False) -> Column:
@@ -171,10 +179,14 @@ def sql_l2(a: str, b: str) -> str:
 
 
 def sql_cosine(a: str, b: str) -> str:
-    return (
-        f"(list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / "
+    # zero-norm -> 0.0, the same contract as cosine() above
+    denom = (
         f"(sqrt(list_dot_product(({a})::DOUBLE[], ({a})::DOUBLE[])) * "
-        f"sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[]))))"
+        f"sqrt(list_dot_product(({b})::DOUBLE[], ({b})::DOUBLE[])))"
+    )
+    return (
+        f"(CASE WHEN {denom} = 0.0 THEN 0.0 ELSE "
+        f"(list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[]) / {denom}) END)"
     )
 
 

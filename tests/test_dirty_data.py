@@ -52,6 +52,23 @@ DIRTY_EVENT_ROWS = (
 )
 
 
+#: kNN rows verified on a NULL-injected embeddings table (r11, VERDICT
+#: r10 #2): NULL embedding cells remediated by the documented
+#: zero_fill_vectors ingest step on BOTH engines, NULL label cells
+#: flowing through the scalar pre-filter (NULL == 1 excludes the row
+#: identically in Spark and DuckDB) — NULL-key joins were exactly
+#: where the text rows rotted before this gate existed
+DIRTY_KNN_ROWS = (
+    "knn_metrics_topk",       # K1 exact kNN, all three metrics (zero-
+                              # vector query -> cosine 0/0 NaN ordering
+                              # must agree engine-to-engine)
+    "knn_ip_filtered_banded",  # F6 scalar filter (NULL label) + F8
+                               # band + kNN in one request
+)
+
+EMB_DIM = 64
+
+
 @pytest.fixture(scope="module")
 def dirty_sf(tmp_path_factory, sf_dir):
     """sf0.001 with injected NULLs: documents get NULL text / empty
@@ -77,6 +94,15 @@ def dirty_sf(tmp_path_factory, sf_dir):
       FROM '{sf_dir}/events.parquet'
     ) TO '{out}/events.parquet' (FORMAT PARQUET)
     """)
+    con.sql(f"""
+    COPY (
+      SELECT vec_id,
+             CASE WHEN vec_id % 19 = 0 THEN NULL ELSE embedding END
+               AS embedding,
+             CASE WHEN vec_id % 23 = 0 THEN NULL ELSE label END AS label
+      FROM '{sf_dir}/embeddings.parquet'
+    ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)
+    """)
     return out
 
 
@@ -99,3 +125,46 @@ def test_dirty_corpus_oracle_parity(spark, dirty_sf, name):
         # legitimately be empty at sf0.001 (no cross-split 6-gram
         # overlap survives the NULL injection) — parity is the gate
         assert len(spark_pdf) > 0
+
+
+@pytest.mark.parametrize("name", DIRTY_KNN_ROWS)
+def test_dirty_knn_oracle_parity(spark, dirty_sf, name, monkeypatch):
+    """The REGISTRY kNN rows re-run unchanged on a NULL-injected
+    embeddings table, with the documented remediation
+    (functions.vector.zero_fill_vectors — gamma's absent-vector =
+    zero-vector semantics, `idl/fbs/doc.fbs:5-14`) applied at the
+    ingest boundary on both engines. The 27 NULL-embedding rows
+    include query vec_id 0, so a zero query vector flows through every
+    metric kernel; the NULL-label rows flow through the scalar
+    pre-filter."""
+    from gamma_spark.functions.vector import zero_fill_vectors
+
+    real_t = E._t
+
+    def remediated_t(spark_, sf_dir_, table):
+        df = real_t(spark_, sf_dir_, table)
+        if table == "embeddings":
+            df = zero_fill_vectors(df, "embedding", EMB_DIM)
+        return df
+
+    monkeypatch.setattr(E, "_t", remediated_t)
+    spark_pdf = E.queries()[name](spark, dirty_sf).toPandas()
+
+    con = duckdb.connect()
+    zeros = "[" + ", ".join(["0.0"] * EMB_DIM) + "]::FLOAT[]"
+    # materialized TABLE, not a view: DuckDB 1.0.0's list_dot_product
+    # validates the raw child validity mask of the parquet scan, which
+    # a COALESCE projection does not rebuild — through a view it
+    # rejects the (row-NULL) input even though no post-coalesce row is
+    # NULL; CREATE TABLE re-materializes the lists and clears it
+    con.execute(
+        f"CREATE TABLE embeddings AS SELECT vec_id, "
+        f"COALESCE(embedding, {zeros}) AS embedding, label "
+        f"FROM '{dirty_sf}/embeddings.parquet'"
+    )
+    duck_pdf = con.execute(E.oracle_sql()[name]).fetchdf()
+    problems = [
+        p for p in compare(name, spark_pdf, duck_pdf) if "warning" not in p
+    ]
+    assert not problems, f"{name} diverges on dirty vectors: {problems}"
+    assert len(spark_pdf) > 0

@@ -60,8 +60,11 @@ _SHUFFLE_CEILINGS = {
 @pytest.fixture(scope="module")
 def audit_fps(spark, sf_dir):
     import __spark_entry__ as entry_mod
+    import bench
 
-    qs = entry_mod.queries()
+    # same resolution map as tools/plan_audit.py main(): registry rows
+    # plus the consolidated-but-still-audited stable names
+    qs = bench.extra_queries(entry_mod)
     # fingerprint in the SAME planning environment as tools/plan_audit.py
     # (AQE off, cold cache): under AQE planning, exchanges that runtime
     # reuse would dedupe print as separate nodes, and cached relations

@@ -18,12 +18,23 @@ DRIVER_QUERY_CAP = 50
 REPO = os.path.dirname(os.path.abspath(E.__file__))
 
 
+#: keep >= 2 free slots under the driver cap so a new operator row
+#: never again forces an eviction at add time (VERDICT r10 #3 — the
+#: registry had been pinned at exactly 50)
+REGISTRY_HEADROOM = 2
+
+
 def test_registry_fits_driver_cap():
     qs = E.queries()
     assert len(qs) <= DRIVER_QUERY_CAP, (
         f"queries() has {len(qs)} entries but the driver only verifies the "
         f"first {DRIVER_QUERY_CAP}; trim or consolidate "
         f"(tail at risk: {list(qs)[DRIVER_QUERY_CAP:]})"
+    )
+    assert len(qs) <= DRIVER_QUERY_CAP - REGISTRY_HEADROOM, (
+        f"queries() has {len(qs)} entries — keep >= {REGISTRY_HEADROOM} "
+        f"slots of headroom under the {DRIVER_QUERY_CAP}-row driver cap "
+        f"(consolidate redundant rows into variants unions)"
     )
 
 

@@ -116,7 +116,15 @@ def main():
     names = args[1:] or AUDIT_SET
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    # ONE resolution map shared with the bench suite: registry rows
+    # plus the consolidated-but-still-audited stable names (r11:
+    # filter_range_term's registry row folded into
+    # filter_scalar_variants; its plan stays audited under its own
+    # name — a hand-rolled duplicate map here would drift, the r9
+    # ab_bench lesson)
+    import bench
+
+    qs = bench.extra_queries(entry_mod)
     spark = get_spark(
         "plan-audit",
         extra_conf={"spark.sql.adaptive.enabled": "false"},
