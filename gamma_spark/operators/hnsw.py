@@ -1154,6 +1154,7 @@ class HnswIndex:
         max_score: float | None = None,
         qsplits: int = 1,
         mode: str = "auto",
+        profile: dict | None = None,
         **_ignored,
     ) -> DataFrame:
         """Fan-out graph search: queries × shards → ONE cogroup shuffle
@@ -1324,6 +1325,11 @@ class HnswIndex:
             )
             if qpdf.empty or gpdf.empty:
                 return empty
+            # optional stage-level profile (VERDICT r10 #4): the caller
+            # passes a dict of spark accumulators; each cogroup block
+            # books its executor-side seconds per segment. Dormant cost
+            # when profile is None: one `if` per segment.
+            tp0 = time.perf_counter() if profile else 0.0
             order = np.argsort(gpdf["_pos"].to_numpy(), kind="stable")
             mat = stack_vectors(
                 gpdf["_dvec"].to_numpy(), "HNSW cogroup (docs)"
@@ -1347,6 +1353,12 @@ class HnswIndex:
                     scan_macs=r_macs, graph_spq=r_spq,
                 )
             )
+            if profile:
+                profile["stack_s"].add(time.perf_counter() - tp0)
+                profile["blocks"].add(1)
+                profile["rows"].add(len(ids))
+                profile["queries"].add(len(qids))
+                tp0 = time.perf_counter()
             if use_scan:
                 # bulk path: exact GEMM scan — no graph state needed
                 pos, dist = g.scan(
@@ -1364,9 +1376,15 @@ class HnswIndex:
                 # deterministic entry: highest level, lowest position
                 g.entry = int(np.flatnonzero(levels == top)[0])
                 g.max_level = top
+                if profile:
+                    profile["adj_s"].add(time.perf_counter() - tp0)
+                    tp0 = time.perf_counter()
                 pos, dist = g.search(
                     qmat, kk, ef=ef, valid=valid, dist_lo=dlo, dist_hi=dhi
                 )
+            if profile:
+                profile["kernel_s"].add(time.perf_counter() - tp0)
+                tp0 = time.perf_counter()
             keep = pos.ravel() >= 0
             qrep = np.repeat(qids, kk)[keep]
             p = pos.ravel()[keep]
@@ -1390,6 +1408,8 @@ class HnswIndex:
                     .groupby("qid", sort=False)
                     .head(k_)
                 )
+            if profile:
+                profile["emit_s"].add(time.perf_counter() - tp0)
             return out.reset_index(drop=True)
 
         partials = (
@@ -1418,6 +1438,7 @@ class HnswIndex:
         query_id: str = "qid",
         query_vec: str = "qvec",
         mode: str = "auto",
+        profile: dict | None = None,
         **_ignored,
     ) -> DataFrame:
         """Request-path search — same plan as the distributed join (no
@@ -1435,4 +1456,5 @@ class HnswIndex:
             min_score=min_score,
             max_score=max_score,
             mode=mode,
+            profile=profile,
         )
