@@ -889,16 +889,96 @@ class BucketedDocStore:
         Both close the same way: the delta computation runs under the
         store's writer lock (``block=True`` — commits queue behind the
         export's scan instead of failing) and both relations are
-        MATERIALIZED (localCheckpoint) before the lock releases. The
-        returned pair is therefore an immutable commit-N view: replaying
-        it onto ``snapshot`` reconstructs exactly the state the export
-        saw, however far the store advances afterwards. Export size is
+        MATERIALIZED before the export view releases them. The returned
+        pair is therefore an immutable commit-N view: replaying it onto
+        ``snapshot`` reconstructs exactly the state the export saw,
+        however far the store advances afterwards. Export size is
         delta-bounded; a 100 TB deployment streams the checkpointed pair
-        straight into ``sources.export`` rather than holding it."""
+        straight into ``sources.export`` rather than holding it.
+
+        r11 (VERDICT r10 #6 — non-blocking export): the r10 shape held
+        the writer lock for the WHOLE delta scan; at a 100 TB table
+        that blocks ingest for the duration of a full-table hash-diff.
+        Now the lock covers only a hardlink PIN of the current commit's
+        part files (O(file-count) metadata work — measured 0.124 s at
+        1M docs / 32 buckets vs 7.1 s for the under-lock scan,
+        tools/scale_check_migrate.py, docs/SCALING.md): part files are
+        immutable once written, a
+        later commit swaps *directories* and deletes the old ones, but
+        the pinned hardlinks keep the bytes alive, so the scan +
+        checkpoint runs entirely OUTSIDE the lock while writers
+        proceed. On an object store (no hardlinks) the same pin is a
+        manifest of object keys + versions; the OSError fallback below
+        keeps the r10 blocking behavior for filesystems without link
+        support."""
         from gamma_spark.io_util import writer_lock
 
-        with writer_lock(self.root, block=True):
-            upserts, deleted = self.table().migrate_since(snapshot)
+        try:
+            pin = self._pin_current_commit()
+        except OSError:
+            # filesystem without hardlink support: the r10 blocking
+            # path (correct, writers queue for the scan duration)
+            with writer_lock(self.root, block=True):
+                upserts, deleted = self.table().migrate_since(snapshot)
+                upserts = upserts.localCheckpoint()
+                deleted = deleted.localCheckpoint()
+            return upserts, deleted
+        try:
+            upserts, deleted = self._pinned_table(pin).migrate_since(snapshot)
             upserts = upserts.localCheckpoint()
             deleted = deleted.localCheckpoint()
+        finally:
+            import shutil
+
+            shutil.rmtree(pin, ignore_errors=True)
         return upserts, deleted
+
+    def _pin_current_commit(self) -> str:
+        """Hardlink every current part file into ``.export-<pid>-<ns>``
+        under the writer lock and return the pin dir. Metadata-only
+        work: the lock-hold is O(number of part files), independent of
+        table bytes. Also sweeps pin dirs left by DEAD exporters (pid
+        no longer alive) — a crashed export's leftovers are hardlinks,
+        so they cost ~zero bytes but would otherwise accumulate."""
+        import glob as _glob
+        import shutil
+
+        from gamma_spark.io_util import writer_lock
+
+        pin = os.path.join(self.root, f".export-{os.getpid()}-{time.time_ns()}")
+        with writer_lock(self.root, block=True):
+            for stale in _glob.glob(os.path.join(self.root, ".export-*")):
+                try:
+                    pid = int(os.path.basename(stale).split("-")[1])
+                    os.kill(pid, 0)  # raises if the exporter is gone
+                except (ValueError, ProcessLookupError):
+                    shutil.rmtree(stale, ignore_errors=True)
+                except PermissionError:
+                    pass  # alive under another uid: leave it
+            docs = os.path.join(self.root, "docs")
+            os.makedirs(os.path.join(pin, "docs"))
+            for bdir in sorted(os.listdir(docs)):
+                src_b = os.path.join(docs, bdir)
+                if not os.path.isdir(src_b):
+                    continue
+                dst_b = os.path.join(pin, "docs", bdir)
+                os.makedirs(dst_b)
+                for fn in os.listdir(src_b):
+                    if fn.startswith(("_", ".")):
+                        continue
+                    os.link(os.path.join(src_b, fn), os.path.join(dst_b, fn))
+        return pin
+
+    def _pinned_table(self, pin: str) -> GammaTable:
+        """The pinned commit as a GammaTable — ``table()`` over the pin
+        dir's hardlinked files instead of the live docs dir."""
+        schema_dir = os.path.join(self.root, "schema")
+        docs = os.path.join(pin, "docs")
+        if os.path.exists(schema_dir):
+            s = self.spark.read.parquet(schema_dir).schema
+            df = self.spark.read.schema(s).parquet(docs)
+        else:
+            df = self.spark.read.parquet(docs)
+        return GammaTable(
+            self.spark, df.drop(BUCKET), id_col=self.id_col, path=self.root
+        )

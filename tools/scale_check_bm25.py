@@ -58,6 +58,43 @@ def make_zipf_corpus(spark, n: int):
     )
 
 
+def _start_rss_sampler(out: dict):
+    """Peak-RSS watermark over every java/python process on the host
+    (local mode: the one JVM + the Arrow Python workers ARE the
+    executor). Coarse but honest for the single-JVM rehearsal box;
+    records GiB into out['peak_rss_gib'] every 2 s (VERDICT r10 #5:
+    the 10M rehearsal must record peak executor memory)."""
+    import glob
+    import threading
+
+    stop = threading.Event()
+
+    def sample():
+        peak = 0
+        while not stop.is_set():
+            total = 0
+            for sd in glob.glob("/proc/[0-9]*/"):
+                try:
+                    with open(sd + "comm") as fh:
+                        comm = fh.read().strip()
+                    if comm not in ("java", "python", "python3"):
+                        continue
+                    with open(sd + "status") as fh:
+                        for line in fh:
+                            if line.startswith("VmRSS:"):
+                                total += int(line.split()[1])  # kB
+                                break
+                except OSError:
+                    continue
+            peak = max(peak, total)
+            out["peak_rss_gib"] = round(peak / 1048576.0, 2)
+            stop.wait(2.0)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
+    return stop
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     bm25_only = "--bm25-only" in sys.argv
@@ -67,6 +104,7 @@ def main():
     docs = make_zipf_corpus(spark, n).cache()
     docs.count()
     results = {"n_docs": n, "n_queries": nq}
+    rss_stop = _start_rss_sampler(results)
 
     # queries: 1 hot head term + 3 mid-frequency terms per query,
     # deterministic per qid (the mixed-selectivity shape real query
