@@ -16,6 +16,19 @@ from gamma_spark.streaming.incremental import (
 NCENT = 8
 
 
+def _await_done(q, timeout=600):
+    """awaitTermination with a LOUD timeout: the bare
+    q.awaitTermination(N) pattern returns False when the availableNow
+    stream hasn't finished (e.g. under concurrent host load), and the
+    test then reads a partial corpus while session teardown kills the
+    in-flight batch — a confusing cascade instead of one clear
+    assertion (r11 flake post-mortem: a 10M rehearsal saturating the
+    host pushed the 2-batch stream past the old 180 s ceiling)."""
+    assert q.awaitTermination(timeout), (
+        f"stream {q.name or q.id} did not terminate within {timeout}s"
+    )
+
+
 @pytest.fixture(scope="module")
 def docs(embeddings):
     return embeddings.withColumnRenamed("vec_id", "_docid")
@@ -50,7 +63,7 @@ def test_stream_append_then_search(tmp_path, spark, docs, queries):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
 
     grown = IvfFlatIndex.load(spark, path)
     assert grown.index_df.count() == n
@@ -83,7 +96,7 @@ def test_stream_append_pq_codes_then_search(tmp_path, spark, docs, queries):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
 
     grown = IvfPqIndex.load(spark, path, docs)
     assert grown.codes_df.count() == n
@@ -145,7 +158,7 @@ def test_streaming_dripfeed_into_bucketed_store(tmp_path, spark, documents):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
 
     got = {
         r.doc_id: r.text
@@ -195,7 +208,7 @@ def test_windowed_event_stats_stream_matches_batch(tmp_path, spark, events):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     got_rows = spark.sql("SELECT * FROM winstats").collect()
     got = {
         (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
@@ -325,7 +338,7 @@ def test_streaming_curation_gate_matches_batch(tmp_path, spark, documents):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
 
     from gamma_spark.streaming.incremental import read_stream_corpus
 
@@ -366,7 +379,7 @@ def test_stream_exact_dedup_across_batches(tmp_path, spark, documents):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
 
     got = spark.read.parquet(out)
     texts = [r.text for r in got.collect()]
@@ -407,7 +420,7 @@ def test_stream_neardup_dedup_across_batches(tmp_path, spark, documents):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q)
 
     from gamma_spark.streaming.incremental import read_stream_corpus
 
@@ -459,7 +472,7 @@ def test_stream_append_bm25_then_search(tmp_path, spark, documents):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
 
     terms = spark.createDataFrame(
         [(0, "table"), (0, "scan"), (1, "spark")], "qid long, term string"
@@ -513,7 +526,7 @@ def _run_neardup_stream(tmp_path, spark, batches, schema, threshold, tag):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    _await_done(q)
     return {r.doc_id for r in read_stream_corpus(spark, out).select("doc_id").collect()}
 
 
@@ -677,7 +690,7 @@ def test_stream_neardup_dedup_releases_persists_per_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_done(q)
     assert int(jsc.getPersistentRDDs().size()) == base
 
 
@@ -714,7 +727,7 @@ def test_stream_index_appender_releases_persists_per_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     assert int(jsc.getPersistentRDDs().size()) == base
     assert IvfFlatIndex.load(spark, path).index_df.count() == n
 
@@ -746,5 +759,5 @@ def test_stream_curated_appender_releases_persists_per_batch(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await_done(q)
     assert int(jsc.getPersistentRDDs().size()) == base

@@ -100,6 +100,16 @@ def main():
     bm25_only = "--bm25-only" in sys.argv
     n = int(args[0]) if len(args) > 0 else 1_000_000
     nq = int(args[1]) if len(args) > 1 else 512
+    # size the single-JVM heap to the corpus unless the caller pinned
+    # it: the exact (oracle) search aggregates ~O(Σ_t df_t) partial
+    # scores, and stop-word-like head terms at 10M docs put ~1.5B
+    # (qid,doc) partials through the hash agg — the 8g default heap
+    # OOM'd stage "exact search" at 10M (r11 rehearsal; on a real
+    # cluster this is ordinary distributed agg volume, locally it
+    # needs the heap the host actually has). Champion mode exists
+    # precisely to bound this volume at serving time.
+    if "SPARK_GRAFT_DRIVER_MEM" not in os.environ and n > 2_000_000:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
     spark = get_spark("bm25-scale")
     docs = make_zipf_corpus(spark, n).cache()
     docs.count()
@@ -121,11 +131,40 @@ def main():
     ).distinct().cache()
     qterms.count()
 
+    # the EXACT (oracle) legs run on a query subsample above 2M docs:
+    # exact scoring with stop-word head terms aggregates
+    # ~Σ_head df_t × (nq/20) partial scores — at 10M docs × 512
+    # queries that is ~5B rows / >79 GB of shuffle spill, which
+    # filled this host's disk (r11 first attempt). Champion/build
+    # legs stay at the full nq (champion pruning bounds their volume
+    # — that is the claim under test); overlap@10 is measured
+    # exact-vs-champion on the SAME subsample, apples to apples.
+    exact_nq = nq
+    for a in sys.argv[1:]:
+        if a.startswith("--exact-nq="):
+            exact_nq = int(a.split("=", 1)[1])
+    if exact_nq == nq and n > 2_000_000:
+        exact_nq = min(nq, 64)
+    results["exact_nq"] = exact_nq
+    qterms_exact = qterms.filter(F.col("qid") < exact_nq).cache()
+    qterms_exact.count()
+
+    def _gc():
+        # nudge the ContextCleaner between legs: the exact legs leave
+        # tens of GB of shuffle files that are only deleted once their
+        # ShuffleDependency is GC'd — without this the 10M run fills
+        # the disk across legs even though no single leg needs it all
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
+
     t0 = time.time()
-    exact = R.bm25_search(docs, qterms, k=10).cache()
+    exact = R.bm25_search(docs, qterms_exact, k=10).cache()
     n_hits = exact.count()
     results["bm25_exact_sec"] = round(time.time() - t0, 2)
     results["bm25_hits"] = n_hits
+    _gc()
 
     # champion-list mode: impact-ordered per-term pruning bounds the
     # score-agg volume when query terms are stop-word-like (this
@@ -140,12 +179,13 @@ def main():
         champ.count()
         results[f"bm25_champions{r_champ}_sec"] = round(time.time() - t0, 2)
         inter = exact.select("qid", "_docid").intersect(
-            champ.select("qid", "_docid")
+            champ.filter(F.col("qid") < exact_nq).select("qid", "_docid")
         ).count()
         results[f"bm25_champions{r_champ}_overlap_at_10"] = round(
             inter / max(n_hits, 1), 4
         )
         champ.unpersist()
+        _gc()
 
     # the serving shape: a prebuilt index (the one corpus-sized shuffle
     # paid at build), exact vs champion+WAND-rescore searches — here
@@ -156,7 +196,7 @@ def main():
     idx.postings.cache().count()
     results["bm25_index_build_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
-    iexact = idx.search(qterms, k=10).cache()
+    iexact = idx.search(qterms_exact, k=10).cache()
     iexact.count()
     results["bm25_index_exact_sec"] = round(time.time() - t0, 2)
     for r_champ in champions:
@@ -165,15 +205,17 @@ def main():
         ichamp.count()
         results[f"bm25_index_champions{r_champ}_sec"] = round(time.time() - t0, 2)
         inter = iexact.select("qid", "_docid").intersect(
-            ichamp.select("qid", "_docid")
+            ichamp.filter(F.col("qid") < exact_nq).select("qid", "_docid")
         ).count()
         results[f"bm25_index_champions{r_champ}_overlap_at_10"] = round(
             inter / max(n_hits, 1), 4
         )
         ichamp.unpersist()
+        _gc()
     iexact.unpersist()
     idx.postings.unpersist()
     exact.unpersist()
+    _gc()
 
     if bm25_only:
         print(json.dumps(results))
