@@ -39,6 +39,10 @@ DIRTY_ROWS = (
     "bm25_topk",
     "decontaminate",
     "paragraph_dedup",
+    # r11: the consolidated scalar-filter row — NULL lang/text flow
+    # through every predicate shape (range, term OR/AND/NOT-IN, F9
+    # total) and through the NULL-propagating info concat
+    "filter_scalar_variants",
 )
 
 

@@ -63,8 +63,9 @@ def audit_fps(spark, sf_dir):
     import bench
 
     # same resolution map as tools/plan_audit.py main(): registry rows
-    # plus the consolidated-but-still-audited stable names
-    qs = bench.extra_queries(entry_mod)
+    # win (the audit fingerprints the full registry plans), bench-only
+    # stable names fill in for consolidated-away entries
+    qs = {**bench.extra_queries(entry_mod), **entry_mod.queries()}
     # fingerprint in the SAME planning environment as tools/plan_audit.py
     # (AQE off, cold cache): under AQE planning, exchanges that runtime
     # reuse would dedupe print as separate nodes, and cached relations

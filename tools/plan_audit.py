@@ -116,15 +116,17 @@ def main():
     names = args[1:] or AUDIT_SET
     import __spark_entry__ as entry_mod
 
-    # ONE resolution map shared with the bench suite: registry rows
-    # plus the consolidated-but-still-audited stable names (r11:
-    # filter_range_term's registry row folded into
-    # filter_scalar_variants; its plan stays audited under its own
-    # name — a hand-rolled duplicate map here would drift, the r9
-    # ab_bench lesson)
+    # Resolution: registry rows FIRST, bench-only stable names as
+    # fallback for consolidated-away entries (r11: filter_range_term's
+    # registry row folded into filter_scalar_variants; its plan stays
+    # audited under its own name). Precedence matters — bench's map
+    # deliberately overrides knn_fusion_multivector with the
+    # TOPK-only leg for round-over-round timing continuity, but the
+    # AUDIT must keep fingerprinting the registry's full variants
+    # union, not the smaller bench plan.
     import bench
 
-    qs = bench.extra_queries(entry_mod)
+    qs = {**bench.extra_queries(entry_mod), **entry_mod.queries()}
     spark = get_spark(
         "plan-audit",
         extra_conf={"spark.sql.adaptive.enabled": "false"},
