@@ -122,7 +122,14 @@ def _calib_procs_env() -> int | None:
     try:
         n = int(raw)
     except ValueError:
-        return None
+        # an unparsable value must NOT read as "unset" — that silently
+        # selects the host-wide saturated fork probe this env var
+        # exists to suppress (the exact contamination ADVICE r10
+        # flagged); a typo'd opt-out fails loudly instead
+        raise ValueError(
+            f"{ENV_CALIB_PROCS}={raw!r} is not an integer; use 0 for "
+            "solo-only calibration or a positive worker count"
+        ) from None
     return 1 if n <= 0 else n
 
 

@@ -125,6 +125,25 @@ def _project_fields(result: DataFrame, docs: DataFrame, request) -> DataFrame:
         # only '_docid', so fields=['total'] still hit
         # AMBIGUOUS_REFERENCE on the filter-only path)
         present = set(result.columns)
+        # a requested name that is BOTH an engine column and a stored
+        # doc column is genuinely ambiguous in a flat-column result —
+        # silently substituting the engine value (the first r11 shape
+        # of this fix) returns wrong data; raise with the remediation
+        # instead. `_docid` is exempt: the engine value IS the doc
+        # value. Engine-only names (e.g. fields=["total"] on a table
+        # with no `total` column) pass through to the engine column —
+        # the only thing that name can mean.
+        ambiguous = sorted(
+            c
+            for c in (request.fields or [])
+            if c in present and c != "_docid" and c in docs.columns
+        )
+        if ambiguous:
+            raise ValueError(
+                f"requested fields {ambiguous} are stored doc columns that "
+                f"collide with engine result columns; rename the doc column "
+                f"or fetch it through source_fields (the _source JSON blob)"
+            )
         cols = [F.col(c) for c in (request.fields or []) if c not in present]
         if request.source_fields:
             cols.append(

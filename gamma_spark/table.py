@@ -618,12 +618,16 @@ class BucketedDocStore:
     def nbuckets(self) -> int:
         return int(self.meta["nbuckets"])
 
-    def raw(self) -> DataFrame:
+    def raw(self, docs_dir: str | None = None) -> DataFrame:
+        """The docs relation, schema-pinned by the sidecar when one
+        exists. ``docs_dir`` overrides the scan path (the export pin
+        reads the same schema over its hardlinked snapshot)."""
+        docs = docs_dir or os.path.join(self.root, "docs")
         schema_dir = os.path.join(self.root, "schema")
         if os.path.exists(schema_dir):
             s = self.spark.read.parquet(schema_dir).schema
-            return self.spark.read.schema(s).parquet(os.path.join(self.root, "docs"))
-        return self.spark.read.parquet(os.path.join(self.root, "docs"))
+            return self.spark.read.schema(s).parquet(docs)
+        return self.spark.read.parquet(docs)
 
     def table(self) -> GammaTable:
         """The store as a GammaTable (bare Parquet scan, no lineage)."""
@@ -933,52 +937,89 @@ class BucketedDocStore:
             shutil.rmtree(pin, ignore_errors=True)
         return upserts, deleted
 
+    #: stale-pin age ceiling. Pid-liveness alone cannot retire a pin
+    #: whose crashed exporter's pid the OS later recycled to an
+    #: unrelated long-lived process — and once commits supersede the
+    #: pinned part files, the pin's hardlinks are the SOLE reference
+    #: to the old commit's bytes (hardly "~zero bytes"): an immortal
+    #: pin is unbounded disk retention. No export legitimately runs
+    #: for days, so an age ceiling closes the pid-reuse hole.
+    EXPORT_PIN_TTL_NS = 48 * 3600 * 1_000_000_000
+
     def _pin_current_commit(self) -> str:
-        """Hardlink every current part file into ``.export-<pid>-<ns>``
-        under the writer lock and return the pin dir. Metadata-only
-        work: the lock-hold is O(number of part files), independent of
-        table bytes. Also sweeps pin dirs left by DEAD exporters (pid
-        no longer alive) — a crashed export's leftovers are hardlinks,
-        so they cost ~zero bytes but would otherwise accumulate."""
+        """Hardlink every current part file into
+        ``.export-<host>-<pid>-<ns>`` under the writer lock and return
+        the pin dir. Metadata-only work: the lock-hold is O(number of
+        part files), independent of table bytes.
+
+        Sweep policy for leftover pins (crashed exporters): only pins
+        created on THIS host are judged — a pid is meaningless across
+        hosts, and on a shared filesystem sweeping a foreign host's
+        LIVE pin would kill its in-flight export scan. A local pin is
+        removed when its exporter pid is gone, or when it is older
+        than EXPORT_PIN_TTL_NS (the pid-reuse guard above). A partial
+        pin from a failed link loop is cleaned up before the OSError
+        propagates to the blocking fallback."""
         import glob as _glob
         import shutil
+        import socket
 
         from gamma_spark.io_util import writer_lock
 
-        pin = os.path.join(self.root, f".export-{os.getpid()}-{time.time_ns()}")
+        host = socket.gethostname()
+        now = time.time_ns()
+        pin = os.path.join(self.root, f".export-{host}-{os.getpid()}-{now}")
         with writer_lock(self.root, block=True):
             for stale in _glob.glob(os.path.join(self.root, ".export-*")):
-                try:
-                    pid = int(os.path.basename(stale).split("-")[1])
-                    os.kill(pid, 0)  # raises if the exporter is gone
-                except (ValueError, ProcessLookupError):
-                    shutil.rmtree(stale, ignore_errors=True)
-                except PermissionError:
-                    pass  # alive under another uid: leave it
-            docs = os.path.join(self.root, "docs")
-            os.makedirs(os.path.join(pin, "docs"))
-            for bdir in sorted(os.listdir(docs)):
-                src_b = os.path.join(docs, bdir)
-                if not os.path.isdir(src_b):
+                parts = os.path.basename(stale)[len(".export-") :].rsplit("-", 2)
+                if len(parts) == 3:
+                    pin_host, pid_s, ns_s = parts
+                elif len(parts) == 2:  # legacy <pid>-<ns> pins: local
+                    pin_host, (pid_s, ns_s) = host, parts
+                else:
                     continue
-                dst_b = os.path.join(pin, "docs", bdir)
-                os.makedirs(dst_b)
-                for fn in os.listdir(src_b):
-                    if fn.startswith(("_", ".")):
+                if pin_host != host:
+                    continue  # foreign host: its export may be live
+                try:
+                    expired = now - int(ns_s) > self.EXPORT_PIN_TTL_NS
+                except ValueError:
+                    expired = False
+                try:
+                    pid_alive = False
+                    os.kill(int(pid_s), 0)
+                    pid_alive = True
+                except (ValueError, ProcessLookupError):
+                    pass
+                except PermissionError:
+                    pid_alive = True  # alive under another uid
+                if not pid_alive or expired:
+                    shutil.rmtree(stale, ignore_errors=True)
+            docs = os.path.join(self.root, "docs")
+            try:
+                os.makedirs(os.path.join(pin, "docs"))
+                for bdir in sorted(os.listdir(docs)):
+                    src_b = os.path.join(docs, bdir)
+                    if not os.path.isdir(src_b):
                         continue
-                    os.link(os.path.join(src_b, fn), os.path.join(dst_b, fn))
+                    dst_b = os.path.join(pin, "docs", bdir)
+                    os.makedirs(dst_b)
+                    for fn in os.listdir(src_b):
+                        if fn.startswith(("_", ".")):
+                            continue
+                        os.link(os.path.join(src_b, fn), os.path.join(dst_b, fn))
+            except OSError:
+                # a partial pin would survive every pid-liveness sweep
+                # for the life of this process while its hardlinks
+                # retain superseded commits — clean it up before the
+                # caller falls back to the blocking path
+                shutil.rmtree(pin, ignore_errors=True)
+                raise
         return pin
 
     def _pinned_table(self, pin: str) -> GammaTable:
         """The pinned commit as a GammaTable — ``table()`` over the pin
         dir's hardlinked files instead of the live docs dir."""
-        schema_dir = os.path.join(self.root, "schema")
-        docs = os.path.join(pin, "docs")
-        if os.path.exists(schema_dir):
-            s = self.spark.read.parquet(schema_dir).schema
-            df = self.spark.read.schema(s).parquet(docs)
-        else:
-            df = self.spark.read.parquet(docs)
+        df = self.raw(docs_dir=os.path.join(pin, "docs"))
         return GammaTable(
             self.spark, df.drop(BUCKET), id_col=self.id_col, path=self.root
         )

@@ -916,3 +916,19 @@ def test_path_backed_build_defaults_to_saturated_probe(tmp_path, docs, monkeypat
                            path=str(tmp_path / "solo2"))
     assert calls == {} and "saturated_procs" not in idx3.router
     H._BUILD_CALIBRATION.clear()
+
+
+def test_calib_procs_env_unparsable_raises(monkeypatch):
+    """r11 review: an unparsable SPARK_GRAFT_HNSW_CALIB_PROCS (a typo'd
+    opt-out like 'O' for 0) must not read as 'unset' — that silently
+    selects the host-wide saturated fork probe the variable exists to
+    suppress (the exact A/B contamination ADVICE r10 flagged)."""
+    from gamma_spark.operators import hnsw as H
+
+    monkeypatch.setenv(H.ENV_CALIB_PROCS, "O")
+    with pytest.raises(ValueError, match="CALIB_PROCS"):
+        H._calib_procs_env()
+    monkeypatch.setenv(H.ENV_CALIB_PROCS, "0")
+    assert H._calib_procs_env() == 1  # solo-only opt-out preserved
+    monkeypatch.setenv(H.ENV_CALIB_PROCS, "")
+    assert H._calib_procs_env() is None

@@ -26,15 +26,14 @@ REGISTRY_HEADROOM = 2
 
 def test_registry_fits_driver_cap():
     qs = E.queries()
-    assert len(qs) <= DRIVER_QUERY_CAP, (
-        f"queries() has {len(qs)} entries but the driver only verifies the "
-        f"first {DRIVER_QUERY_CAP}; trim or consolidate "
-        f"(tail at risk: {list(qs)[DRIVER_QUERY_CAP:]})"
-    )
+    # one assert: the headroom bound subsumes the bare cap (a count
+    # over the cap also exceeds cap-minus-headroom), so a separate
+    # cap assert could never be the one that fires
     assert len(qs) <= DRIVER_QUERY_CAP - REGISTRY_HEADROOM, (
         f"queries() has {len(qs)} entries — keep >= {REGISTRY_HEADROOM} "
         f"slots of headroom under the {DRIVER_QUERY_CAP}-row driver cap "
-        f"(consolidate redundant rows into variants unions)"
+        f"(consolidate redundant rows into variants unions; driver-"
+        f"unverified tail: {list(qs)[DRIVER_QUERY_CAP:]})"
     )
 
 

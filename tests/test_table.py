@@ -1,5 +1,8 @@
 """GammaTable DML parity (SURVEY §2.1 S2-S5, F10)."""
 
+import os
+import time
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -720,3 +723,73 @@ def test_bucketed_store_migrate_snapshot_isolated(tmp_path, spark, table):
         import shutil
 
         shutil.rmtree(pin, ignore_errors=True)
+
+
+def test_export_pin_sweep_policy(tmp_path, spark, table):
+    """Stale-pin sweep (r11 review): (a) a local pin whose exporter pid
+    is dead is removed; (b) a local pin older than EXPORT_PIN_TTL_NS is
+    removed even when its pid reads as alive (pid-reuse guard — a
+    recycled pid must not make a crashed exporter's pin immortal, since
+    its hardlinks retain every superseded commit's bytes); (c) a
+    FOREIGN host's pin is never judged — on a shared filesystem its
+    export may be live and its pid is meaningless here."""
+    import socket
+    import subprocess
+
+    from gamma_spark.table import BucketedDocStore
+
+    root = str(tmp_path / "store")
+    store = BucketedDocStore.create(table, root, nbuckets=4)
+    host = socket.gethostname()
+
+    child = subprocess.Popen(["true"])
+    child.wait()
+    dead = os.path.join(root, f".export-{host}-{child.pid}-{time.time_ns()}")
+    stale_ns = time.time_ns() - BucketedDocStore.EXPORT_PIN_TTL_NS - 1
+    expired = os.path.join(root, f".export-{host}-{os.getpid()}-{stale_ns}")
+    foreign = os.path.join(root, ".export-no-such-host-1-1")
+    for d in (dead, expired, foreign):
+        os.makedirs(d)
+
+    pin = store._pin_current_commit()
+    try:
+        assert not os.path.exists(dead)  # (a)
+        assert not os.path.exists(expired)  # (b)
+        assert os.path.exists(foreign)  # (c)
+    finally:
+        import shutil
+
+        for d in (pin, foreign):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_export_partial_pin_cleaned_up(tmp_path, spark, table, monkeypatch):
+    """A failed link loop (ENOSPC, EPERM on one bucket, no-hardlink
+    filesystem) must not leave a partial .export-* dir behind: this
+    pid is alive, so the liveness sweep would skip it for the life of
+    the process while its hardlinks retain superseded commits. The
+    OSError still propagates so migrate() takes the blocking
+    fallback — and the export still succeeds."""
+    from gamma_spark.table import BucketedDocStore
+
+    root = str(tmp_path / "store")
+    store = BucketedDocStore.create(table, root, nbuckets=4)
+    base_root = str(tmp_path / "snap")
+    store.table().dump(base_root)
+    base = GammaTable.load(spark, base_root)
+
+    batch = spark.createDataFrame(
+        [(1, "v1 text", "en", "srcX", 1)],
+        store.table().df.drop("_docid").schema,
+    )
+    store = store.upsert(batch, order_col=None)
+
+    def no_link(src, dst, **kw):
+        raise OSError(95, "hardlinks not supported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    upserts, deleted = store.migrate_since(base)  # blocking fallback
+    assert {r["doc_id"]: r["text"] for r in upserts.collect()} == {1: "v1 text"}
+    assert deleted.count() == 0
+    leftovers = [p for p in os.listdir(root) if p.startswith(".export-")]
+    assert leftovers == []

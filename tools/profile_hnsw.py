@@ -78,6 +78,10 @@ def main():
         print(f"[profile] rep{rep}{' (warmup)' if rep == 0 else ''}: {row}",
               file=sys.stderr)
 
+    if not results:
+        raise SystemExit(
+            "need repeats >= 1 beyond the warmup pass (rep 0 is untimed)"
+        )
     best = min(results, key=lambda r: r["wall_s"])
     out = {
         "what": "hnsw_512q_search_leg_profile",

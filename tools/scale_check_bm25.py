@@ -139,12 +139,12 @@ def main():
     # legs stay at the full nq (champion pruning bounds their volume
     # — that is the claim under test); overlap@10 is measured
     # exact-vs-champion on the SAME subsample, apples to apples.
-    exact_nq = nq
-    for a in sys.argv[1:]:
-        if a.startswith("--exact-nq="):
+    exact_nq = None  # None = flag not passed (an explicit --exact-nq=nq
+    for a in sys.argv[1:]:  # must NOT be mistaken for the default and
+        if a.startswith("--exact-nq="):  # silently clamped to 64)
             exact_nq = int(a.split("=", 1)[1])
-    if exact_nq == nq and n > 2_000_000:
-        exact_nq = min(nq, 64)
+    if exact_nq is None:
+        exact_nq = min(nq, 64) if n > 2_000_000 else nq
     results["exact_nq"] = exact_nq
     qterms_exact = qterms.filter(F.col("qid") < exact_nq).cache()
     qterms_exact.count()
