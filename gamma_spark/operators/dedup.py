@@ -196,10 +196,43 @@ def banded_signatures(sig: DataFrame, id_col: str) -> DataFrame:
     return sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bsig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, pairs: str = "all"
+) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band signature.
-    The self-join shuffles on (band, signature) — bucket-bounded fan-out."""
+    The self-join shuffles on (band, signature) — bucket-bounded fan-out.
+
+    ``pairs`` picks the within-bucket edge set:
+
+    - ``"all"`` (default, the oracle semantics): every pair in the
+      bucket — C(m, 2) output rows for an m-member bucket. Correct for
+      pairwise consumers (the exact-Jaccard verify), but QUADRATIC in
+      the bucket: a web-scale boilerplate cluster of 10^6 identical
+      docs lands in one bucket and emits 5×10^11 rows per band — AQE
+      skew-splitting redistributes the *input* rows, it cannot shrink
+      that *output*. This is the one unbounded cost in the dedup
+      family at 100 TB.
+    - ``"star"`` (the mega-cluster scale path): per bucket, emit only
+      (min-id hub, member) edges — m−1 rows. For the connected-
+      components / group-resolution consumer this is LOSSLESS: a
+      bucket's star connects exactly the same members as its clique,
+      so CC over star edges equals CC over all edges for every input
+      (pinned by test). Pairwise-verify consumers must keep ``"all"``
+      (star only scores hub-member pairs). The hub min() is a
+      map-side-combinable aggregate and the hub join fans out m×1 —
+      both stay linear in the bucket however skewed it is.
+    """
     banded = banded_signatures(sig, id_col)
+    if pairs == "star":
+        hubs = banded.groupBy("band", "bsig").agg(F.min(id_col).alias("_hub"))
+        return (
+            banded.join(hubs, on=["band", "bsig"])
+            .filter(F.col(id_col) != F.col("_hub"))
+            .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+            .distinct()
+        )
+    if pairs != "all":
+        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -211,6 +244,37 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_bucket_stats(banded: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Bucket-skew diagnostic for any (band-key, member) relation —
+    run it BEFORE an all-pairs candidate join to see what the join
+    will cost. One row per bucket size m: how many buckets have that
+    size, the all-pairs output those buckets will emit (m·(m−1)/2
+    each) and the star-mode output (m−1 each). The top row of
+    ``ORDER BY size DESC`` is the mega-cluster alarm: a single 10^5-
+    member bucket means ~5×10^9 all-pairs rows before dedup.
+
+    ``keys`` are the bucket key columns (e.g. ["band", "bsig"]);
+    aggregates are map-side combinable, so the diagnostic itself is
+    skew-proof."""
+    sizes = banded.groupBy(*keys).agg(
+        F.count_distinct(F.col(id_col)).alias("size")
+    )
+    m = F.col("size").cast("long")
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "size",
+            "n_buckets",
+            (m * (m - F.lit(1)) / F.lit(2) * F.col("n_buckets"))
+            .cast("long")
+            .alias("allpairs_rows"),
+            ((m - F.lit(1)) * F.col("n_buckets")).cast("long").alias("star_rows"),
+        )
+        .orderBy(F.col("size").desc())
     )
 
 
@@ -248,13 +312,13 @@ def hashed_shingle_stream(
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, pairs: str = "all"
 ) -> DataFrame:
     # both sides of the LSH self-join read the signatures: stage them so
     # the shingle explode + 32-way min-agg runs once, not twice
     sh = hashed_shingle_stream(df, id_col, text_col, n)
     sig = _stage(minhash_signatures(sh, id_col, hashed=True))
-    return lsh_candidate_pairs(sig, id_col)
+    return lsh_candidate_pairs(sig, id_col, pairs=pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -668,6 +732,7 @@ def embedding_neardup_banded(
     bits: int = NEARDUP_BAND_BITS,
     seed: int = NEARDUP_SEED,
     kernel: bool = False,
+    pairs: str = "all",
 ) -> DataFrame:
     """(id_a < id_b, cosine >= threshold) pairs via multi-band
     hyperplane LSH: ``bands`` independent signatures of ``bits`` sign
@@ -686,7 +751,17 @@ def embedding_neardup_banded(
     keep bucket fan-out O(1) — e.g. b=32 x r=16 for 1M vectors at
     threshold 0.9 (recall ~0.998). ``kernel=True`` switches signature
     computation to an Arrow-batched matmul for large bands*bits (the
-    Catalyst fold is the certified-bit-exact oracle path)."""
+    Catalyst fold is the certified-bit-exact oracle path).
+
+    ``pairs="star"`` caps the within-bucket candidate fan-out at m−1
+    (hub = bucket-min id) instead of C(m, 2) — the mega-cluster guard
+    (see :func:`lsh_candidate_pairs`). An embedding corpus with 10^5
+    exact-duplicate vectors (re-crawled pages, default embeddings for
+    empty docs) puts them all in one bucket in EVERY band; star mode
+    keeps the join linear. Semantics: only hub-member pairs are
+    cosine-verified, which preserves duplicate GROUPS whenever bucket
+    members are mutually above-threshold (the exact-duplicate case
+    exactly) — pairwise consumers keep ``"all"``."""
     planes = _hyperplanes(dim, bands, bits, seed)
     base = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if kernel:
@@ -716,23 +791,34 @@ def embedding_neardup_banded(
     # persisting it costs 48N rows of storage memory that the bucket
     # join's shuffle needs, and hides size stats from AQE on the first
     # run. Stage shuffled aggregates, not map-only expansions.
-    a, b = banded.alias("a"), banded.alias("b")
     # Late materialization: the band self-join and the candidate dedupe
     # move only (id, band, bval) rows — never the vectors (at dim=512
     # carrying vectors through both shuffles is ~60x the bytes). A pair
     # matching in m bands is also deduped BEFORE the verify so the
     # cosine is paid once. Vectors re-enter via two id-keyed joins
     # against the base relation, sized by the candidate count.
-    cands = (
-        a.join(
-            b,
-            on=(F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a._id") < F.col("b._id")),
+    if pairs == "star":
+        hubs = banded.groupBy("band", "bval").agg(F.min("_id").alias("_hub"))
+        cands = (
+            banded.join(hubs, on=["band", "bval"])
+            .filter(F.col("_id") != F.col("_hub"))
+            .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    elif pairs != "all":
+        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cands = (
+            a.join(
+                b,
+                on=(F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bval") == F.col("b.bval"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     pairs = cands.join(
         base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
     ).join(

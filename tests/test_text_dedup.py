@@ -410,3 +410,122 @@ def test_minhash_index_meta_roundtrip(tmp_path, spark, documents):
     probe = corpus.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
     hits = loaded.match(probe)
     assert hits.count() > 0
+
+
+def test_lsh_star_pairs_same_components_linear_cost(documents, spark):
+    """pairs="star" (r11 mega-cluster guard): per bucket, hub-member
+    edges instead of all C(m,2) pairs. (a) LOSSLESS for the group
+    consumer — connected components over star edges equal components
+    over all-pairs edges (a bucket's star connects exactly the clique's
+    members); (b) linear in the bucket — a planted k-doc identical
+    cluster emits C(k,2) all-pairs candidates but only k-1 star edges;
+    (c) star edges are a subset of the all-pairs relation."""
+    from gamma_spark.operators.groups import connected_components
+
+    k = 40
+    clones = spark.range(k).select(
+        (F.lit(100_000) + F.col("id")).alias("doc_id"),
+        F.lit(
+            "identical boilerplate page body repeated across the crawl "
+            "exactly as web duplicates do"
+        ).alias("text"),
+    )
+    docs = documents.filter(F.col("doc_id") < 120).select(
+        "doc_id", "text"
+    ).unionByName(clones)
+
+    sh = D.hashed_shingle_stream(docs, "doc_id", "text")
+    sig = D.minhash_signatures(sh, "doc_id", hashed=True).cache()
+
+    allp = D.lsh_candidate_pairs(sig, "doc_id").cache()
+    star = D.lsh_candidate_pairs(sig, "doc_id", pairs="star").cache()
+
+    all_set = {(r.id_a, r.id_b) for r in allp.collect()}
+    star_set = {(r.id_a, r.id_b) for r in star.collect()}
+    assert star_set <= all_set  # (c)
+    # (b): the clone cluster alone is C(k,2) in all-pairs vs k-1 in star
+    clone_all = {p for p in all_set if p[0] >= 100_000}
+    clone_star = {p for p in star_set if p[0] >= 100_000}
+    assert len(clone_all) == k * (k - 1) // 2
+    assert len(clone_star) == k - 1
+
+    cc_all = {
+        (r.id, r.group_id) for r in connected_components(allp).collect()
+    }
+    cc_star = {
+        (r.id, r.group_id) for r in connected_components(star).collect()
+    }
+    assert cc_all == cc_star  # (a)
+
+    with pytest.raises(ValueError, match="expected 'all' or 'star'"):
+        D.lsh_candidate_pairs(sig, "doc_id", pairs="clique")
+    sig.unpersist(); allp.unpersist(); star.unpersist()
+
+
+def test_lsh_bucket_stats_predicts_join_cost(documents, spark):
+    """The skew diagnostic's arithmetic: for each bucket size m,
+    allpairs_rows = m(m-1)/2 * n_buckets and star_rows = (m-1) *
+    n_buckets, and the totals equal the actual (pre-distinct) edge
+    counts of both modes."""
+    docs = documents.filter(F.col("doc_id") < 150)
+    sh = D.hashed_shingle_stream(docs, "doc_id", "text")
+    sig = D.minhash_signatures(sh, "doc_id", hashed=True)
+    banded = D.banded_signatures(sig, "doc_id").cache()
+
+    stats = D.lsh_bucket_stats(banded, ["band", "bsig"], "doc_id").collect()
+    assert all(
+        r.allpairs_rows == r.size * (r.size - 1) // 2 * r.n_buckets
+        and r.star_rows == (r.size - 1) * r.n_buckets
+        for r in stats
+    )
+    # totals match the real joins before the cross-band distinct
+    a, b = banded.alias("a"), banded.alias("b")
+    n_allpairs = a.join(
+        b,
+        on=(F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert sum(r.allpairs_rows for r in stats) == n_allpairs
+    hubs = banded.groupBy("band", "bsig").agg(F.min("doc_id").alias("_hub"))
+    n_star = (
+        banded.join(hubs, on=["band", "bsig"])
+        .filter(F.col("doc_id") != F.col("_hub"))
+        .count()
+    )
+    assert sum(r.star_rows for r in stats) == n_star
+    banded.unpersist()
+
+
+def test_embedding_banded_star_groups_planted_duplicates(spark):
+    """Star mode on the embedding LSH: a planted cluster of identical
+    vectors (the web-scale hazard: every band puts all of them in ONE
+    bucket) resolves to one duplicate group from k-1 verified edges
+    instead of C(k,2), and star candidates stay a subset of all-mode
+    candidates on mixed data."""
+    import numpy as np
+
+    from gamma_spark.operators.groups import connected_components
+
+    rng = np.random.default_rng(5)
+    k, dim = 30, 16
+    dup = rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in dup]) for i in range(k)]
+    rows += [
+        (100 + i, [float(x) for x in rng.standard_normal(dim)])
+        for i in range(60)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.99, dim=dim, bands=4, bits=6)
+    star = D.embedding_neardup_banded(embs, pairs="star", **kw).cache()
+    allp = D.embedding_neardup_banded(embs, **kw).cache()
+    star_set = {(r.id_a, r.id_b) for r in star.collect()}
+    all_set = {(r.id_a, r.id_b) for r in allp.collect()}
+    assert star_set <= all_set
+    clone_star = {p for p in star_set if p[1] < k}
+    assert len(clone_star) == k - 1  # hub 0 -> each clone, once
+    cc = connected_components(star).collect()
+    groups = {r.id: r.group_id for r in cc}
+    assert {groups[i] for i in range(k)} == {0}
+    star.unpersist(); allp.unpersist()
