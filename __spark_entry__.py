@@ -2323,18 +2323,40 @@ def q_embedding_neardup_variants(spark, sf_dir):
     column — the exact all-pairs operator and the multi-band
     hyperplane-LSH scale path (consolidates embedding_neardup +
     embedding_neardup_lsh; both still hash-checked)."""
+    from gamma_spark.operators import dedup as D
+
+    star = D.embedding_neardup_banded(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=EMB_NEARDUP_T, dim=64, pairs="star",
+    )
     parts = [
         q_embedding_neardup(spark, sf_dir).withColumn("variant", F.lit("EXACT")),
         q_embedding_neardup_lsh(spark, sf_dir).withColumn("variant", F.lit("LSH")),
+        # r11 mega-cluster guard: hub-member LSH edges only (m-1 per
+        # bucket, not C(m,2)) — the group-resolution scale mode, hash-
+        # checked against the identical DuckDB hub construction
+        star.withColumn("variant", F.lit("STAR")),
     ]
-    return parts[0].unionByName(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _sql_embedding_neardup_variants() -> str:
+    from gamma_spark.operators import dedup as D
+
+    star_sql = D.sql_embedding_neardup_banded(
+        "embeddings", "vec_id", "embedding", EMB_NEARDUP_T, dim=64, pairs="star"
+    )
     return " UNION ALL ".join(
         f"SELECT *, '{v}' AS variant FROM ({s}) t{i}"
         for i, (v, s) in enumerate(
-            [("EXACT", _sql_embedding_neardup()), ("LSH", _sql_embedding_neardup_lsh())]
+            [
+                ("EXACT", _sql_embedding_neardup()),
+                ("LSH", _sql_embedding_neardup_lsh()),
+                ("STAR", star_sql),
+            ]
         )
     )
 

@@ -921,9 +921,12 @@ def sql_embedding_neardup_banded(
     bands: int = NEARDUP_BANDS,
     bits: int = NEARDUP_BAND_BITS,
     seed: int = NEARDUP_SEED,
+    pairs: str = "all",
 ) -> str:
     """DuckDB twin applying the identical multi-band prune (same baked
-    hyperplanes, same fold) then the same cosine verify."""
+    hyperplanes, same fold) then the same cosine verify. ``pairs``
+    mirrors :func:`embedding_neardup_banded` — ``"star"`` emits only
+    (bucket-min hub, member) candidates."""
     planes = _hyperplanes(dim, bands, bits, seed)
     selects = []
     for i, band in enumerate(planes):
@@ -936,6 +939,19 @@ def sql_embedding_neardup_banded(
             f"SELECT {id_col} AS _id, {vec_col} AS _v, {i} AS band, {val} AS bval FROM {table}"
         )
     banded = " UNION ALL ".join(selects)
+    if pairs == "star":
+        cos = V.sql_cosine("hv._v", "m._v")
+        return f"""
+WITH banded AS ({banded}),
+hubs AS (SELECT band, bval, min(_id) AS hub FROM banded GROUP BY band, bval)
+SELECT DISTINCT h.hub AS id_a, m._id AS id_b, {cos} AS cosine
+FROM banded m
+JOIN hubs h ON m.band = h.band AND m.bval = h.bval AND m._id <> h.hub
+JOIN (SELECT DISTINCT _id, _v FROM banded) hv ON hv._id = h.hub
+WHERE {cos} >= {threshold}
+"""
+    if pairs != "all":
+        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
     cos = V.sql_cosine("a._v", "b._v")
     return f"""
 WITH banded AS ({banded})
