@@ -1119,24 +1119,37 @@ class MinHashIndex:
         )
         return banded_signatures(sig, self.id_col)
 
-    def match(self, new_df: DataFrame, text_col: str = "text") -> DataFrame:
+    def match(
+        self, new_df: DataFrame, text_col: str = "text",
+        witness_only: bool = False,
+    ) -> DataFrame:
         """Distinct candidate pairs (new_id, corpus_id) sharing an LSH
         bucket with the indexed corpus. Self-pairs (a doc already in
-        the index matching itself) are excluded by id inequality."""
+        the index matching itself) are excluded by id inequality.
+
+        ``witness_only=True`` is the mega-cluster guard for this
+        bipartite shape (see :func:`lsh_candidate_pairs`): a standing
+        boilerplate cluster of m = 10^5 docs makes every new clone
+        match all m members — k×m shuffle rows per batch for an answer
+        ("is it a dup, and of what group?") that needs ONE witness.
+        The min() witness aggregate is map-side combinable, so the
+        shuffle carries k rows however large the standing cluster is;
+        the returned (new_id, min corpus_id) pair is the group hub the
+        CC/keeper consumer would pick anyway."""
         nb = self._bands_of(new_df, text_col).select(
             F.col(self.id_col).alias("new_id"), "band", "bsig"
         )
-        return (
-            nb.join(
-                self.banded.select(
-                    F.col(self.id_col).alias("corpus_id"), "band", "bsig"
-                ),
-                on=["band", "bsig"],
+        joined = nb.join(
+            self.banded.select(
+                F.col(self.id_col).alias("corpus_id"), "band", "bsig"
+            ),
+            on=["band", "bsig"],
+        ).filter(F.col("new_id") != F.col("corpus_id"))
+        if witness_only:
+            return joined.groupBy("new_id").agg(
+                F.min("corpus_id").alias("corpus_id")
             )
-            .filter(F.col("new_id") != F.col("corpus_id"))
-            .select("new_id", "corpus_id")
-            .distinct()
-        )
+        return joined.select("new_id", "corpus_id").distinct()
 
     def append(self, new_df: DataFrame, text_col: str = "text",
                batch_id: int | str | None = None) -> "MinHashIndex":

@@ -529,3 +529,21 @@ def test_embedding_banded_star_groups_planted_duplicates(spark):
     groups = {r.id: r.group_id for r in cc}
     assert {groups[i] for i in range(k)} == {0}
     star.unpersist(); allp.unpersist()
+
+
+def test_minhash_index_witness_only_match(documents, tmp_path):
+    """witness_only=True (r11 bipartite mega-cluster guard): one
+    (new_id, min corpus_id) row per matching new doc — exactly the
+    per-new-doc minimum of the full match relation, with a map-side-
+    combinable aggregate instead of a k x m candidate shuffle."""
+    docs = documents.filter(F.col("doc_id") < 200)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = D.MinHashIndex.build(corpus, "doc_id", "text")
+
+    full = idx.match(new).collect()
+    want = {}
+    for r in full:
+        want[r.new_id] = min(want.get(r.new_id, r.corpus_id), r.corpus_id)
+    got = {r.new_id: r.corpus_id for r in idx.match(new, witness_only=True).collect()}
+    assert got == want and len(got) > 0
