@@ -68,6 +68,12 @@ DIRTY_KNN_ROWS = (
                               # must agree engine-to-engine)
     "knn_ip_filtered_banded",  # F6 scalar filter (NULL label) + F8
                                # band + kNN in one request
+    # r11: all three near-dup legs (EXACT all-pairs, banded LSH, STAR
+    # hub edges). The zero-filled NULL rows are ~26 IDENTICAL zero
+    # vectors — a miniature mega-cluster that lands in ONE bucket per
+    # band, driving the star hub construction and the zero-norm
+    # cosine=0.0 contract through both engines at once
+    "embedding_neardup_variants",
 )
 
 EMB_DIM = 64
