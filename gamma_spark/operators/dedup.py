@@ -196,8 +196,67 @@ def banded_signatures(sig: DataFrame, id_col: str) -> DataFrame:
     return sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bsig"))
 
 
+def _star_edges(banded: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Per-bucket (min-id hub → member) edges: m−1 rows for an m-member
+    bucket, NOT deduped across buckets. The hub min() is map-side
+    combinable and the hub join fans out m×1 — linear in the bucket
+    however skewed it is."""
+    hubs = banded.groupBy(*keys).agg(F.min(id_col).alias("_hub"))
+    return (
+        banded.join(hubs, on=keys)
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+
+def _allpairs_edges(banded: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Every within-bucket (id_a < id_b) pair: C(m, 2) rows per bucket,
+    NOT deduped across buckets."""
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return a.join(b, on=cond).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+
+#: hybrid-mode crossover: buckets at or under this size keep exact
+#: all-pairs edges (<= ~32k pairs each); larger buckets — the
+#: mega-cluster regime — switch to star edges
+STAR_CAP = 256
+
+
+def _hybrid_edges(
+    banded: DataFrame, keys: list[str], id_col: str, star_cap: int
+) -> DataFrame:
+    """Size-adaptive within-bucket edges: all-pairs for buckets of at
+    most ``star_cap`` members, star for larger ones. One extra
+    map-side-combinable size aggregate on the same keys the join
+    shuffles on."""
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    tagged = banded.join(sizes, on=keys)
+    small = tagged.filter(F.col("_bsz") <= star_cap).drop("_bsz")
+    big = tagged.filter(F.col("_bsz") > star_cap).drop("_bsz")
+    return _allpairs_edges(small, keys, id_col).unionByName(
+        _star_edges(big, keys, id_col)
+    )
+
+
+def _bucket_edges(
+    banded: DataFrame, keys: list[str], id_col: str, pairs: str, star_cap: int
+) -> DataFrame:
+    if pairs == "all":
+        return _allpairs_edges(banded, keys, id_col)
+    if pairs == "star":
+        return _star_edges(banded, keys, id_col)
+    if pairs == "hybrid":
+        return _hybrid_edges(banded, keys, id_col, star_cap)
+    raise ValueError(f"pairs={pairs!r}: expected 'all', 'star' or 'hybrid'")
+
+
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, pairs: str = "all"
+    sig: DataFrame, id_col: str, pairs: str = "all", star_cap: int = STAR_CAP
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one band signature.
     The self-join shuffles on (band, signature) — bucket-bounded fan-out.
@@ -214,37 +273,21 @@ def lsh_candidate_pairs(
       family at 100 TB.
     - ``"star"`` (the mega-cluster scale path): per bucket, emit only
       (min-id hub, member) edges — m−1 rows. For the connected-
-      components / group-resolution consumer this is LOSSLESS: a
-      bucket's star connects exactly the same members as its clique,
-      so CC over star edges equals CC over all edges for every input
-      (pinned by test). Pairwise-verify consumers must keep ``"all"``
-      (star only scores hub-member pairs). The hub min() is a
-      map-side-combinable aggregate and the hub join fans out m×1 —
-      both stay linear in the bucket however skewed it is.
+      components / group-resolution consumer of these UNVERIFIED
+      candidates this is LOSSLESS: a bucket's star connects exactly
+      the same members as its clique, so CC over star edges equals CC
+      over all edges for every input (pinned by test). Consumers that
+      re-verify each candidate pairwise (exact-Jaccard) must use
+      ``"all"`` or ``"hybrid"`` — after a verify filter the star
+      theorem no longer holds (a dissimilar bucket-min hub would
+      orphan genuinely-similar members).
+    - ``"hybrid"``: all-pairs for buckets of at most ``star_cap``
+      members, star above — bounded cost with exact edges everywhere
+      except inside diagnosed mega-buckets (where members are
+      near-identical and any hub is representative).
     """
     banded = banded_signatures(sig, id_col)
-    if pairs == "star":
-        hubs = banded.groupBy("band", "bsig").agg(F.min(id_col).alias("_hub"))
-        return (
-            banded.join(hubs, on=["band", "bsig"])
-            .filter(F.col(id_col) != F.col("_hub"))
-            .select(F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b"))
-            .distinct()
-        )
-    if pairs != "all":
-        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            on=(F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return _bucket_edges(banded, ["band", "bsig"], id_col, pairs, star_cap).distinct()
 
 
 def lsh_bucket_stats(banded: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -263,22 +306,30 @@ def lsh_bucket_stats(banded: DataFrame, keys: list[str], id_col: str) -> DataFra
         F.count_distinct(F.col(id_col)).alias("size")
     )
     m = F.col("size").cast("long")
+    # integer arithmetic throughout: m(m-1) is always even, so the
+    # shift-right halving is exact to 2^63 — a `/ 2` would promote to
+    # double and silently round above 2^53, exactly in the web-scale
+    # regime this diagnostic exists to warn about
     return (
         sizes.groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
         .select(
             "size",
             "n_buckets",
-            (m * (m - F.lit(1)) / F.lit(2) * F.col("n_buckets"))
-            .cast("long")
+            (F.shiftright(m * (m - F.lit(1)), 1) * F.col("n_buckets"))
             .alias("allpairs_rows"),
-            ((m - F.lit(1)) * F.col("n_buckets")).cast("long").alias("star_rows"),
+            ((m - F.lit(1)) * F.col("n_buckets")).alias("star_rows"),
         )
         .orderBy(F.col("size").desc())
     )
 
 
-def sql_lsh_candidate_pairs(signatures_sql: str, id_col: str) -> str:
+def sql_lsh_candidate_pairs(
+    signatures_sql: str, id_col: str, pairs: str = "all"
+) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs`, including the
+    ``pairs="star"`` mega-cluster mode (same bucket-min hub
+    construction) so the text-path star edges are oracle-checkable."""
     rows_per_band = N_HASHES // N_BANDS
     selects = []
     for b in range(N_BANDS):
@@ -287,6 +338,17 @@ def sql_lsh_candidate_pairs(signatures_sql: str, id_col: str) -> str:
         )
         selects.append(f"SELECT {id_col}, {b} AS band, {cols} AS bsig FROM sig")
     banded = " UNION ALL ".join(selects)
+    if pairs == "star":
+        return f"""
+WITH sig AS ({signatures_sql}),
+banded AS ({banded}),
+hubs AS (SELECT band, bsig, min({id_col}) AS hub FROM banded GROUP BY band, bsig)
+SELECT DISTINCT h.hub AS id_a, m.{id_col} AS id_b
+FROM banded m
+JOIN hubs h ON m.band = h.band AND m.bsig = h.bsig AND m.{id_col} <> h.hub
+"""
+    if pairs != "all":
+        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
     return f"""
 WITH sig AS ({signatures_sql}),
 banded AS ({banded})
@@ -733,6 +795,7 @@ def embedding_neardup_banded(
     seed: int = NEARDUP_SEED,
     kernel: bool = False,
     pairs: str = "all",
+    star_cap: int = STAR_CAP,
 ) -> DataFrame:
     """(id_a < id_b, cosine >= threshold) pairs via multi-band
     hyperplane LSH: ``bands`` independent signatures of ``bits`` sign
@@ -753,15 +816,26 @@ def embedding_neardup_banded(
     computation to an Arrow-batched matmul for large bands*bits (the
     Catalyst fold is the certified-bit-exact oracle path).
 
-    ``pairs="star"`` caps the within-bucket candidate fan-out at m−1
-    (hub = bucket-min id) instead of C(m, 2) — the mega-cluster guard
-    (see :func:`lsh_candidate_pairs`). An embedding corpus with 10^5
-    exact-duplicate vectors (re-crawled pages, default embeddings for
-    empty docs) puts them all in one bucket in EVERY band; star mode
-    keeps the join linear. Semantics: only hub-member pairs are
-    cosine-verified, which preserves duplicate GROUPS whenever bucket
-    members are mutually above-threshold (the exact-duplicate case
-    exactly) — pairwise consumers keep ``"all"``."""
+    ``pairs`` (the mega-cluster guard, see :func:`lsh_candidate_pairs`):
+    an embedding corpus with 10^5 exact-duplicate vectors (re-crawled
+    pages, default embeddings for empty docs) puts them all in one
+    bucket in EVERY band, and all-pairs expansion is C(m, 2) there.
+    BUT this operator verifies candidates (cosine >= threshold), and
+    after a verify filter pure ``"star"`` is NOT lossless: when the
+    bucket-min hub is a dissimilar LSH collider, its hub-member edges
+    all fail the verify and a genuinely-similar pair elsewhere in the
+    bucket is never scored (pinned by
+    test_embedding_hybrid_survives_dissimilar_hub). So:
+
+    - ``"all"``: exact, quadratic per bucket — the oracle semantics.
+    - ``"hybrid"`` (the recommended scale mode): all-pairs for buckets
+      of at most ``star_cap`` members — exact wherever colliders can
+      dominate — and star edges only above the cap, the diagnosed
+      mega-bucket regime where members are near-identical and any hub
+      is representative.
+    - ``"star"``: pure hub-member edges; linear, but only safe when
+      bucket members are known mutually-above-threshold (the
+      exact-duplicate case)."""
     planes = _hyperplanes(dim, bands, bits, seed)
     base = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if kernel:
@@ -797,37 +871,19 @@ def embedding_neardup_banded(
     # matching in m bands is also deduped BEFORE the verify so the
     # cosine is paid once. Vectors re-enter via two id-keyed joins
     # against the base relation, sized by the candidate count.
-    if pairs == "star":
-        hubs = banded.groupBy("band", "bval").agg(F.min("_id").alias("_hub"))
-        cands = (
-            banded.join(hubs, on=["band", "bval"])
-            .filter(F.col("_id") != F.col("_hub"))
-            .select(F.col("_hub").alias("id_a"), F.col("_id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    elif pairs != "all":
-        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
-    else:
-        a, b = banded.alias("a"), banded.alias("b")
-        cands = (
-            a.join(
-                b,
-                on=(F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bval") == F.col("b.bval"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-        )
-    pairs = cands.join(
+    cands = _bucket_edges(
+        banded.select("_id", "band", "bval"), ["band", "bval"], "_id",
+        pairs, star_cap,
+    ).dropDuplicates(["id_a", "id_b"])
+    withvecs = cands.join(
         base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
     ).join(
         base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
     )
     if kernel:
-        scored = _cosine_verify_kernel(pairs)
+        scored = _cosine_verify_kernel(withvecs)
     else:
-        scored = pairs.select(
+        scored = withvecs.select(
             "id_a", "id_b", V.cosine("_va", "_vb").alias("cosine")
         )
     return scored.filter(F.col("cosine") >= threshold)
@@ -922,11 +978,15 @@ def sql_embedding_neardup_banded(
     bits: int = NEARDUP_BAND_BITS,
     seed: int = NEARDUP_SEED,
     pairs: str = "all",
+    star_cap: int = STAR_CAP,
 ) -> str:
     """DuckDB twin applying the identical multi-band prune (same baked
-    hyperplanes, same fold) then the same cosine verify. ``pairs``
-    mirrors :func:`embedding_neardup_banded` — ``"star"`` emits only
-    (bucket-min hub, member) candidates."""
+    hyperplanes, same fold) then the same cosine verify. ``pairs`` /
+    ``star_cap`` mirror :func:`embedding_neardup_banded`. Candidate
+    generation carries only (id, band, bval); vectors re-enter from a
+    single base-table join (the Spark path's late materialization —
+    hashing exploded DOUBLE[] lists through the banded CTE would cost
+    bands× the rows for the same relation)."""
     planes = _hyperplanes(dim, bands, bits, seed)
     selects = []
     for i, band in enumerate(planes):
@@ -936,28 +996,44 @@ def sql_embedding_neardup_banded(
             d = f"list_dot_product(({vec_col})::DOUBLE[], {lit})"
             val = f"(({val}) * 2 + (CASE WHEN {d} > 0 THEN 1 ELSE 0 END))"
         selects.append(
-            f"SELECT {id_col} AS _id, {vec_col} AS _v, {i} AS band, {val} AS bval FROM {table}"
+            f"SELECT {id_col} AS _id, {i} AS band, {val} AS bval FROM {table}"
         )
     banded = " UNION ALL ".join(selects)
-    if pairs == "star":
-        cos = V.sql_cosine("hv._v", "m._v")
-        return f"""
-WITH banded AS ({banded}),
-hubs AS (SELECT band, bval, min(_id) AS hub FROM banded GROUP BY band, bval)
-SELECT DISTINCT h.hub AS id_a, m._id AS id_b, {cos} AS cosine
-FROM banded m
-JOIN hubs h ON m.band = h.band AND m.bval = h.bval AND m._id <> h.hub
-JOIN (SELECT DISTINCT _id, _v FROM banded) hv ON hv._id = h.hub
-WHERE {cos} >= {threshold}
-"""
-    if pairs != "all":
-        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
-    cos = V.sql_cosine("a._v", "b._v")
+    hubs = (
+        "SELECT band, bval, min(_id) AS hub, count(*) AS cnt "
+        "FROM banded GROUP BY band, bval"
+    )
+    allpairs_cand = """SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a._id < b._id"""
+    star_cand = """SELECT DISTINCT h.hub AS id_a, m._id AS id_b
+  FROM banded m
+  JOIN hubs h ON m.band = h.band AND m.bval = h.bval AND m._id <> h.hub"""
+    if pairs == "all":
+        ctes, cand = f"banded AS ({banded})", allpairs_cand
+    elif pairs == "star":
+        ctes, cand = f"banded AS ({banded}), hubs AS ({hubs})", star_cand
+    elif pairs == "hybrid":
+        ctes = f"banded AS ({banded}), hubs AS ({hubs})"
+        cand = f"""SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+  JOIN hubs h ON h.band = a.band AND h.bval = a.bval
+  WHERE h.cnt <= {star_cap}
+  UNION
+  SELECT h.hub AS id_a, m._id AS id_b
+  FROM banded m
+  JOIN hubs h ON m.band = h.band AND m.bval = h.bval AND m._id <> h.hub
+  WHERE h.cnt > {star_cap}"""
+    else:
+        raise ValueError(f"pairs={pairs!r}: expected 'all', 'star' or 'hybrid'")
+    cos = V.sql_cosine(f"ta.{vec_col}", f"tb.{vec_col}")
     return f"""
-WITH banded AS ({banded})
-SELECT DISTINCT a._id AS id_a, b._id AS id_b, {cos} AS cosine
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.bval = b.bval AND a._id < b._id
+WITH {ctes}
+SELECT DISTINCT c.id_a, c.id_b, {cos} AS cosine
+FROM ({cand}) c
+JOIN {table} ta ON ta.{id_col} = c.id_a
+JOIN {table} tb ON tb.{id_col} = c.id_b
 WHERE {cos} >= {threshold}
 """
 

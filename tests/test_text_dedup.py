@@ -457,7 +457,7 @@ def test_lsh_star_pairs_same_components_linear_cost(documents, spark):
     }
     assert cc_all == cc_star  # (a)
 
-    with pytest.raises(ValueError, match="expected 'all' or 'star'"):
+    with pytest.raises(ValueError, match="expected 'all', 'star' or 'hybrid'"):
         D.lsh_candidate_pairs(sig, "doc_id", pairs="clique")
     sig.unpersist(); allp.unpersist(); star.unpersist()
 
@@ -546,4 +546,95 @@ def test_minhash_index_witness_only_match(documents, tmp_path):
     for r in full:
         want[r.new_id] = min(want.get(r.new_id, r.corpus_id), r.corpus_id)
     got = {r.new_id: r.corpus_id for r in idx.match(new, witness_only=True).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_embedding_hybrid_survives_dissimilar_hub(spark):
+    """r11 review (hub hijack): in a VERIFIED star path, a bucket whose
+    min-id member is a dissimilar LSH collider orphans genuinely-
+    similar members — their only emitted edges (hub-member) fail the
+    cosine verify. Construction: a near-dup pair at LARGE ids (900,
+    901) inside a crowd of small-id random vectors at tiny bits (4
+    buckets/band), so the pair's bucket hub is always a dissimilar
+    crowd vector. pairs="hybrid" (all-pairs under star_cap) must find
+    the pair; pure star demonstrably loses it; "all" is ground truth."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(dim)]) for i in range(100)
+    ]
+    v = rng.standard_normal(dim)
+    pert = v + 0.25 * rng.standard_normal(dim)
+    rows += [(900, [float(x) for x in v]), (901, [float(x) for x in pert])]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kw = dict(threshold=0.9, dim=dim, bands=2, bits=2)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(embs, **kw).collect()
+    }
+    assert (900, 901) in truth  # the planted pair survives the prune
+    hybrid = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(
+            embs, pairs="hybrid", star_cap=64, **kw
+        ).collect()
+    }
+    star = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_banded(embs, pairs="star", **kw).collect()
+    }
+    # every bucket is under the cap here, so hybrid IS exact
+    assert hybrid == truth
+    # and pure star loses the pair — the reason hybrid exists
+    assert (900, 901) not in star
+
+
+def test_embedding_hybrid_and_star_sql_parity(embeddings, con):
+    """The hybrid and star DuckDB twins reproduce the Spark relations
+    bit-for-bit on the real embeddings table (same hub construction,
+    same size crossover, vectors late-materialized from the base
+    table on both engines)."""
+    for mode, cap in (("star", D.STAR_CAP), ("hybrid", 3)):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in D.embedding_neardup_banded(
+                embeddings, threshold=0.3, dim=64, pairs=mode, star_cap=cap
+            ).collect()
+        }
+        want = {
+            (a, b): c
+            for a, b, c in con.execute(
+                D.sql_embedding_neardup_banded(
+                    "embeddings", "vec_id", "embedding", 0.3, dim=64,
+                    pairs=mode, star_cap=cap,
+                )
+            ).fetchall()
+        }
+        assert got == want, f"pairs={mode} diverges"
+
+
+def test_minhash_star_sql_parity(documents, con):
+    """The text-path star edges are oracle-checkable too: Spark
+    pairs="star" equals the DuckDB hub construction on the same
+    corpus."""
+    docs = documents.filter(F.col("doc_id") < 100)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", pairs="star").collect()
+    }
+    sig_sql = D.sql_minhash_signatures(
+        D.sql_shingles(
+            "(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text", 3
+        ),
+        "doc_id",
+    )
+    want = {
+        (a, b)
+        for a, b in con.execute(
+            D.sql_lsh_candidate_pairs(sig_sql, "doc_id", pairs="star")
+        ).fetchall()
+    }
     assert got == want and len(got) > 0

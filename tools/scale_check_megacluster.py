@@ -107,6 +107,14 @@ def main():
     results["star_verified"] = star.count()
     results["star_sec"] = round(time.time() - t0, 2)
 
+    # 3b. hybrid (the recommended verified-path mode: exact under
+    # star_cap, star above — here the mega-bucket is the entire cost,
+    # so hybrid should track star)
+    t0 = time.time()
+    hybrid = D.embedding_neardup_banded(embs, pairs="hybrid", **kw)
+    results["hybrid_verified"] = hybrid.count()
+    results["hybrid_sec"] = round(time.time() - t0, 2)
+
     # the cluster must resolve to ONE group from the star edges
     t0 = time.time()
     cc = connected_components(star.filter(F.col("id_b") < k))
