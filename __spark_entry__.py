@@ -2336,6 +2336,15 @@ def q_embedding_neardup_variants(spark, sf_dir):
         # bucket, not C(m,2)) — the group-resolution scale mode, hash-
         # checked against the identical DuckDB hub construction
         star.withColumn("variant", F.lit("STAR")),
+        # r11: the recommended verified-path mode — exact all-pairs in
+        # buckets up to star_cap, star above. star_cap=8 is deliberately
+        # tiny so BOTH branches are active at sf0.01 (default buckets
+        # average ~20 members) and the size crossover itself is
+        # hash-checked engine-to-engine
+        D.embedding_neardup_banded(
+            _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            threshold=EMB_NEARDUP_T, dim=64, pairs="hybrid", star_cap=8,
+        ).withColumn("variant", F.lit("HYBRID")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2356,6 +2365,13 @@ def _sql_embedding_neardup_variants() -> str:
                 ("EXACT", _sql_embedding_neardup()),
                 ("LSH", _sql_embedding_neardup_lsh()),
                 ("STAR", star_sql),
+                (
+                    "HYBRID",
+                    D.sql_embedding_neardup_banded(
+                        "embeddings", "vec_id", "embedding", EMB_NEARDUP_T,
+                        dim=64, pairs="hybrid", star_cap=8,
+                    ),
+                ),
             ]
         )
     )
