@@ -233,9 +233,24 @@ def _hybrid_edges(
     """Size-adaptive within-bucket edges: all-pairs for buckets of at
     most ``star_cap`` members, star for larger ones. One extra
     map-side-combinable size aggregate on the same keys the join
-    shuffles on."""
-    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
-    tagged = banded.join(sizes, on=keys)
+    shuffles on.
+
+    Size = count_distinct(id), matching :func:`lsh_bucket_stats` — the
+    diagnostic operators use to pick the mode and cap must agree with
+    the gate that applies them (a raw row count would read duplicated
+    (member, bucket) rows as a bigger bucket and silently flip it to
+    star edges the diagnostic predicted would stay exact).
+
+    The tagged relation is STAGED: it is shuffle-produced (size agg +
+    key join — the module rule is "stage shuffled aggregates, not
+    map-only expansions") and feeds four subplans (both all-pairs join
+    sides, the star member side, the star hub aggregate); unstaged,
+    Catalyst re-derives the banded input and the size shuffle per
+    reference."""
+    sizes = banded.groupBy(*keys).agg(
+        F.count_distinct(F.col(id_col)).alias("_bsz")
+    )
+    tagged = _stage(banded.join(sizes, on=keys))
     small = tagged.filter(F.col("_bsz") <= star_cap).drop("_bsz")
     big = tagged.filter(F.col("_bsz") > star_cap).drop("_bsz")
     return _allpairs_edges(small, keys, id_col).unionByName(
@@ -325,11 +340,13 @@ def lsh_bucket_stats(banded: DataFrame, keys: list[str], id_col: str) -> DataFra
 
 
 def sql_lsh_candidate_pairs(
-    signatures_sql: str, id_col: str, pairs: str = "all"
+    signatures_sql: str, id_col: str, pairs: str = "all",
+    star_cap: int = STAR_CAP,
 ) -> str:
-    """DuckDB twin of :func:`lsh_candidate_pairs`, including the
-    ``pairs="star"`` mega-cluster mode (same bucket-min hub
-    construction) so the text-path star edges are oracle-checkable."""
+    """DuckDB twin of :func:`lsh_candidate_pairs` — all three
+    ``pairs`` modes (same bucket-min hub construction, same
+    count-distinct size crossover), so every text-path edge mode is
+    oracle-checkable."""
     rows_per_band = N_HASHES // N_BANDS
     selects = []
     for b in range(N_BANDS):
@@ -338,17 +355,39 @@ def sql_lsh_candidate_pairs(
         )
         selects.append(f"SELECT {id_col}, {b} AS band, {cols} AS bsig FROM sig")
     banded = " UNION ALL ".join(selects)
+    hubs = (
+        f"SELECT band, bsig, min({id_col}) AS hub, "
+        f"count(DISTINCT {id_col}) AS cnt FROM banded GROUP BY band, bsig"
+    )
     if pairs == "star":
         return f"""
 WITH sig AS ({signatures_sql}),
 banded AS ({banded}),
-hubs AS (SELECT band, bsig, min({id_col}) AS hub FROM banded GROUP BY band, bsig)
+hubs AS ({hubs})
 SELECT DISTINCT h.hub AS id_a, m.{id_col} AS id_b
 FROM banded m
 JOIN hubs h ON m.band = h.band AND m.bsig = h.bsig AND m.{id_col} <> h.hub
 """
+    if pairs == "hybrid":
+        return f"""
+WITH sig AS ({signatures_sql}),
+banded AS ({banded}),
+hubs AS ({hubs})
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.{id_col} < b.{id_col}
+  JOIN hubs h ON h.band = a.band AND h.bsig = a.bsig
+  WHERE h.cnt <= {star_cap}
+  UNION
+  SELECT h.hub AS id_a, m.{id_col} AS id_b
+  FROM banded m
+  JOIN hubs h ON m.band = h.band AND m.bsig = h.bsig AND m.{id_col} <> h.hub
+  WHERE h.cnt > {star_cap}
+)
+"""
     if pairs != "all":
-        raise ValueError(f"pairs={pairs!r}: expected 'all' or 'star'")
+        raise ValueError(f"pairs={pairs!r}: expected 'all', 'star' or 'hybrid'")
     return f"""
 WITH sig AS ({signatures_sql}),
 banded AS ({banded})
@@ -374,13 +413,14 @@ def hashed_shingle_stream(
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, pairs: str = "all"
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    pairs: str = "all", star_cap: int = STAR_CAP,
 ) -> DataFrame:
     # both sides of the LSH self-join read the signatures: stage them so
     # the shingle explode + 32-way min-agg runs once, not twice
     sh = hashed_shingle_stream(df, id_col, text_col, n)
     sig = _stage(minhash_signatures(sh, id_col, hashed=True))
-    return lsh_candidate_pairs(sig, id_col, pairs=pairs)
+    return lsh_candidate_pairs(sig, id_col, pairs=pairs, star_cap=star_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -1000,7 +1040,7 @@ def sql_embedding_neardup_banded(
         )
     banded = " UNION ALL ".join(selects)
     hubs = (
-        "SELECT band, bval, min(_id) AS hub, count(*) AS cnt "
+        "SELECT band, bval, min(_id) AS hub, count(DISTINCT _id) AS cnt "
         "FROM banded GROUP BY band, bval"
     )
     allpairs_cand = """SELECT DISTINCT a._id AS id_a, b._id AS id_b

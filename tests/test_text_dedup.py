@@ -638,3 +638,38 @@ def test_minhash_star_sql_parity(documents, con):
         ).fetchall()
     }
     assert got == want and len(got) > 0
+
+
+def test_minhash_hybrid_sql_parity(documents, con):
+    """The text-path hybrid crossover is oracle-checkable too: Spark
+    pairs="hybrid" equals the DuckDB twin at a tiny star_cap (both
+    branches active) AND at a large cap (pure all-pairs equivalence)."""
+    docs = documents.filter(F.col("doc_id") < 100)
+    sig_sql = D.sql_minhash_signatures(
+        D.sql_shingles(
+            "(SELECT * FROM documents WHERE doc_id < 100)", "doc_id", "text", 3
+        ),
+        "doc_id",
+    )
+    for cap in (2, 10_000):
+        got = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_dedup_pairs(
+                docs, "doc_id", "text", pairs="hybrid", star_cap=cap
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a, b in con.execute(
+                D.sql_lsh_candidate_pairs(
+                    sig_sql, "doc_id", pairs="hybrid", star_cap=cap
+                )
+            ).fetchall()
+        }
+        assert got == want and len(got) > 0, f"star_cap={cap} diverges"
+    # large-cap hybrid degenerates to exact all-pairs
+    allp = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == allp
