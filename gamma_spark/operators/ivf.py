@@ -306,6 +306,7 @@ class IvfFlatIndex:
         self.path = path
         self._hierarchy: tuple[np.ndarray, np.ndarray] | None = None
         self._hnsw_probe = None  # set by enable_hnsw_probe()
+        self._src_docs: DataFrame | None = None  # set by build() (in-memory)
 
     # -- build -----------------------------------------------------------
     @classmethod
@@ -320,6 +321,7 @@ class IvfFlatIndex:
     ) -> "IvfFlatIndex":
         centroids = _train_centroids(docs, doc_vec, ncentroids, sample_size, seed)
         assigned = assign_clusters(docs, centroids, doc_vec)
+        src_docs = docs
         if path:
             # co-locate each inverted list before the partitioned write:
             # without this, every one of T tasks writes into every one of
@@ -337,7 +339,18 @@ class IvfFlatIndex:
             )
             spark = docs.sparkSession
             assigned = spark.read.parquet(os.path.join(path, "index"))
-        return cls(centroids, assigned, path)
+            # a path-backed index re-reads its own parquet (bare scan,
+            # no Python stage) — the written index IS the cheap vector
+            # source, so don't pin the build-time source plan alive
+            src_docs = None
+        idx = cls(centroids, assigned, path)
+        # rescore-vector source for in-memory builds: index_df carries a
+        # MapInPandas (cluster assignment) the rescore join must NOT
+        # re-run just to fetch (_docid, vector) — a second full Python
+        # pass over the corpus (guide §4: pass only the columns the
+        # function needs; here, bypass the function entirely)
+        idx._src_docs = src_docs
+        return idx
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IvfFlatIndex":
@@ -1028,26 +1041,35 @@ class IvfFlatIndex:
                     s = np.where(s <= kmax + eps, s, worst)
                 # select top-kk by (score, doc position); positions are
                 # docid-ordered, so this is exactly the oracle's
-                # (score, _docid) tie order. argpartition bounds the
-                # per-row lexsort — but it picks ARBITRARY members among
-                # ties straddling the kk boundary, so extend the
-                # candidate set to every position tied with the kk-th
-                # value before the lexsort (integer-valued metrics like
-                # HAMMING tie constantly; property-tested).
+                # (score, _docid) tie order. Fully vectorized (the
+                # former per-query Python lexsort loop was the kernel's
+                # hottest line at corpus-query counts — guide §4.2):
+                # lexsort over axis=1 orders every row by (score, col)
+                # in one C call; argpartition picks ARBITRARY members
+                # among ties straddling the ke boundary, so only rows
+                # where a straddle actually occurs pay the per-row
+                # repair (integer-valued metrics like HAMMING tie
+                # constantly and still repair; float scores almost
+                # never do; property-tested either way).
                 ke = min(kk + extra, len(ids))
-                sel = np.empty((len(qc), ke), dtype=np.int64)
+                skey = s if asc else -s
                 if len(ids) > ke:
-                    skey = s if asc else -s
                     pre = np.argpartition(skey, ke - 1, axis=1)[:, :ke]
-                    thr = np.take_along_axis(skey, pre, axis=1).max(axis=1)
-                    for r in range(len(qc)):
-                        cand = np.flatnonzero(skey[r] <= thr[r])
+                    vals = np.take_along_axis(skey, pre, axis=1)
+                    order = np.lexsort((pre, vals), axis=1)
+                    sel = np.take_along_axis(pre, order, axis=1)
+                    kth = vals.max(axis=1)
+                    straddle = np.flatnonzero(
+                        np.isfinite(kth)
+                        & ((skey <= kth[:, None]).sum(axis=1) > ke)
+                    )
+                    for r in straddle:
+                        cand = np.flatnonzero(skey[r] <= kth[r])
                         sel[r] = cand[np.lexsort((cand, skey[r][cand]))[:ke]]
                 else:
-                    pos = np.arange(len(ids))
-                    for r in range(len(qc)):
-                        row = s[r] if asc else -s[r]
-                        sel[r] = np.lexsort((pos, row))[:ke]
+                    # stable argsort == per-row lexsort((pos, skey)):
+                    # ties break to the smaller column index (= docid)
+                    sel = np.argsort(skey, axis=1, kind="stable")[:, :ke]
                 sc = np.take_along_axis(s, sel, axis=1)
                 qrep = np.repeat(qids_all[lo : lo + chunk], ke)
                 did = ids[sel.ravel()]
@@ -1073,13 +1095,30 @@ class IvfFlatIndex:
                 partials, ["qid"], "score", k, ascending=asc, tiebreak_cols=["_docid"]
             )
         # two-phase exact rescore (bit-identical to the SQL oracle): the
-        # candidate set is k-per-(query,cluster) — candidate-bounded joins
-        cand = partials.select("qid", "_docid").dropDuplicates(["qid", "_docid"])
+        # candidate set is k-per-(query,cluster) — candidate-bounded
+        # joins. (qid, _docid) pairs are already unique: each doc lives
+        # in exactly ONE (cluster_id, _salt) bucket, so no (query, doc)
+        # pair can be emitted by two cogroup blocks — the former
+        # dropDuplicates spent a full exchange + two hash aggregates
+        # proving a property the disjoint partitioning guarantees.
+        cand = partials.select("qid", "_docid")
+        # candidate vectors come from the cheapest equivalent source:
+        # the build-time docs relation (bare scan) instead of index_df,
+        # whose in-memory form re-runs the cluster-assignment
+        # MapInPandas — a second full Python pass over the corpus just
+        # to read (_docid, vector). Values are identical: every
+        # candidate id has exactly one row on either side (candidates
+        # already passed the predicate/_deleted filters upstream).
+        fetch_src = self._src_docs
+        if fetch_src is not None:
+            fetch = fetch_src.select("_docid", F.col(doc_vec).alias("_dvec"))
+        else:
+            fetch = dsel.select("_docid", "_dvec")
         rescore_col = V.score(metric_u, "_dvec", "_qvec", l2_sqrt=l2_sqrt)
         if metric_u == "HAMMING":
             rescore_col = rescore_col.cast("double")  # match kernel dtype
         rescored = (
-            cand.join(dsel.select("_docid", "_dvec"), on="_docid", how="inner")
+            cand.join(fetch, on="_docid", how="inner")
             .join(qsel, on="qid", how="inner")
             .select("qid", "_docid", rescore_col.alias("score"))
         )

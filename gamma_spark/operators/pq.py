@@ -781,24 +781,31 @@ class IvfPqIndex:
                     s = np.where(s >= kmin, s, worst)
                 if kmax is not None:
                     s = np.where(s <= kmax, s, worst)
-                # tie-aware preselection: argpartition alone may pick
-                # arbitrary members among ties straddling the kk
-                # boundary, dropping the docid-smallest tied candidate
-                # (same fix as the IVF twin; ADC scores tie on
-                # low-entropy codes)
-                sel = np.empty((len(qc), kk), dtype=np.int64)
+                # tie-aware preselection, fully vectorized (same kernel
+                # shape as the IVF twin — the former per-query Python
+                # lexsort loop was the hottest line at corpus-query
+                # counts, guide §4.2): one axis=1 lexsort orders every
+                # row by (score, col) — positions are docid-ordered, so
+                # that IS the oracle tie order; only rows where a tie
+                # actually straddles the kk boundary pay the per-row
+                # repair (ADC scores tie on low-entropy codes)
+                skey = s if asc else -s
                 if len(ids) > kk:
-                    skey = s if asc else -s
                     pre = np.argpartition(skey, kk - 1, axis=1)[:, :kk]
-                    thr = np.take_along_axis(skey, pre, axis=1).max(axis=1)
-                    for r in range(len(qc)):
-                        cand = np.flatnonzero(skey[r] <= thr[r])
+                    vals = np.take_along_axis(skey, pre, axis=1)
+                    order = np.lexsort((pre, vals), axis=1)
+                    sel = np.take_along_axis(pre, order, axis=1)
+                    kth = vals.max(axis=1)
+                    straddle = np.flatnonzero(
+                        np.isfinite(kth)
+                        & ((skey <= kth[:, None]).sum(axis=1) > kk)
+                    )
+                    for r in straddle:
+                        cand = np.flatnonzero(skey[r] <= kth[r])
                         sel[r] = cand[np.lexsort((cand, skey[r][cand]))[:kk]]
                 else:
-                    pos = np.arange(len(ids))
-                    for r in range(len(qc)):
-                        row = s[r] if asc else -s[r]
-                        sel[r] = np.lexsort((pos, row))[:kk]
+                    # stable argsort == per-row lexsort((pos, skey))
+                    sel = np.argsort(skey, axis=1, kind="stable")[:, :kk]
                 sc = np.take_along_axis(s, sel, axis=1)
                 qrep = np.repeat(qids_all[lo : lo + chunk], kk)
                 did = ids[sel.ravel()]

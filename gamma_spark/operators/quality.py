@@ -226,8 +226,21 @@ def lm_perplexity(
             F.count(F.lit(1)).alias("c12")
         )
     )
-    vocab = uni.count()  # the one driver scalar (|V|)
-    n_big = big.count()  # pre-pays the persisted materialization
+    # ONE action materializes BOTH persisted count relations and
+    # returns both cardinalities (|V| is the one driver scalar; the
+    # bigram count gates the broadcast pin below). Two separate
+    # count() calls were two driver-blocking jobs over the same train
+    # scans — the union computes the same numbers in a single job and
+    # the persists still populate (guide §1.2: fewer passes).
+    counts = dict(
+        uni.select(F.lit("u").alias("_s"))
+        .unionByName(big.select(F.lit("b").alias("_s")))
+        .groupBy("_s")
+        .count()
+        .collect()
+    )
+    vocab = int(counts.get("u", 0))
+    n_big = int(counts.get("b", 0))
 
     # Pin the scoring join's build side when the count relations are
     # dimension-table-sized: left to AQE, the same run either

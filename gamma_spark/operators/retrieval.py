@@ -41,6 +41,27 @@ BM25_B = 0.75
 RRF_C = 60
 
 
+def _localize_query_terms(query_terms: DataFrame) -> DataFrame:
+    """Collapse the (qid, term) request relation into a local relation.
+
+    Query terms are the bounded request side by contract (a few rows
+    per query — the same cap gamma's Request puts on the knn query
+    batch, knn.py:116). Downstream they are consumed 2-3 times (the
+    qset semi-join prune, the scoring join, the WAND rescore), and
+    every consumption re-evaluates the caller's subplan — when terms
+    are derived from a table that is a scan + tokenize + explode +
+    distinct (two exchanges) PER USE (guide §1.2: don't recompute what
+    one pass established). One bounded collect makes every reuse a
+    free LocalRelation. Already-local inputs pass through untouched."""
+    sel = query_terms.select("qid", "term")
+    plan = sel._jdf.queryExecution().optimizedPlan().toString()
+    if plan.startswith("LocalRelation"):
+        return sel
+    return query_terms.sparkSession.createDataFrame(
+        sel.collect(), schema=sel.schema
+    )
+
+
 def term_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -330,6 +351,7 @@ def bm25_search(
     unconditional per-term pruning.
     """
     postings = term_postings(docs, id_col, text_col)
+    query_terms = _localize_query_terms(query_terms)
     qset = query_terms.select("term").distinct()
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -796,6 +818,7 @@ class Bm25Index:
         pass. ``champions``/``champion_df_floor``/``rescore``: df-aware
         pruning + WAND band rescore, see :func:`bm25_search`."""
         k1, b = self.k1, self.b
+        query_terms = _localize_query_terms(query_terms)
         qset = query_terms.select("term").distinct()
         tpost = self.postings.join(F.broadcast(qset), "term")
         dfs = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

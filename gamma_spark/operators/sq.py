@@ -311,10 +311,13 @@ class IvfSq8Index:
         from gamma_spark.operators.topk import topk
 
         pool = max(recall_num or max(4 * k, 64), k)
+        # (qid, _docid) pairs are unique already: the inner join's
+        # global top-pool emits at most one row per (query, doc) — a
+        # dedup here would spend a full exchange proving it
         cand = helper.knn_join_distributed(
             queries, k=pool, metric=metric, nprobe=nprobe,
             doc_vec=self.doc_vec, l2_sqrt=l2_sqrt, **kw,
-        ).select("qid", "_docid").dropDuplicates(["qid", "_docid"])
+        ).select("qid", "_docid")
         # honor query_id/query_vec overrides riding in **kw: the
         # candidate pass above renames to (qid, _docid), but the
         # rescore must read the caller's OWN column names here

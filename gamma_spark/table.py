@@ -43,7 +43,12 @@ DELETED = "_deleted"
 DONE_MARKER = "dump.done"
 
 
-def assign_docids(df: DataFrame, start: int = 0, docid_col: str = DOCID) -> DataFrame:
+def assign_docids(
+    df: DataFrame,
+    start: int = 0,
+    docid_col: str = DOCID,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """Mint dense monotonically-increasing docids (gamma's ``max_docid_``
     counter, `search/gamma_engine.cc:656`) without a global sort.
 
@@ -51,9 +56,20 @@ def assign_docids(df: DataFrame, start: int = 0, docid_col: str = DOCID) -> Data
     (2) per-partition ``row_number`` + broadcast offset. Unlike
     ``monotonically_increasing_id`` the result is *dense*, which
     multi-vector fusion and the delete bitmap analogue rely on.
+
+    ``stats_out`` (optional dict) receives ``{"n": rows, "end": next
+    unminted docid}`` from the count pass — minting already knows the
+    post-batch max docid, so callers that previously ran a separate
+    ``max(_docid)`` action over the minted relation can read it here
+    for free (guide §1.2: don't compute what a prior pass already
+    established).
     """
     with_pid = df.withColumn("_pid", F.spark_partition_id())
     counts = with_pid.groupBy("_pid").count().collect()
+    if stats_out is not None:
+        total = int(sum(r["count"] for r in counts))
+        stats_out["n"] = total
+        stats_out["end"] = start + total
     if not counts:  # empty input: keep schema, no rows to number
         return df.withColumn(docid_col, F.lit(start).cast("long"))
     offsets, acc = {}, start
@@ -94,6 +110,7 @@ def _merge_batch(
     idc: str,
     next_docid_start: int | None = None,
     order_col: str | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Core AddOrUpdateDocs merge (`search/gamma_engine.cc:676-759`):
     last-write-wins dedup within the batch, in-place update of existing
@@ -162,7 +179,12 @@ def _merge_batch(
         max_docid = cur.select(F.max(DOCID)).collect()[0][0]
         next_docid_start = (max_docid or -1) + 1
     new_rows = deduped.join(cur.select(idc), on=idc, how="left_anti")
-    new_rows = assign_docids(new_rows, start=next_docid_start)
+    new_rows = assign_docids(new_rows, start=next_docid_start, stats_out=stats_out)
+    if stats_out is not None:
+        # post-merge max docid, known from the minting count pass:
+        # updated rows keep docids <= the pre-batch max, inserts end at
+        # end-1 — callers use this instead of re-scanning the merge
+        stats_out["max_docid"] = max(next_docid_start - 1, stats_out["end"] - 1)
     new_rows = new_rows.withColumn(DELETED, F.lit(False))
     return updated.unionByName(new_rows.select(*updated.columns))
 
@@ -183,8 +205,16 @@ class GammaTable:
         self.spark = spark
         self.id_col = id_col
         self.path = path
+        #: max docid ever minted for this table when KNOWN from the
+        #: minting pass (None when the relation arrived with _docid
+        #: already attached, e.g. a snapshot load). Lets docid-derived
+        #: metadata (BucketedDocStore.create, add_or_update's
+        #: next_docid_start) skip a full max(_docid) scan.
+        self._max_docid_hint: int | None = None
         if DOCID not in df.columns:
-            df = assign_docids(df)
+            stats: dict = {}
+            df = assign_docids(df, stats_out=stats)
+            self._max_docid_hint = stats["end"] - 1
         if DELETED not in df.columns:
             df = df.withColumn(DELETED, F.lit(False))
         self._df = df
@@ -302,11 +332,22 @@ class GammaTable:
         drip-feed. NOTE this rewrites the full table per batch; the
         O(batch) durable path is ``BucketedDocStore.upsert``.
         """
+        stats: dict = {}
         merged = _merge_batch(
             self._df, batch, self.id_col,
-            next_docid_start=None, order_col=order_col,
+            # minting bookkeeping: when this table minted its own docids
+            # the max is already known — skip _merge_batch's max(_docid)
+            # scan over the full table (a per-upsert full pass, and a
+            # Python one when the table plan carries mapInPandas stages)
+            next_docid_start=(
+                None if self._max_docid_hint is None
+                else self._max_docid_hint + 1
+            ),
+            order_col=order_col,
+            stats_out=stats,
         )
         out = GammaTable(self.spark, merged, id_col=self.id_col, path=self.path)
+        out._max_docid_hint = stats.get("max_docid")
         if persist_root is None:
             return out
         out.dump(persist_root)
@@ -343,7 +384,9 @@ class GammaTable:
         new_df = self._df.withColumn(
             DELETED, F.when(hit, F.lit(True)).otherwise(F.col(DELETED))
         )
-        return GammaTable(self.spark, new_df, id_col=self.id_col, path=self.path), deleted_ids
+        out = GammaTable(self.spark, new_df, id_col=self.id_col, path=self.path)
+        out._max_docid_hint = self._max_docid_hint  # tombstones mint nothing
+        return out, deleted_ids
 
     # -- snapshot persistence (S5) ---------------------------------------
     def dump(self, root: str) -> str:
@@ -588,8 +631,14 @@ class BucketedDocStore:
         # full row schema, so the store stays readable even when every
         # bucket is compacted away (zero data files -> no inference)
         df.limit(0).write.mode("overwrite").parquet(os.path.join(root, "schema"))
-        written = spark.read.parquet(os.path.join(root, "docs"))
-        max_docid = written.select(F.max(DOCID)).collect()[0][0]
+        if table._max_docid_hint is not None:
+            # the table minted its own docids, so the max is already
+            # known — no post-write max(_docid) job (the written data
+            # is exactly table.raw plus the bucket column)
+            max_docid = table._max_docid_hint
+        else:
+            written = spark.read.parquet(os.path.join(root, "docs"))
+            max_docid = written.select(F.max(DOCID)).collect()[0][0]
         meta = {
             "id_col": table.id_col,
             "nbuckets": nbuckets,
@@ -698,36 +747,29 @@ class BucketedDocStore:
         # compacted-away store (zero bucket dirs) readable — a bare
         # read.parquet on the empty docs dir fails schema inference
         cur = self.raw().filter(F.col(BUCKET).isin(hit))
+        stats: dict = {}
         merged = _merge_batch(
             cur.drop(BUCKET),
             batch,
             idc,
             next_docid_start=int(self.meta["max_docid"]) + 1,
             order_col=order_col,
+            stats_out=stats,
         )
         # co-locate each bucket before the partitioned write (T tasks x
         # B buckets would otherwise spray T*B tiny files — same hygiene
-        # as the IVF index write, operators/ivf.py); persist so max and
-        # the write share one computation of the merge. The repartition
-        # must sit BELOW the persist: the docid minting inside
-        # _merge_batch numbers rows per partition id, and the fixed
-        # exchange pins those ids across the two minting jobs
+        # as the IVF index write, operators/ivf.py). The post-merge max
+        # docid comes from the minting count pass (stats_out), so the
+        # staged write is the merge's ONLY materialization — the former
+        # persist + separate max(_docid) job per commit are gone
         merged = merged.withColumn(BUCKET, _bucket_of(idc, nb)).repartition(
             len(hit), F.col(BUCKET)
         )
-        from pyspark.storagelevel import StorageLevel
-
-        merged.persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            # max BEFORE the commit: a post-commit probe over the
-            # pre-commit file listing can hit FILE_NOT_FOUND after
-            # cache eviction (ADVICE r3)
-            new_max = merged.select(F.max(DOCID)).collect()[0][0]
-            meta = dict(self.meta)
-            meta["max_docid"] = max(int(self.meta["max_docid"]), int(new_max))
-            return self._swap_commit(merged, hit, meta, pre_partitioned=True)
-        finally:
-            merged.unpersist()
+        meta = dict(self.meta)
+        meta["max_docid"] = max(
+            int(self.meta["max_docid"]), int(stats["max_docid"])
+        )
+        return self._swap_commit(merged, hit, meta, pre_partitioned=True)
 
     def _swap_commit(
         self,
