@@ -68,7 +68,14 @@ def connected_components(
     """(id, group_id) for every id appearing in ``pairs``; group_id =
     min id of the connected component. Raises if ``max_rounds`` passes
     without reaching the fixpoint (never observed on dedup graphs)."""
-    edges = symmetric_edges(pairs, a, b).localCheckpoint(eager=True)
+    # LAZY local checkpoints throughout the loop (r11): eager=True ran
+    # one runJob per checkpoint PLUS the convergence-probe action that
+    # follows it — two driver-blocking jobs per round (and three at
+    # init). A lazy checkpoint materializes (and truncates lineage)
+    # as a side effect of the probe action that already scans the same
+    # relation, halving the job count per round with identical data
+    # and identical lineage truncation.
+    edges = symmetric_edges(pairs, a, b).localCheckpoint(eager=False)
     # init fuses the first propagation round: label_0 = min(id, min
     # neighbor) — identical to one round over identity labels, one
     # fewer join+checkpoint cycle (dup quasi-cliques then converge in
@@ -82,7 +89,7 @@ def connected_components(
             F.col("src").alias("id"),
             F.least(F.col("src"), F.col("_mn")).alias("label"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # convergence probe: sum(label) strictly decreases every round
     # until the fixpoint (labels only ever drop) -> one scalar action
@@ -113,7 +120,7 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(probe).collect()[0][0]
         labels = new_labels

@@ -1308,9 +1308,17 @@ class HnswIndex:
         shards_rel = spark.range(self.nshards).select(
             F.col("id").cast("int").alias("_shard")
         )
+        # parallelize the nshards fan-out when the query relation
+        # arrives under-partitioned (same single-task-probe fix as the
+        # IVF distributed join; metadata-only, no-op at scale)
+        from gamma_spark.session import ensure_parallelism
+
         qsel = (
-            queries.select(
-                F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")
+            ensure_parallelism(
+                queries.select(
+                    F.col(query_id).alias("qid"), F.col(query_vec).alias("_qvec")
+                ),
+                fanout=float(self.nshards),
             )
             .crossJoin(F.broadcast(shards_rel))
             .withColumn(

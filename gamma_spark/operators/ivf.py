@@ -219,13 +219,20 @@ def _train_centroids(
     ncentroids: int,
     sample_size: int,
     seed: int,
+    sample_out: dict | None = None,
 ) -> np.ndarray:
     """K-means over a bounded sample; returns (ncentroids, d).
 
     The training *sample* is bounded (reference: ``indexing_size`` docs)
     so for samples under LOCAL_TRAIN_MAX rows we collect and run local
     numpy Lloyd; larger samples go through MLlib KMeans so training
-    itself stays distributed."""
+    itself stays distributed.
+
+    ``sample_out`` (optional dict) receives the collected sample matrix
+    under ``"data"`` when the local-training branch ran — builders that
+    need a second bounded sample of the SAME relation (PQ codebook
+    training) can slice this one instead of paying another
+    scan+collect job over the corpus (guide §1.2)."""
     total = _estimate_rows(docs, doc_vec)
     if total is None:
         total = docs.count()
@@ -255,6 +262,8 @@ def _train_centroids(
         data = stack_vectors(
             pdf["_v"].to_numpy(), "centroid training sample"
         ).astype(np.float64)
+        if sample_out is not None:
+            sample_out["data"] = data
         return kmeans_lloyd_np(data, ncentroids, seed)
 
     from pyspark.ml.clustering import KMeans
@@ -919,6 +928,20 @@ class IvfFlatIndex:
             psel = qsel
 
         probe = make_exec_probe(cents, nprobe, salts, probe_col=probe_col)
+
+        # The probe fans each query row out nprobe*salts ways before the
+        # cogroup shuffle, so a query relation arriving with too few
+        # partitions (one small parquet file, a broadcast crossJoin)
+        # serializes BOTH the fan-out compute and the fanned shuffle
+        # write into one task (measured: the single-task probe stage was
+        # 3.8 s of the 5.5 s 10k-query graph join, writing 57 MB of
+        # shuffle alone — guide §2.2 "fewer, larger map tasks" inverted:
+        # here the map stage had ONE task). ensure_parallelism is
+        # metadata-only and a no-op at scale, where scans already carry
+        # thousands of splits.
+        from gamma_spark.session import ensure_parallelism
+
+        psel = ensure_parallelism(psel, fanout=float(nprobe * salts))
 
         if hierarchical:
             prel = queries.select(

@@ -277,36 +277,47 @@ class IvfPqIndex:
         moves WHERE the codebook centroids sit."""
         from gamma_spark.operators.ivf import _train_centroids
 
-        centroids = _train_centroids(docs, doc_vec, ncentroids, sample_size, seed)
+        sout: dict = {}
+        centroids = _train_centroids(
+            docs, doc_vec, ncentroids, sample_size, seed, sample_out=sout
+        )
         d = centroids.shape[1]
         if d % nsubvector:
             raise ValueError(f"dimension {d} not divisible by nsubvector {nsubvector}")
         dsub, ksub = d // nsubvector, 2**nbits
 
         # bounded training sample for codebooks (cap points/centroid,
-        # standard quantizer practice); seeded uniform sample — a bare
-        # limit() would take the file-order prefix, underfitting the
-        # tail of sorted/sharded corpora. Arrow-path collection.
+        # standard quantizer practice). When the coarse-quantizer
+        # training already collected a (larger-cap) seeded sample of
+        # the same relation, its prefix IS a bounded uniform sample —
+        # slicing it saves a second scan+collect job over the corpus
+        # per build (guide §1.2; at bench SFs both samples were the
+        # identical full table, so training is bit-unchanged). Only
+        # the distributed-MLlib training branch (no collected sample)
+        # still pays its own collection.
         from gamma_spark.operators.ivf import _estimate_rows
 
         cap = min(sample_size, 100_000, 128 * ksub)
-        svec = docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
-        est = _estimate_rows(docs, doc_vec)
-        if est is not None and est > cap:
-            svec = svec.sample(fraction=min(1.0, 1.5 * cap / est), seed=seed)
-        spdf = svec.limit(cap).toPandas()
-        if spdf.empty:
-            # fraction sampling under an overestimated row count can
-            # return nothing; fall back to a plain bounded take (same
-            # guard as ivf._train_centroids)
-            spdf = docs.select(
-                F.col(doc_vec).cast("array<double>").alias("_v")
-            ).limit(cap).toPandas()
-        if spdf.empty:
-            raise ValueError("cannot train codebooks on an empty relation")
-        sample = stack_vectors(
-            spdf["_v"].to_numpy(), "PQ codebook training sample"
-        ).astype(np.float64)
+        if "data" in sout:
+            sample = sout["data"][:cap]
+        else:
+            svec = docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
+            est = _estimate_rows(docs, doc_vec)
+            if est is not None and est > cap:
+                svec = svec.sample(fraction=min(1.0, 1.5 * cap / est), seed=seed)
+            spdf = svec.limit(cap).toPandas()
+            if spdf.empty:
+                # fraction sampling under an overestimated row count can
+                # return nothing; fall back to a plain bounded take (same
+                # guard as ivf._train_centroids)
+                spdf = docs.select(
+                    F.col(doc_vec).cast("array<double>").alias("_v")
+                ).limit(cap).toPandas()
+            if spdf.empty:
+                raise ValueError("cannot train codebooks on an empty relation")
+            sample = stack_vectors(
+                spdf["_v"].to_numpy(), "PQ codebook training sample"
+            ).astype(np.float64)
         # residuals to the assigned coarse centroid (faiss IVFPQ)
         a = (
             -2.0 * (sample @ centroids.T)
@@ -717,6 +728,13 @@ class IvfPqIndex:
         from gamma_spark.operators.ivf import make_exec_probe
 
         probe = make_exec_probe(cents, nprobe, salts)
+
+        # parallelize the nprobe*salts fan-out when the query relation
+        # arrives under-partitioned (same single-task-probe fix as the
+        # IVF twin; metadata-only, no-op at scale)
+        from gamma_spark.session import ensure_parallelism
+
+        qsel = ensure_parallelism(qsel, fanout=float(nprobe * salts))
 
         qprobed = qsel.mapInPandas(
             probe, schema=f"qid long, _qvec {vec_type}, cluster_id int, _salt int"
