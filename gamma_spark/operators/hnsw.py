@@ -899,7 +899,16 @@ class HnswIndex:
                 StructField("_nbrs", ArrayType(ArrayType(IntegerType()))),
             ]
         )
-        graph = sharded.groupBy("_shard").applyInPandas(build_shard, schema=schema)
+        # pin one build task per shard — AQE's byte-based coalescing
+        # would pack the CPU-heavy graph constructions onto 1-2 cores
+        # (session.partition_for_kernel)
+        from gamma_spark.session import partition_for_kernel
+
+        graph = (
+            partition_for_kernel(sharded, ["_shard"], nshards)
+            .groupBy("_shard")
+            .applyInPandas(build_shard, schema=schema)
+        )
         router = None
         dim = None
         if path:
@@ -1427,9 +1436,19 @@ class HnswIndex:
                 profile["emit_s"].add(time.perf_counter() - tp0)
             return out.reset_index(drop=True)
 
+        # pin the kernel fan-out: AQE would coalesce this few-MB shuffle
+        # by bytes and serialize the per-shard traversals onto 1-2 cores
+        # (see session.partition_for_kernel; measured 4.6 s -> 1.5 s)
+        from gamma_spark.session import partition_for_kernel
+
+        ng = self.nshards * max(1, qsplits)
         partials = (
-            qsel.groupby("_shard", "_qs")
-            .cogroup(gsel.groupby("_shard", "_qs"))
+            partition_for_kernel(qsel, ["_shard", "_qs"], ng)
+            .groupby("_shard", "_qs")
+            .cogroup(
+                partition_for_kernel(gsel, ["_shard", "_qs"], ng)
+                .groupby("_shard", "_qs")
+            )
             .applyInPandas(per_shard, schema="qid long, _docid long, score double")
         )
         from gamma_spark.functions import vector as V

@@ -809,9 +809,16 @@ class IvfFlatIndex:
                 )
             return pd.concat(outs, ignore_index=True)
 
+        # pin the super-probe kernel fan-out (session.partition_for_kernel)
+        from gamma_spark.session import partition_for_kernel
+
         cand = (
-            qsup.groupby("super_id")
-            .cogroup(crel.groupby("super_id"))
+            partition_for_kernel(qsup, ["super_id"], nsuper)
+            .groupby("super_id")
+            .cogroup(
+                partition_for_kernel(crel, ["super_id"], nsuper)
+                .groupby("super_id")
+            )
             .applyInPandas(per_super, schema="qid long, cluster_id int, _cdist double")
         )
         pairs = topk(
@@ -1107,9 +1114,19 @@ class IvfFlatIndex:
                 )
             return pd.concat(outs, ignore_index=True)
 
+        # pin the kernel fan-out: AQE's byte-based partition coalescing
+        # serializes the CPU-heavy BLAS kernel onto 1-2 cores when the
+        # shuffle is only a few MB (session.partition_for_kernel)
+        from gamma_spark.session import partition_for_kernel
+
+        ng = len(self.centroids) * max(1, salts)
         partials = (
-            qprobed.groupby(*cogroup_keys)
-            .cogroup(dsel.groupby(*cogroup_keys))
+            partition_for_kernel(qprobed, cogroup_keys, ng)
+            .groupby(*cogroup_keys)
+            .cogroup(
+                partition_for_kernel(dsel, cogroup_keys, ng)
+                .groupby(*cogroup_keys)
+            )
             .applyInPandas(per_cluster, schema="qid long, _docid long, score double")
         )
 

@@ -159,8 +159,13 @@ def pack_first_fit(
     schema = StructType(
         list(sharded.schema.fields) + [StructField("seq_id", LongType())]
     )
+    # pin one pack task per shard — AQE's byte-based coalescing would
+    # serialize the per-shard first-fit loops (session.partition_for_kernel)
+    from gamma_spark.session import partition_for_kernel
+
     return (
-        sharded.groupBy("_pk_shard")
+        partition_for_kernel(sharded, ["_pk_shard"], nshards)
+        .groupBy("_pk_shard")
         .applyInPandas(pack, schema=schema)
         .drop("_pk_shard")
     )

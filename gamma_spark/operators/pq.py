@@ -836,9 +836,19 @@ class IvfPqIndex:
                 )
             return pd.concat(outs, ignore_index=True)
 
+        # pin the kernel fan-out: AQE's byte-based partition coalescing
+        # serializes the ADC kernel onto 1-2 cores when the shuffle is
+        # only a few MB (session.partition_for_kernel)
+        from gamma_spark.session import partition_for_kernel
+
+        ng = len(cents) * max(1, salts)
         partials = (
-            qprobed.groupby("cluster_id", "_salt")
-            .cogroup(dsel.groupby("cluster_id", "_salt"))
+            partition_for_kernel(qprobed, ["cluster_id", "_salt"], ng)
+            .groupby("cluster_id", "_salt")
+            .cogroup(
+                partition_for_kernel(dsel, ["cluster_id", "_salt"], ng)
+                .groupby("cluster_id", "_salt")
+            )
             .applyInPandas(per_cluster, schema="qid long, _docid long, adc_score double")
         )
         candidates = topk(

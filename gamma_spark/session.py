@@ -65,6 +65,37 @@ def ensure_parallelism(df, min_partitions: int | None = None, fanout: float = 1.
     return df
 
 
+def partition_for_kernel(df, keys: list[str], ngroups: int | None = None):
+    """Pin an explicit hash partitioning for a Python-kernel group stage.
+
+    AQE coalesces post-shuffle partitions by BYTES
+    (``coalescePartitions.parallelismFirst`` floors them at
+    ``minPartitionSize``, 1 MB), but a cogroup/groupBy feeding a pandas
+    kernel costs per-ROW CPU — a few-MB shuffle collapses to one or two
+    tasks and the kernel serializes on one core while the rest idle
+    (measured: the HNSW 512q fan-out search ran its 8 shard traversals
+    in ONE AQE-coalesced task, 4.6 s wall vs 1.5 s at 32-way — guide
+    §2.5's skew pathology created by the optimizer itself). A
+    user-specified ``repartition(n, keys)`` is exempt from AQE
+    coalescing, and hash partitioning on the grouping keys satisfies
+    the cogroup's required distribution, so this REPLACES the exchange
+    the kernel would have inserted — same exchange count, pinned
+    fan-out. ``n = min(shuffle.partitions, ngroups)``: at most one task
+    per kernel group, capped by the session's configured parallelism —
+    scale-adaptive through conf, never a local constant.
+
+    ``n`` is capped at ``4 * ngroups`` rather than ``ngroups``: hashing
+    G keys into exactly G buckets collides badly (G=8 shards into 8
+    partitions leaves ~60% odds of a 2-shard straggler task — measured
+    2.2 s vs 1.5 s at 4x spread); empty partitions only cost a
+    scheduled no-op task, so a 4x spread buys collision-freedom for
+    bounded scheduler overhead at any scale (guide §2.5)."""
+    p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if ngroups is not None:
+        p = max(1, min(p, 4 * int(ngroups)))
+    return df.repartition(p, *keys)
+
+
 #: active stage_scope collectors (innermost last), PER THREAD: two
 #: concurrent streaming queries run their foreachBatch handlers on
 #: separate microbatch threads, and a shared stack would register one
