@@ -232,12 +232,17 @@ def _train_centroids(
     under ``"data"`` when the local-training branch ran — builders that
     need a second bounded sample of the SAME relation (PQ codebook
     training) can slice this one instead of paying another
-    scan+collect job over the corpus (guide §1.2)."""
+    scan+collect job over the corpus (guide §1.2). ``"complete"`` is
+    True only when the matrix PROVABLY holds every row of the relation
+    (no fraction-sampling was applied and the limit did not bind), so
+    callers may derive full-table statistics (SQ8 min/max bounds) from
+    it bit-identically instead of running another full pass."""
     total = _estimate_rows(docs, doc_vec)
     if total is None:
         total = docs.count()
     sample = docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
-    if total > sample_size:
+    sampled = total > sample_size
+    if sampled:
         sample = sample.sample(
             fraction=min(1.0, 1.5 * sample_size / total), seed=seed
         )
@@ -264,6 +269,10 @@ def _train_centroids(
         ).astype(np.float64)
         if sample_out is not None:
             sample_out["data"] = data
+            # provably every row: no sampling, limit not binding (an
+            # exactly-sample_size result is indistinguishable from a
+            # truncated one -> conservatively incomplete)
+            sample_out["complete"] = (not sampled) and len(data) < sample_size
         return kmeans_lloyd_np(data, ncentroids, seed)
 
     from pyspark.ml.clustering import KMeans

@@ -70,21 +70,35 @@ class IvfSq8Index:
         seed: int = 42,
         path: str | None = None,
     ) -> "IvfSq8Index":
-        centroids = _train_centroids(docs, doc_vec, ncentroids, sample_size, seed)
+        sout: dict = {}
+        centroids = _train_centroids(
+            docs, doc_vec, ncentroids, sample_size, seed, sample_out=sout
+        )
         dim = centroids.shape[1]
-        # per-dimension bounds: ONE aggregation pass (2·d map-side
-        # combinable min/max aggs), the SQ train step (faiss trains the
-        # same bounds from its sample)
-        aggs = [
-            F.min(F.element_at(F.col(doc_vec), i + 1)).alias(f"mn{i}")
-            for i in range(dim)
-        ] + [
-            F.max(F.element_at(F.col(doc_vec), i + 1)).alias(f"mx{i}")
-            for i in range(dim)
-        ]
-        row = docs.agg(*aggs).collect()[0]
-        mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
-        maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+        # per-dimension bounds over the FULL relation, the SQ train
+        # step (faiss trains the same bounds from its sample). When the
+        # centroid-training collection provably holds every row (small
+        # relation, no sampling applied), min/max over that matrix is
+        # the identical full-table statistic — skip the second
+        # aggregation pass (guide §1.2); otherwise run the ONE
+        # 2·d map-side-combinable min/max agg pass as before.
+        # NaN guard: Spark's min/max order NaN as the GREATEST value
+        # while numpy propagates it — only fuse when no NaN is present
+        # so the two paths are bit-identical on every input.
+        if sout.get("complete") and not np.isnan(sout["data"]).any():
+            mins = sout["data"].min(axis=0)
+            maxs = sout["data"].max(axis=0)
+        else:
+            aggs = [
+                F.min(F.element_at(F.col(doc_vec), i + 1)).alias(f"mn{i}")
+                for i in range(dim)
+            ] + [
+                F.max(F.element_at(F.col(doc_vec), i + 1)).alias(f"mx{i}")
+                for i in range(dim)
+            ]
+            row = docs.agg(*aggs).collect()[0]
+            mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+            maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
 
         assigned = assign_clusters(docs, centroids, doc_vec)
         codes = cls._encode(assigned, doc_vec, mins, maxs)

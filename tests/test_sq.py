@@ -130,3 +130,30 @@ def test_sq8_codes_scan_partition_pruned(tmp_path, spark, docs, queries):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "cluster_id" in pf and pf.strip(), f"no pruning: {pf!r}"
+
+
+def test_sq8_fused_bounds_match_agg_pass(spark, docs):
+    """r11: when the centroid-training sample provably covers the whole
+    relation, build derives the SQ bounds from it instead of a second
+    full aggregation pass — the bounds must be bit-identical to the agg
+    path, and a sample smaller than the relation must keep the agg
+    path."""
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    dim = len(idx.mins)
+    aggs = [
+        F.min(F.element_at(F.col("embedding"), i + 1)).alias(f"mn{i}")
+        for i in range(dim)
+    ] + [
+        F.max(F.element_at(F.col("embedding"), i + 1)).alias(f"mx{i}")
+        for i in range(dim)
+    ]
+    row = docs.agg(*aggs).collect()[0]
+    mins = np.array([row[f"mn{i}"] for i in range(dim)], dtype=np.float64)
+    maxs = np.array([row[f"mx{i}"] for i in range(dim)], dtype=np.float64)
+    assert np.array_equal(idx.mins, mins)
+    assert np.array_equal(idx.maxs, maxs)
+    # forced-incomplete sample (sample_size < N): the agg path runs and
+    # still produces the full-table bounds
+    small = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42, sample_size=16)
+    assert np.array_equal(small.mins, mins)
+    assert np.array_equal(small.maxs, maxs)
