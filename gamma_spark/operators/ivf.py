@@ -487,6 +487,7 @@ class IvfFlatIndex:
         query_vec: str = "qvec",
         probe_vec: str | None = None,
         _precomputed: tuple | None = None,
+        doc_decode=None,
     ) -> DataFrame:
         """``probe_vec`` names the float query column used for centroid
         probing when ``query_vec`` itself isn't in centroid space (the
@@ -497,6 +498,13 @@ class IvfFlatIndex:
         path); 'scan' = per-cluster BLAS kernel with partition-local
         heaps (the throughput path for large query batches); 'auto'
         picks by query count.
+
+        ``doc_decode`` (private seam, compressed tiers): a numpy
+        callable mapping the raw ``doc_vec`` column values of a batch
+        to the float64 score matrix — lets IVFSQ8 ship 1-byte codes
+        into the scan kernel and dequantize at scoring instead of
+        paying a separate decode Python pass (guide §4). Scan-path
+        only; the Catalyst join path scores real columns.
         """
         spark = self.index_df.sparkSession
         if strategy == "scan" and metric.upper() not in ("IP", "L2", "COSINE"):
@@ -559,8 +567,13 @@ class IvfFlatIndex:
         ):
             return self._search_scan(
                 pruned, qids, qmat, probes, k, metric, doc_vec,
-                min_score, max_score, l2_sqrt,
+                min_score, max_score, l2_sqrt, doc_decode=doc_decode,
             )
+        if doc_decode is not None:
+            # the join path scores doc_vec with a Catalyst expression —
+            # it cannot consume an encoded column (caller bug: the
+            # compressed-tier wrapper must decode before delegating here)
+            raise ValueError("doc_decode requires the scan strategy")
 
         # (qid, cluster_id) probe pairs — broadcast side of the pruning join
         pairs = spark.createDataFrame(
@@ -604,7 +617,7 @@ class IvfFlatIndex:
 
     def _search_scan(
         self, pruned: DataFrame, qids, qmat, probes, k, metric, doc_vec,
-        min_score, max_score, l2_sqrt,
+        min_score, max_score, l2_sqrt, doc_decode=None,
     ) -> DataFrame:
         """BLAS scan over the pruned buckets: each Arrow batch (usually a
         single inverted list, thanks to the cluster-partitioned layout)
@@ -635,7 +648,12 @@ class IvfFlatIndex:
                 if pdf.empty:
                     continue
                 seen += len(pdf)
-                mat = np.stack(pdf[doc_vec].to_numpy()).astype(np.float64)
+                raw = pdf[doc_vec].to_numpy()
+                mat = (
+                    doc_decode(raw)
+                    if doc_decode is not None
+                    else np.stack(raw).astype(np.float64)
+                )
                 ids = pdf["_docid"].to_numpy(dtype=np.int64)
                 clus = pdf["cluster_id"].to_numpy(dtype=np.int64)
                 for c in np.unique(clus):
@@ -859,6 +877,7 @@ class IvfFlatIndex:
         hierarchical: bool = False,
         super_probe: int = 4,
         probe_vec: str | None = None,
+        doc_decode=None,
     ) -> DataFrame:
         """kNN join where the *queries side is a DataFrame of any size* —
         never collected to the driver. ``search()`` mirrors the
@@ -904,6 +923,11 @@ class IvfFlatIndex:
         rescored values so the boundary is decided by the oracle-grade
         expression.
 
+        ``doc_decode`` (private seam, compressed tiers): numpy callable
+        mapping the raw ``doc_vec`` batch values to the float64 score
+        matrix inside the cogroup kernel — IVFSQ8 shuffles 1-byte/dim
+        codes and dequantizes at scoring (float metrics, no rescore).
+
         ``hierarchical=True`` routes the probe through the two-level
         quantizer (:meth:`build_hierarchy`): super-probe against a
         broadcast O(sqrt C) matrix, per-super cogroup against the
@@ -918,6 +942,14 @@ class IvfFlatIndex:
         metric_u = metric.upper()
         if metric_u not in ("IP", "L2", "COSINE", "HAMMING"):
             raise ValueError(f"knn_join_distributed: unsupported metric {metric_u}")
+        if doc_decode is not None and (rescore or metric_u == "HAMMING"):
+            # rescore re-reads doc_vec with a Catalyst expression and
+            # the HAMMING branch consumes packed int64 signatures —
+            # neither can score an encoded column (compressed-tier
+            # wrappers do their own rescore against the raw relation)
+            raise ValueError(
+                "doc_decode supports float-metric kernel scoring only"
+            )
         asc = V.metric_ascending(metric_u)
         worst = np.inf if asc else -np.inf
         cents = self.centroids
@@ -1024,7 +1056,12 @@ class IvfFlatIndex:
                 dmat = dpdf["_dvec"].to_numpy(dtype=np.int64)[order]
                 qall = qpdf["_qvec"].to_numpy(dtype=np.int64)
             else:
-                dmat = np.stack(dpdf["_dvec"].to_numpy())[order].astype(np.float64)
+                draw = dpdf["_dvec"].to_numpy()
+                dmat = (
+                    doc_decode(draw)
+                    if doc_decode is not None
+                    else np.stack(draw).astype(np.float64)
+                )[order]
                 if metric_u == "COSINE":
                     dmat = dmat / np.maximum(
                         np.linalg.norm(dmat, axis=1, keepdims=True), 1e-30

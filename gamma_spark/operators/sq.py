@@ -190,6 +190,27 @@ class IvfSq8Index:
 
         return codes.mapInPandas(dec, schema=out_schema)
 
+    def _np_decoder(self):
+        """Kernel-side decoder for the code-native scan/cogroup paths:
+        maps a batch of ``_sq8`` byte strings straight to the float64
+        score matrix. Bit-identical to decode-then-score: the same
+        float64 dequantization expression rounded through float32 (what
+        :meth:`_decode` materializes) before the float64 promotion the
+        kernels apply."""
+        mins64 = self.mins
+        span = np.maximum(self.maxs - mins64, 1e-30)
+        dim = len(mins64)
+
+        def dec(raw) -> np.ndarray:
+            C = np.stack(
+                [np.frombuffer(b, dtype=np.uint8, count=dim) for b in raw]
+            ).astype(np.float64)
+            return (mins64 + C / 255.0 * span).astype(np.float32).astype(
+                np.float64
+            )
+
+        return dec
+
     # -- search ----------------------------------------------------------
 
     def search(
@@ -210,10 +231,12 @@ class IvfSq8Index:
         query_vec: str = "qvec",
         **kw,
     ) -> DataFrame:
-        """Probe → prune code partitions → decode only probed lists →
-        the standard IVF scoring/top-k on the decoded relation. The
-        decode is sized by nprobe/ncentroids of the CODES bytes (a
-        quarter of the raw-vector bytes the FLAT tier would scan).
+        """Probe → prune code partitions → the standard IVF scoring/
+        top-k. On the scan path (large batches) the probed CODES bytes
+        go straight into the BLAS kernel, which dequantizes at scoring
+        (one Python pass over 1-byte/dim rows — guide §4); the
+        small-batch Catalyst join path decodes the probed lists first
+        (it scores with an expression, bit-reproducible vs the oracle).
 
         ``has_rank`` (R6, needs ``docs``): keep ``recall_num``
         dequantized-score candidates, join them back to the raw
@@ -233,25 +256,42 @@ class IvfSq8Index:
         pruned = self.codes_df
         if len(wanted) < len(self.centroids):
             pruned = pruned.filter(F.col("cluster_id").isin(wanted))
-        decoded = self._decode(pruned)
-        helper = IvfFlatIndex(self.centroids, decoded)
+        # strategy resolution mirrors IvfFlatIndex.search's 'auto' rule
+        # (same constant, same float-metric set) so the relation handed
+        # down matches the path the delegate will take: the scan kernel
+        # consumes raw codes + the numpy decoder, the Catalyst join
+        # path needs the decoded float column
+        strategy = kw.pop("strategy", "auto")
+        use_scan = metric.upper() in ("IP", "L2", "COSINE") and (
+            strategy == "scan"
+            or (
+                strategy == "auto"
+                and len(qrows) > IvfFlatIndex.SCAN_STRATEGY_MIN_Q
+            )
+        )
+        if use_scan:
+            helper = IvfFlatIndex(self.centroids, pruned)
+            dv_eff, doc_decode, strategy = "_sq8", self._np_decoder(), "scan"
+        else:
+            helper = IvfFlatIndex(self.centroids, self._decode(pruned))
+            dv_eff, doc_decode = dv, None
         # the batch is already collected and probed (the pre-decode
         # partition prune above needs both) — hand them down so the
         # delegated search doesn't re-collect and re-probe
         pre = (qrows, qmat, probes)
         if not (has_rank and docs is not None):
             return helper.search(
-                None, queries, k=k, metric=metric, doc_vec=dv, nprobe=nprobe,
+                None, queries, k=k, metric=metric, doc_vec=dv_eff, nprobe=nprobe,
                 predicate=predicate, min_score=min_score, max_score=max_score,
                 l2_sqrt=l2_sqrt, query_id=query_id, query_vec=query_vec,
-                _precomputed=pre, **kw,
+                _precomputed=pre, strategy=strategy, doc_decode=doc_decode, **kw,
             )
 
         pool = max(recall_num or max(4 * k, 64), k)
         candidates = helper.search(
-            None, queries, k=pool, metric=metric, doc_vec=dv, nprobe=nprobe,
+            None, queries, k=pool, metric=metric, doc_vec=dv_eff, nprobe=nprobe,
             predicate=predicate, query_id=query_id, query_vec=query_vec,
-            _precomputed=pre, **kw,
+            _precomputed=pre, strategy=strategy, doc_decode=doc_decode, **kw,
         ).select("qid", "_docid")
 
         from pyspark.sql.types import StructField, StructType
@@ -299,26 +339,25 @@ class IvfSq8Index:
         l2_sqrt: bool = False,
         **kw,
     ) -> DataFrame:
-        """Corpus x corpus kNN join for the compressed tier: decode the
-        codes relation (map-only Arrow pass) and run the audited IVF
-        cogroup join over the dequantized vectors. Scores are
-        dequantized-exact by default; pass ``rescore_docs`` (the raw
-        vector relation) to keep ``recall_num`` candidates per query
-        and rescore them on the true floats — with full probes and
-        recall_num = N that degenerates to exact brute force
-        bit-for-bit (the PQ twin's contract).
-
-        Note on bytes: the decode sits below the cogroup shuffle, so
-        the exchange carries floats; the parquet scan still reads the
-        4x-smaller codes. A code-native cogroup kernel (shuffle bytes,
-        decode at scoring) is the next optimization if the exchange
-        ever becomes the bottleneck."""
-        decoded = self._decode(self.codes_df)
-        helper = IvfFlatIndex(self.centroids, decoded)
+        """Corpus x corpus kNN join for the compressed tier: run the
+        audited IVF cogroup join code-native — the doc side shuffles
+        the 1-byte/dim ``_sq8`` codes and the per-cluster kernel
+        dequantizes at scoring (``doc_decode``), so the exchange
+        carries a quarter of the float bytes and the decode costs no
+        extra Python pass (guide §2.3/§4; scores bit-identical to
+        decode-first — the decoder rounds through float32 exactly as
+        ``_decode`` materializes). Scores are dequantized-exact by
+        default; pass ``rescore_docs`` (the raw vector relation) to
+        keep ``recall_num`` candidates per query and rescore them on
+        the true floats — with full probes and recall_num = N that
+        degenerates to exact brute force bit-for-bit (the PQ twin's
+        contract)."""
+        helper = IvfFlatIndex(self.centroids, self.codes_df)
+        dec = self._np_decoder()
         if rescore_docs is None:
             return helper.knn_join_distributed(
                 queries, k=k, metric=metric, nprobe=nprobe,
-                doc_vec=self.doc_vec, l2_sqrt=l2_sqrt, **kw,
+                doc_vec="_sq8", doc_decode=dec, l2_sqrt=l2_sqrt, **kw,
             )
 
         from gamma_spark.functions import vector as V
@@ -330,7 +369,7 @@ class IvfSq8Index:
         # dedup here would spend a full exchange proving it
         cand = helper.knn_join_distributed(
             queries, k=pool, metric=metric, nprobe=nprobe,
-            doc_vec=self.doc_vec, l2_sqrt=l2_sqrt, **kw,
+            doc_vec="_sq8", doc_decode=dec, l2_sqrt=l2_sqrt, **kw,
         ).select("qid", "_docid")
         # honor query_id/query_vec overrides riding in **kw: the
         # candidate pass above renames to (qid, _docid), but the

@@ -132,6 +132,65 @@ def test_sq8_codes_scan_partition_pruned(tmp_path, spark, docs, queries):
     assert "cluster_id" in pf and pf.strip(), f"no pruning: {pf!r}"
 
 
+def test_sq8_code_native_paths_match_decode_first(spark, docs):
+    """r11: the scan and cogroup kernels consume raw ``_sq8`` codes and
+    dequantize at scoring (doc_decode) — results must be bit-identical
+    to the decode-first reference (an IvfFlatIndex built over the
+    explicitly decoded relation), on both the >SCAN_STRATEGY_MIN_Q
+    request path and the distributed join."""
+    from gamma_spark.operators.ivf import IvfFlatIndex
+
+    idx = IvfSq8Index.build(docs, ncentroids=NCENT, seed=42)
+    ref = IvfFlatIndex(idx.centroids, idx._decode(idx.codes_df))
+
+    # request path: 32 queries > SCAN_STRATEGY_MIN_Q forces the scan
+    # kernel (the code-native branch)
+    rows = docs.orderBy("_docid").limit(32).collect()
+    big_q = spark.createDataFrame(
+        [(int(r._docid), [float(x) for x in r.embedding]) for r in rows],
+        "qid long, qvec array<float>",
+    )
+    for metric in ("L2", "IP"):
+        got = {
+            (r.qid, r.rank): (r._docid, r.score)
+            for r in idx.search(
+                None, big_q, k=5, metric=metric, nprobe=NCENT
+            ).collect()
+        }
+        want = {
+            (r.qid, r.rank): (r._docid, r.score)
+            for r in ref.search(
+                None, big_q, k=5, metric=metric, nprobe=NCENT,
+                doc_vec=idx.doc_vec,
+            ).collect()
+        }
+        assert got == want, f"scan path diverged for {metric}"
+
+    # distributed join: codes cross the cogroup shuffle, kernel decodes
+    q = docs.select(F.col("_docid").alias("qid"), F.col("embedding").alias("qvec"))
+    got = {
+        (r.qid, r.rank): (r._docid, r.score)
+        for r in idx.knn_join_distributed(
+            q, k=5, metric="L2", nprobe=NCENT
+        ).collect()
+    }
+    want = {
+        (r.qid, r.rank): (r._docid, r.score)
+        for r in ref.knn_join_distributed(
+            q, k=5, metric="L2", nprobe=NCENT, doc_vec=idx.doc_vec
+        ).collect()
+    }
+    assert got == want
+    # and the shuffled doc side really is the 1-byte codes: the decode
+    # MapInPandas is gone from the plan (only the probe + cogroup
+    # kernels remain as Python nodes)
+    plan = (
+        idx.knn_join_distributed(q, k=5, metric="L2", nprobe=NCENT)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_sq8" in plan
+
+
 def test_sq8_fused_bounds_match_agg_pass(spark, docs):
     """r11: when the centroid-training sample provably covers the whole
     relation, build derives the SQ bounds from it instead of a second
