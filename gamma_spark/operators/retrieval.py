@@ -52,10 +52,15 @@ def _localize_query_terms(query_terms: DataFrame) -> DataFrame:
     are derived from a table that is a scan + tokenize + explode +
     distinct (two exchanges) PER USE (guide §1.2: don't recompute what
     one pass established). One bounded collect makes every reuse a
-    free LocalRelation. Already-local inputs pass through untouched."""
+    free local scan. Already-materialized inputs pass through
+    untouched: LocalRelation (literal rows) and LogicalRDD (what
+    ``createDataFrame`` yields under Arrow) have no Catalyst subplan to
+    re-evaluate, so re-collecting them would only add a job."""
     sel = query_terms.select("qid", "term")
     plan = sel._jdf.queryExecution().optimizedPlan().toString()
-    if plan.startswith("LocalRelation"):
+    if plan.split("\n", 1)[0].lstrip().startswith(
+        ("LocalRelation", "LogicalRDD")
+    ):
         return sel
     return query_terms.sparkSession.createDataFrame(
         sel.collect(), schema=sel.schema
