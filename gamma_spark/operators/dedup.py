@@ -123,15 +123,27 @@ def shingles(
     first (e.g. :func:`decontaminate`'s broadcast semi-join) and can
     dedupe the far smaller matched subset instead."""
     toks = T.tokens(text_col)
+    # Stage the token array in its OWN projection and reference it as an
+    # attribute inside the transform lambda. A higher-order function is
+    # interpreted (no codegen CSE), so an expression referenced in the
+    # lambda BODY re-evaluates per element — with split() inlined the
+    # explode re-tokenized the full text n times per shingle, O(len^2)
+    # per doc (measured 13x on the sf0.1 explode: 6.1 s -> 0.45 s).
+    # CollapseProject keeps the stage: the alias is non-cheap and
+    # multiply-referenced, so the optimizer does not re-inline it.
+    staged = df.select(F.col(id_col), toks.alias("__sh_toks")).filter(
+        F.size("__sh_toks") >= n
+    )
+    tref = F.col("__sh_toks")
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        F.sequence(F.lit(0), F.size(tref) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(tref, (i + j + 1).cast("int")) for j in range(n)]),
     )
     from gamma_spark.session import ensure_parallelism
 
     # explode to ~50x rows, then 32 hash evals per shingle downstream:
     # CPU per input byte is ~3 orders over a plain scan
-    base = ensure_parallelism(df.filter(F.size(toks) >= n), fanout=500.0)
+    base = ensure_parallelism(staged, fanout=500.0)
     out = base.select(F.col(id_col), F.explode(grams).alias("shingle"))
     return out.distinct() if distinct else out
 

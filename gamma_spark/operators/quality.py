@@ -195,17 +195,24 @@ def lm_perplexity(
         )
 
     def bigram_stream(df):
+        # tokenize ONCE into a staged column: a raw split() referenced
+        # inside the transform lambda re-evaluates per element (no CSE
+        # in interpreted higher-order functions) — O(len^2) per doc
+        # (same defect and fix as dedup.shingles, OPTIMIZATION_r11.md)
         toks = T.tokens(text_col)
+        staged = df.select(F.col(id_col), toks.alias("__lm_toks")).filter(
+            F.size("__lm_toks") >= 2
+        )
+        tref = F.col("__lm_toks")
         bg = F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
+            F.sequence(F.lit(0), F.size(tref) - 2),
             lambda i: F.struct(
-                F.element_at(toks, (i + 1).cast("int")).alias("w1"),
-                F.element_at(toks, (i + 2).cast("int")).alias("w2"),
+                F.element_at(tref, (i + 1).cast("int")).alias("w1"),
+                F.element_at(tref, (i + 2).cast("int")).alias("w2"),
             ),
         )
         return (
-            df.filter(F.size(toks) >= 2)
-            .select(F.col(id_col), F.explode(bg).alias("b"))
+            staged.select(F.col(id_col), F.explode(bg).alias("b"))
             .select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         )
 

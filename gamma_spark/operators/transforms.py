@@ -131,15 +131,21 @@ def chunk_paragraphs(
     silently dropped by paragraph_dedup's null-unsafe chunk join — the
     document would vanish from the output, violating its one-row-per-
     input-document contract (and diverging from the SQL twin)."""
+    # tokenize ONCE into a staged column: a raw split() referenced
+    # inside the transform lambda re-evaluates per chunk (no CSE in
+    # interpreted higher-order functions) — O(len^2/width) per doc
+    # (same defect and fix as dedup.shingles, OPTIMIZATION_r11.md)
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    staged = df.select(F.col(id_col), toks.alias("__pp_toks"))
+    tref = F.col("__pp_toks")
     nchunks = F.greatest(
-        F.lit(1), F.ceil(F.size(toks).cast("double") / F.lit(float(width))).cast("int")
+        F.lit(1), F.ceil(F.size(tref).cast("double") / F.lit(float(width))).cast("int")
     )
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        lambda i: F.array_join(F.slice(tref, i * width + 1, width), " "),
     )
-    return df.select(
+    return staged.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
 
