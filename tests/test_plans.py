@@ -471,3 +471,37 @@ def test_scan_rejects_probe_vec_float_metric(spark, docs, queries):
     out = idx.search(None, q, k=3, metric="L2", nprobe=8, probe_vec="pvq").collect()
     top1 = {r.qid: r._docid for r in out if r.rank == 1}
     assert all(q_ == d for q_, d in top1.items())
+
+
+def test_term_postings_tokenizes_below_the_generate(documents):
+    """r11 §14: with size(toks) and explode(toks) in one select,
+    Catalyst pulls ``size(split(text))`` into the Project ABOVE the
+    Generate — re-splitting the document once per exploded token row,
+    O(len²) per doc (measured 3.9x on the sf0.1 postings build). The
+    staged shape must keep every split() below the Generate: the node
+    directly above it may not re-tokenize."""
+    from gamma_spark.operators.retrieval import term_postings
+
+    plan = plan_of(term_postings(documents))
+    tree = plan.split("\n\n")[0].split("\n")
+    import re
+
+    nodes = {}
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) (\w+)", block.strip())
+        if m:
+            nodes[int(m.group(1))] = block
+    gen_seen = 0
+    for i, ln in enumerate(tree):
+        mg = re.search(r"Generate \((\d+)\)", ln)
+        if not mg:
+            continue
+        gen_seen += 1
+        mp = re.search(r"(\w+) \((\d+)\)", tree[i - 1])
+        assert mp is not None
+        above = nodes.get(int(mp.group(2)), "")
+        assert "split(" not in above, (
+            "term_postings re-tokenizes above the Generate "
+            f"(node {mp.group(2)}):\n{above}"
+        )
+    assert gen_seen == 1  # exactly one explode in the postings build
