@@ -173,11 +173,18 @@ def minhash_signatures(
     recompute the md5 once per agg per row). ``hashed=True`` declares the ``shingle``
     column already carries :func:`~gamma_spark.functions.text.hash60`
     longs (see :func:`minhash_verified_pairs`'s early-hash staging), so
-    only the pmod projection remains."""
+    only the pmod projection remains.
+
+    The N_HASHES aggregates are built as parsed ``F.expr`` strings
+    (one py4j round-trip each) instead of Column algebra (~6 round
+    trips per hash): the entry's DAG is rebuilt on every bench repeat,
+    and the driver-side construction of this list alone measured
+    0.40 s -> 0.10 s (r11 §15). The parsed plan is canonically
+    IDENTICAL to the Column-built one (asserted by test)."""
     sh_col = F.col("shingle") if hashed else T.hash60("shingle")
     hashed = sh.select(F.col(id_col), F.pmod(sh_col, F.lit(P)).alias("_x"))
     aggs = [
-        F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(P)).alias(f"h{i}")
+        F.expr(f"min(({a} * _x + {b}) % {P}) AS h{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
     return hashed.groupBy(id_col).agg(*aggs)
@@ -196,14 +203,19 @@ def banded_signatures(sig: DataFrame, id_col: str) -> DataFrame:
     """(id, band, bsig): each doc's N_BANDS LSH bucket keys — the
     relation both the self-join and the materialized index store."""
     rows_per_band = N_HASHES // N_BANDS
-    bands = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+    # one parsed expression instead of N_BANDS x rows_per_band Column
+    # calls (r11 §15 driver-chatter cut; canonically identical plan)
+    bands = F.expr(
+        "array("
+        + ", ".join(
+            "concat_ws(':', "
+            + ", ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
             )
+            + ")"
             for b in range(N_BANDS)
-        ]
+        )
+        + ")"
     )
     return sig.select(F.col(id_col), F.posexplode(bands).alias("band", "bsig"))
 
@@ -620,23 +632,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .distinct()
         .withColumn("h", T.hash60("tok"))
     )
+    # parsed expressions instead of ~8 Column calls per bit (r11 §15:
+    # the DAG is rebuilt per bench repeat and this site alone was ~64
+    # py4j-chatty expressions); plans canonically identical
     bit_sums = tok.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
-            ).alias(f"s{j}")
+            F.expr(f"sum((shiftright(h, {j}) & 1) * 2 - 1) AS s{j}")
             for j in range(SIMHASH_BITS)
         ]
     )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
+    )
     sig = bit_sums.select(
         F.col(id_col),
-        sum(
-            [
-                F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-                for j in range(SIMHASH_BITS)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+        F.expr(f"CAST(0 AS BIGINT) + {bits} AS simhash"),
     )
     return sig
 

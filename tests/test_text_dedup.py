@@ -673,3 +673,77 @@ def test_minhash_hybrid_sql_parity(documents, con):
         for r in D.minhash_dedup_pairs(docs, "doc_id", "text").collect()
     }
     assert got == allp
+
+
+def test_expr_built_signatures_canonically_equal_column_algebra(documents):
+    """r11 §15: the minhash/simhash expression lists are built as parsed
+    ``F.expr`` strings (one py4j round-trip each) instead of Column
+    algebra (~6 round-trips per hash) — a driver-side construction cut
+    only. This pins that the parsed plans are CANONICALLY IDENTICAL to
+    the Column-built ones, so the rewrite can never drift semantically."""
+    docs = documents.limit(50)
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        )
+
+    # ---- minhash signature aggregation (reference: Column algebra)
+    sh = D.hashed_shingle_stream(docs, "doc_id", "text", 3)
+    ref_hashed = sh.select(
+        F.col("doc_id"), F.pmod(F.col("shingle"), F.lit(D.P)).alias("_x")
+    )
+    ref_sig = ref_hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(D.P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+        ]
+    )
+    got_sig = D.minhash_signatures(sh, "doc_id", hashed=True)
+    assert canon(got_sig) == canon(ref_sig)
+
+    # ---- banded signatures (reference: Column algebra)
+    rpb = D.N_HASHES // D.N_BANDS
+    ref_bands = F.array(
+        *[
+            F.concat_ws(
+                ":", *[F.col(f"h{b * rpb + r}") for r in range(rpb)]
+            )
+            for b in range(D.N_BANDS)
+        ]
+    )
+    ref_banded = ref_sig.select(
+        F.col("doc_id"), F.posexplode(ref_bands).alias("band", "bsig")
+    )
+    assert canon(D.banded_signatures(got_sig, "doc_id")) == canon(ref_banded)
+
+    # ---- simhash (reference: Column algebra)
+    from gamma_spark.session import ensure_parallelism
+
+    tok = (
+        ensure_parallelism(docs, fanout=500.0)
+        .select(F.col("doc_id"), F.explode(T.tokens("text")).alias("tok"))
+        .distinct()
+        .withColumn("h", T.hash60("tok"))
+    )
+    ref_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2)
+                - F.lit(1)
+            ).alias(f"s{j}")
+            for j in range(D.SIMHASH_BITS)
+        ]
+    )
+    ref_simhash = ref_sums.select(
+        F.col("doc_id"),
+        sum(
+            [
+                F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+                for j in range(D.SIMHASH_BITS)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    assert canon(D.simhash(docs, "doc_id", "text")) == canon(ref_simhash)
