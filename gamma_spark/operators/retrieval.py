@@ -67,6 +67,41 @@ def _localize_query_terms(query_terms: DataFrame) -> DataFrame:
     )
 
 
+def _localized_terms_and_set(query_terms: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(localized terms, distinct-term set) for one search request.
+
+    The term set drives the postings semi-join prune. Building it as
+    ``terms.select("term").distinct()`` costs an Exchange + two
+    HashAggregates + a broadcast build PER SEARCH — to deduplicate a
+    relation that is bounded by the request contract and, on the
+    non-local path, has just been collected to the driver anyway
+    (r12, guide §1.2). When the rows are in hand, dedupe them in
+    Python and hand the planner a LocalRelation; the broadcast then
+    builds from literal rows with no aggregation subtree. Equi-join
+    semantics are order-insensitive and NULL terms never match, so the
+    set's row order is irrelevant (sorted for plan determinism).
+    Already-local inputs keep the distinct-based set: re-collecting
+    them would add the job this helper exists to avoid."""
+    sel = query_terms.select("qid", "term")
+    plan = sel._jdf.queryExecution().optimizedPlan().toString()
+    if plan.split("\n", 1)[0].lstrip().startswith(
+        ("LocalRelation", "LogicalRDD")
+    ):
+        return sel, sel.select("term").distinct()
+    rows = sel.collect()
+    spark = query_terms.sparkSession
+    local = spark.createDataFrame(rows, schema=sel.schema)
+    terms = {r["term"] for r in rows}
+    has_null = None in terms
+    ordered = sorted(t for t in terms if t is not None)
+    if has_null:
+        ordered.append(None)
+    qset = spark.createDataFrame(
+        [(t,) for t in ordered], schema=sel.select("term").schema
+    )
+    return local, qset
+
+
 def term_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -366,14 +401,33 @@ def bm25_search(
     unconditional per-term pruning.
     """
     postings = term_postings(docs, id_col, text_col)
-    query_terms = _localize_query_terms(query_terms)
-    qset = query_terms.select("term").distinct()
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (
-            F.sum(doc_token_count(text_col)).cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avgdl"),
+    query_terms, qset = _localized_terms_and_set(query_terms)
+    # Corpus stats WITHOUT a second tokenize pass (r12, guide §1.2):
+    # the old single-agg stats evaluated sum(size(tokens(text))) over
+    # the docs scan — a full corpus re-tokenization per search on top
+    # of the one the postings already pay. sum(tf) over the postings
+    # is the same integer (every token contributes exactly one tf
+    # count; NULL-text docs carry zero postings and doc_token_count 0),
+    # its double cast is therefore bit-identical, and the aggregation
+    # reuses the postings exchange the scoring side materializes
+    # anyway. n_docs stays a column-pruned count over docs (NULL-text
+    # docs belong to N but not to the postings).
+    # parity corners: zero-postings-but-nonempty corpus (all-NULL text)
+    # must give avgdl 0/n = 0.0 like the per-doc sum did (coalesce);
+    # an EMPTY corpus gave NULL/0 = NULL (sum over no rows), so guard
+    # the division behind n_docs > 0 rather than dividing 0.0/0.0 (NaN)
+    stats = (
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+        .crossJoin(
+            postings.agg(F.sum("tf").cast("double").alias("_toksum"))
+        )
+        .select(
+            "n_docs",
+            F.when(
+                F.col("n_docs") > F.lit(0.0),
+                F.coalesce(F.col("_toksum"), F.lit(0.0)) / F.col("n_docs"),
+            ).alias("avgdl"),
+        )
     )
     # semi-join-prune the postings before anything heavy
     tpost = postings.join(F.broadcast(qset), "term")
@@ -833,8 +887,7 @@ class Bm25Index:
         pass. ``champions``/``champion_df_floor``/``rescore``: df-aware
         pruning + WAND band rescore, see :func:`bm25_search`."""
         k1, b = self.k1, self.b
-        query_terms = _localize_query_terms(query_terms)
-        qset = query_terms.select("term").distinct()
+        query_terms, qset = _localized_terms_and_set(query_terms)
         tpost = self.postings.join(F.broadcast(qset), "term")
         dfs = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         tf = F.col("tf").cast("double")

@@ -516,9 +516,19 @@ class BucketedDocStore:
     belt-and-suspenders path.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, _schema=None):
         self.spark = spark
         self.root = root
+        # sidecar-schema cache (r12, guide §1.2 "the driver is part of
+        # the job"): the schema sidecar is written once by create() and
+        # never rewritten (upserts must carry every stored column —
+        # _merge_batch fails loudly otherwise; delete/compact only flip
+        # or drop rows), so its footer is read at most once per store
+        # lifetime. Without this, every raw() call ran a one-task
+        # schema-inference job (+ driver gap); an upsert chain paid
+        # ~2 jobs per commit just re-reading the same schema.
+        # _swap_commit hands the cache to the post-commit instance.
+        self._sidecar_schema = _schema
         # a crash mid-swap leaves a .trash-<n> dir with a swap journal;
         # heal BEFORE trusting the docs dir (VERDICT r4 #8). Recovery
         # is DESTRUCTIVE (renames + rmtree), so it must not race a
@@ -673,8 +683,11 @@ class BucketedDocStore:
         reads the same schema over its hardlinked snapshot)."""
         docs = docs_dir or os.path.join(self.root, "docs")
         schema_dir = os.path.join(self.root, "schema")
+        if self._sidecar_schema is not None:
+            return self.spark.read.schema(self._sidecar_schema).parquet(docs)
         if os.path.exists(schema_dir):
             s = self.spark.read.parquet(schema_dir).schema
+            self._sidecar_schema = s
             return self.spark.read.schema(s).parquet(docs)
         return self.spark.read.parquet(docs)
 
@@ -720,7 +733,8 @@ class BucketedDocStore:
         # loudly instead of corrupting the store.
         from pyspark.sql import types as _T
 
-        store_t = self.raw().schema[idc].dataType
+        raw = self.raw()  # one relation for the type check AND the pruned read
+        store_t = raw.schema[idc].dataType
         batch_t = batch.schema[idc].dataType
         if batch_t != store_t:
             _rank = {
@@ -746,7 +760,7 @@ class BucketedDocStore:
         # through raw(): the schema-sidecar path keeps a fully
         # compacted-away store (zero bucket dirs) readable — a bare
         # read.parquet on the empty docs dir fails schema inference
-        cur = self.raw().filter(F.col(BUCKET).isin(hit))
+        cur = raw.filter(F.col(BUCKET).isin(hit))
         stats: dict = {}
         merged = _merge_batch(
             cur.drop(BUCKET),
@@ -867,7 +881,8 @@ class BucketedDocStore:
         # drop Spark's cached file listing for the path — later reads
         # must see the swapped files, not the pre-commit index
         self.spark.catalog.refreshByPath(docs_path)
-        return BucketedDocStore(self.spark, self.root)
+        # the sidecar schema is commit-invariant: hand the cache on
+        return BucketedDocStore(self.spark, self.root, _schema=self._sidecar_schema)
 
     def _rewrite_buckets(self, df: DataFrame, hit: list[int]) -> "BucketedDocStore":
         """Overwrite the listed buckets with ``df``'s rows (which must
