@@ -111,16 +111,7 @@ def connected_components(
         F.sum("label") if numeric_id
         else F.sum(F.xxhash64("label").cast("decimal(38,0)"))
     )
-    # ONE action per round (r12): the round's action computes the
-    # previous AND the current label sums from a tagged union, so the
-    # standalone init-probe job is gone (CC ran rounds+1 driver jobs,
-    # now rounds). The previous side re-reads its already-materialized
-    # lazy checkpoint — a scan of the persisted blocks, not a
-    # recompute; the first round's action materializes the init labels
-    # exactly as the init probe used to. Sums and the fixpoint rule
-    # are unchanged. Missing groups (empty label relation) read as
-    # None == None, matching the old NULL-sum convergence on empty
-    # pair inputs.
+    prev_sum = labels.agg(probe).collect()[0][0]
     for _ in range(max_rounds):
         neigh = edges.join(
             labels.withColumnRenamed("id", "dst"), on="dst"
@@ -131,18 +122,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        sums = {
-            int(r["_r"]): r["_s"]
-            for r in labels.select(F.lit(0).alias("_r"), "label")
-            .unionByName(new_labels.select(F.lit(1).alias("_r"), "label"))
-            .groupBy("_r")
-            .agg(probe.alias("_s"))
-            .collect()
-        }
-        prev_sum, new_sum = sums.get(0), sums.get(1)
+        new_sum = new_labels.agg(probe).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             return labels.select("id", F.col("label").alias("group_id"))
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
 
 
