@@ -55,6 +55,15 @@ MINHASH_B = (
 N_HASHES = 32
 N_BANDS = 8  # 4 rows per band
 
+# ADVICE r11: the F.expr f-string interpolation below (minhash_signatures)
+# ties literal TYPING to SQL parser rules — constants must stay within
+# INT32 so the parsed literals type as INT exactly like F.lit() would;
+# a constant raised past 2^31 would silently reparse as BIGINT and the
+# canonical-parity pin only covers the current values. Import-time guard:
+assert all(
+    0 <= v < 2**31 for v in (P, *MINHASH_A, *MINHASH_B)
+), "minhash constants must fit INT32 (SQL literal typing, see ADVICE r11)"
+
 
 def _stage(df: DataFrame) -> DataFrame:
     """See :func:`gamma_spark.session.stage` — persist an intermediate
@@ -619,6 +628,11 @@ FROM ({lsh}) p JOIN ({jac}) j USING (id_a, id_b)
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 32
+
+# same ADVICE-r11 guard for the simhash bit weights: 2**j literals in
+# the parsed CASE arms are CAST to BIGINT explicitly, but the bit count
+# must keep 2**(SIMHASH_BITS-1) inside int64 for that cast to be exact
+assert 2 ** (SIMHASH_BITS - 1) < 2**63, "simhash weights must fit BIGINT"
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

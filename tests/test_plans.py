@@ -497,11 +497,19 @@ def test_term_postings_tokenizes_below_the_generate(documents):
         if not mg:
             continue
         gen_seen += 1
-        mp = re.search(r"(\w+) \((\d+)\)", tree[i - 1])
-        assert mp is not None
-        above = nodes.get(int(mp.group(2)), "")
-        assert "split(" not in above, (
-            "term_postings re-tokenizes above the Generate "
-            f"(node {mp.group(2)}):\n{above}"
-        )
+        # ADVICE r11: sweep EVERY node strictly above the Generate, not
+        # just tree[i-1] — a Filter/Project inserted between would have
+        # hidden a reintroduced re-tokenization; and guard the (never
+        # expected) Generate-as-root shape instead of wrapping to
+        # tree[-1].
+        assert i > 0, "Generate is the tree root — staged projection lost"
+        for anc in tree[:i]:
+            mp = re.search(r"(\w+) \((\d+)\)", anc)
+            if mp is None:
+                continue
+            above = nodes.get(int(mp.group(2)), "")
+            assert "split(" not in above, (
+                "term_postings re-tokenizes above the Generate "
+                f"(node {mp.group(2)}):\n{above}"
+            )
     assert gen_seen == 1  # exactly one explode in the postings build

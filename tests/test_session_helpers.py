@@ -9,7 +9,10 @@ import pytest
 from pyspark.sql import functions as F
 
 import gamma_spark.session as S
-from gamma_spark.operators.retrieval import _localize_query_terms
+from gamma_spark.operators.retrieval import (
+    _localize_query_terms,
+    _localized_terms_and_set,
+)
 
 
 def _rows(df):
@@ -118,3 +121,52 @@ class TestLocalizeQueryTerms:
         )
         out = _localize_query_terms(qt)
         assert out.columns == ["qid", "term"]
+
+
+class TestLocalizedTermsAndSet:
+    """r12: the distinct-term set for the postings semi-join prune is
+    deduplicated driver-side when the request relation was collected by
+    the localization anyway — the planner then broadcasts a
+    LocalRelation instead of running an Exchange + two HashAggregates
+    per search."""
+
+    def test_derived_relation_gets_local_qset(self, spark):
+        qt = (
+            spark.range(20)
+            .select(
+                F.col("id").alias("qid"),
+                F.when(
+                    F.col("id") % 7 == 0, F.lit(None).cast("string")
+                ).otherwise(
+                    F.concat(F.lit("t"), (F.col("id") % 5).cast("string"))
+                ).alias("term"),
+            )
+            .repartition(4)
+        )
+        terms, qset = _localized_terms_and_set(qt)
+        qplan = qset._jdf.queryExecution().optimizedPlan().toString()
+        # driver-built set: a materialized local scan, no Aggregate
+        assert qplan.split("\n", 1)[0].startswith(
+            ("LocalRelation", "LogicalRDD")
+        )
+        assert "Aggregate" not in qplan
+        # exact distinct-set semantics, NULL terms included
+        want = sorted(
+            {r.term for r in qt.collect()}, key=lambda t: (t is None, t)
+        )
+        got = sorted(
+            (r.term for r in qset.collect()), key=lambda t: (t is None, t)
+        )
+        assert got == want
+        assert _rows(terms) == _rows(qt.select("qid", "term"))
+
+    def test_materialized_input_keeps_distinct_qset(self, spark):
+        qt = spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha"), (2, "beta")],
+            "qid long, term string",
+        )
+        terms, qset = _localized_terms_and_set(qt)
+        # pass-through path: no extra collect job — the set stays the
+        # planner-side distinct over the already-local relation
+        assert _rows(terms) == _rows(qt)
+        assert _rows(qset) == [("alpha",), ("beta",)]

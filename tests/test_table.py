@@ -173,6 +173,36 @@ def test_bucketed_store_rewrites_only_affected_buckets(tmp_path, spark, table):
     assert store.table().get_doc_by_id(keys[0]).collect()[0].text == "touched"
 
 
+def test_bucketed_store_caches_sidecar_schema_across_commits(
+    tmp_path, spark, table
+):
+    """r12: the schema sidecar is written once by create() and never
+    rewritten, so its footer is read at most once per store lifetime —
+    raw() caches the StructType and _swap_commit hands the cache to the
+    post-commit instance (each re-read was a one-task driver job; an
+    upsert chain paid ~2 per commit). The cache must equal the sidecar
+    read bit-for-bit and survive a commit."""
+    from gamma_spark.table import BucketedDocStore
+
+    store = BucketedDocStore.create(table, str(tmp_path / "store"), nbuckets=8)
+    assert store._sidecar_schema is None  # lazy: no read until raw()
+    sidecar = spark.read.parquet(str(tmp_path / "store" / "schema")).schema
+    raw1 = store.raw()
+    assert store._sidecar_schema == sidecar
+    assert raw1.schema == sidecar
+    # the cached object is handed to the post-commit instance
+    batch = spark.createDataFrame(
+        [(42, "updated", "en", "srcX", 7)],
+        table.df.drop("_docid").schema,
+    )
+    store2 = store.upsert(batch)
+    assert store2._sidecar_schema == sidecar
+    # and the post-commit reads resolve through it unchanged
+    assert store2.raw().schema == sidecar
+    got = store2.get_doc_by_id(42).collect()
+    assert len(got) == 1 and got[0].text == "updated"
+
+
 def test_bucketed_store_point_lookup_prunes_to_one_bucket(tmp_path, spark, table):
     """get_doc_by_id on the store must read ONE bucket directory: the
     literal key's bucket constant-folds into the partition filter."""

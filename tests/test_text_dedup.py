@@ -675,36 +675,32 @@ def test_minhash_hybrid_sql_parity(documents, con):
     assert got == allp
 
 
-def test_expr_built_signatures_canonically_equal_column_algebra(documents):
-    """r11 §15: the minhash/simhash expression lists are built as parsed
-    ``F.expr`` strings (one py4j round-trip each) instead of Column
-    algebra (~6 round-trips per hash) — a driver-side construction cut
-    only. This pins that the parsed plans are CANONICALLY IDENTICAL to
-    the Column-built ones, so the rewrite can never drift semantically."""
-    docs = documents.limit(50)
+# ---------------------------------------------------------------------------
+# Column-algebra REFERENCE builders for the r11 §15 canonical-parity
+# pin. These deliberately duplicate dedup.py's pre-§15 formulas in
+# Column form (ADVICE r11): they MUST mirror minhash_signatures /
+# banded_signatures / simhash exactly — if the production formula ever
+# changes, change the matching helper in the same commit or the parity
+# test pins the wrong baseline.
+# ---------------------------------------------------------------------------
 
-    def canon(df):
-        return (
-            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
-        )
-
-    # ---- minhash signature aggregation (reference: Column algebra)
-    sh = D.hashed_shingle_stream(docs, "doc_id", "text", 3)
-    ref_hashed = sh.select(
-        F.col("doc_id"), F.pmod(F.col("shingle"), F.lit(D.P)).alias("_x")
+def _ref_minhash_signatures(sh, id_col):
+    """Column-algebra mirror of dedup.minhash_signatures(hashed=True)."""
+    hashed = sh.select(
+        F.col(id_col), F.pmod(F.col("shingle"), F.lit(D.P)).alias("_x")
     )
-    ref_sig = ref_hashed.groupBy("doc_id").agg(
+    return hashed.groupBy(id_col).agg(
         *[
             F.min((F.lit(a) * F.col("_x") + F.lit(b)) % F.lit(D.P)).alias(f"h{i}")
             for i, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
         ]
     )
-    got_sig = D.minhash_signatures(sh, "doc_id", hashed=True)
-    assert canon(got_sig) == canon(ref_sig)
 
-    # ---- banded signatures (reference: Column algebra)
+
+def _ref_banded_signatures(sig, id_col):
+    """Column-algebra mirror of dedup.banded_signatures."""
     rpb = D.N_HASHES // D.N_BANDS
-    ref_bands = F.array(
+    bands = F.array(
         *[
             F.concat_ws(
                 ":", *[F.col(f"h{b * rpb + r}") for r in range(rpb)]
@@ -712,21 +708,22 @@ def test_expr_built_signatures_canonically_equal_column_algebra(documents):
             for b in range(D.N_BANDS)
         ]
     )
-    ref_banded = ref_sig.select(
-        F.col("doc_id"), F.posexplode(ref_bands).alias("band", "bsig")
+    return sig.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "bsig")
     )
-    assert canon(D.banded_signatures(got_sig, "doc_id")) == canon(ref_banded)
 
-    # ---- simhash (reference: Column algebra)
+
+def _ref_simhash(docs, id_col, text_col):
+    """Column-algebra mirror of dedup.simhash."""
     from gamma_spark.session import ensure_parallelism
 
     tok = (
         ensure_parallelism(docs, fanout=500.0)
-        .select(F.col("doc_id"), F.explode(T.tokens("text")).alias("tok"))
+        .select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
         .distinct()
         .withColumn("h", T.hash60("tok"))
     )
-    ref_sums = tok.groupBy("doc_id").agg(
+    sums = tok.groupBy(id_col).agg(
         *[
             F.sum(
                 F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * F.lit(2)
@@ -735,8 +732,8 @@ def test_expr_built_signatures_canonically_equal_column_algebra(documents):
             for j in range(D.SIMHASH_BITS)
         ]
     )
-    ref_simhash = ref_sums.select(
-        F.col("doc_id"),
+    return sums.select(
+        F.col(id_col),
         sum(
             [
                 F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long"))
@@ -746,4 +743,31 @@ def test_expr_built_signatures_canonically_equal_column_algebra(documents):
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
-    assert canon(D.simhash(docs, "doc_id", "text")) == canon(ref_simhash)
+
+
+def test_expr_built_signatures_canonically_equal_column_algebra(documents):
+    """r11 §15: the minhash/simhash expression lists are built as parsed
+    ``F.expr`` strings (one py4j round-trip each) instead of Column
+    algebra (~6 round-trips per hash) — a driver-side construction cut
+    only. This pins that the parsed plans are CANONICALLY IDENTICAL to
+    the Column-built ones, so the rewrite can never drift semantically.
+    The references live in the ``_ref_*`` helpers above (ADVICE r11)."""
+    docs = documents.limit(50)
+
+    def canon(df):
+        return (
+            df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+        )
+
+    sh = D.hashed_shingle_stream(docs, "doc_id", "text", 3)
+    ref_sig = _ref_minhash_signatures(sh, "doc_id")
+    got_sig = D.minhash_signatures(sh, "doc_id", hashed=True)
+    assert canon(got_sig) == canon(ref_sig)
+
+    assert canon(D.banded_signatures(got_sig, "doc_id")) == canon(
+        _ref_banded_signatures(ref_sig, "doc_id")
+    )
+
+    assert canon(D.simhash(docs, "doc_id", "text")) == canon(
+        _ref_simhash(docs, "doc_id", "text")
+    )
