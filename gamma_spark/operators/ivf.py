@@ -89,7 +89,12 @@ def kmeans_lloyd_np(data: np.ndarray, k: int, seed: int, iters: int = 25) -> np.
 LOCAL_TRAIN_MAX = 200_000
 
 
-def _estimate_rows(df: DataFrame, vec_col: str, probe: bool = True) -> int | None:
+def _estimate_rows(
+    df: DataFrame,
+    vec_col: str,
+    probe: bool = True,
+    skip_probe_if_under: int | None = None,
+) -> int | None:
     """Metadata-only row estimate: the optimizer's rowCount when CBO has
     one, else projected sizeInBytes / per-row width (8*dim + overhead)
     with the dim probed from a single row. Never scans the relation —
@@ -98,7 +103,18 @@ def _estimate_rows(df: DataFrame, vec_col: str, probe: bool = True) -> int | Non
 
     ``probe=False`` forbids even the single-row dim probe (zero Spark
     jobs, for planner heuristics that must stay lazy — VERDICT r3 #5);
-    the width falls back to an assumed 128-dim float64 row."""
+    the width falls back to an assumed 128-dim float64 row.
+
+    ``skip_probe_if_under=T`` (r12, guide §1.2): when even the MINIMUM
+    possible row width (dim 1: 8 B payload + 24 B overhead = 32 B)
+    bounds the relation at <= T rows, return that safe OVERESTIMATE
+    without running the one-task dim-probe job. Callers pass the
+    smallest threshold their decisions compare against (sampling
+    cutoff, local-vs-distributed training cutoff): both the bound and
+    the true count land on the same side of every such threshold, so
+    the skipped probe provably cannot change any downstream branch —
+    it only deletes a driver job per build on small relations. At
+    scale the size bound exceeds T and the probe runs as before."""
     try:
         proj = df.select(vec_col)
         stats = proj._jdf.queryExecution().optimizedPlan().stats()
@@ -113,6 +129,8 @@ def _estimate_rows(df: DataFrame, vec_col: str, probe: bool = True) -> int | Non
             return None
     except Exception:
         return None
+    if skip_probe_if_under is not None and size // 32 <= skip_probe_if_under:
+        return max(1, size // 32)
     if not probe:
         # assumed on-disk width of a parquet float-vector row (~4*dim at
         # dim 64); a wrong guess only shifts a perf-strategy crossover,
@@ -237,7 +255,14 @@ def _train_centroids(
     (no fraction-sampling was applied and the limit did not bind), so
     callers may derive full-table statistics (SQ8 min/max bounds) from
     it bit-identically instead of running another full pass."""
-    total = _estimate_rows(docs, doc_vec)
+    # decisions below compare total against sample_size (sampling
+    # cutoff) and LOCAL_TRAIN_MAX (local-vs-MLlib cutoff): when the
+    # 32 B/row bound keeps the relation under BOTH, the dim-probe job
+    # is skipped with provably identical branching (see _estimate_rows)
+    total = _estimate_rows(
+        docs, doc_vec,
+        skip_probe_if_under=min(int(sample_size), LOCAL_TRAIN_MAX),
+    )
     if total is None:
         total = docs.count()
     sample = docs.select(F.col(doc_vec).cast("array<double>").alias("_v"))
